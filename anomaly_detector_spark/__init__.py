@@ -1,0 +1,28 @@
+"""anomaly_detector_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of
+SENERGY-Platform/anomaly-detector (reference at /root/reference, studied
+for semantics only — see SURVEY.md). The reference's per-key windowed
+outlier kernel over a Kafka time-series stream is reframed as a
+partition-parallel data-quality engine over a large table of source-code
+files ``(repo, path, commit, lang, content)``:
+
+* per-column / per-partition statistics  (checks.stats)
+* uniqueness on (repo, path, commit)     (checks.uniqueness)
+* referential lang vs allowed dimension  (checks.referential)
+* distribution drift (PSI / two-sample KS) with z-score / IQR flagging
+  and a median gate                      (checks.drift)
+* per-row sha256(content) invariant      (functions.hashing)
+* per-partition lineage + resumable manifest (manifest)
+
+plus large-scale training-data-pipeline operators (operators.dedup,
+operators.similarity, operators.text, operators.multimodal) and a
+Structured Streaming analog of the reference's stateful kernel
+(streaming.anomaly).
+
+Everything is declared with the DataFrame API so Catalyst handles
+pushdown, pruning, join selection and AQE; Python only runs inside
+Arrow-vectorized pandas UDFs.
+"""
+
+__version__ = "0.1.0"

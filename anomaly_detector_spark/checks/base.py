@@ -1,0 +1,115 @@
+"""Check framework: specs, content-addressed ids, and result envelopes.
+
+A check is a pure function ``DataFrame -> CheckResult`` where the result
+carries three DataFrames:
+
+* ``violations`` — one row per offending file:
+  (repo, path, commit, check_id, observed, expected)
+* ``verdicts``   — one row per (partition_key, check_id):
+  verdict in PASS | FAIL | SKIPPED, plus a metrics map
+* ``metrics``    — optional wide per-partition stats (check-specific)
+
+The check_id is a sha256 over the canonical (sorted) representation of
+the check's configuration — the same content-addressing idea the
+reference uses for its filters (/root/reference/util/__init__.py:106-139
+hash_str/hash_list/hash_dict + gen_filter), so two deployments with the
+same config produce the same ids and manifest rows are stable across
+runs.
+
+Verdict semantics mirror the reference's operator states: SKIPPED is the
+warm-up / minimum-rows guard (analog of the 1-day buffer at
+/root/reference/algo/operator.py:164-170).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VIOLATION_COLS = ["repo", "path", "commit", "check_id", "observed", "expected"]
+PASS, FAIL, SKIPPED = "PASS", "FAIL", "SKIPPED"
+
+
+def _canonical(obj: Any) -> str:
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"), default=str)
+
+
+def check_id(name: str, config: dict[str, Any] | None = None) -> str:
+    """Content-addressed check id: sha256 of the canonical config."""
+    return hashlib.sha256(_canonical({"name": name, "config": config or {}}).encode()).hexdigest()
+
+
+@dataclass
+class CheckResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    metrics: DataFrame | None = None
+
+
+@dataclass
+class CheckSpec:
+    """A named, configured check. ``fn(df, spec) -> CheckResult``."""
+
+    name: str
+    fn: Callable[[DataFrame, "CheckSpec"], CheckResult]
+    config: dict[str, Any] = field(default_factory=dict)
+    partition_col: str = "lang"
+    min_rows: int = 1
+
+    @property
+    def id(self) -> str:
+        return check_id(self.name, {**self.config, "partition_col": self.partition_col})
+
+    def run(self, df: DataFrame) -> CheckResult:
+        return self.fn(df, self)
+
+
+def empty_violations(df: DataFrame) -> DataFrame:
+    """An empty violations frame with the canonical schema."""
+    spark = df.sparkSession
+    return spark.createDataFrame([], "repo string, path string, commit string, check_id string, observed string, expected string")
+
+
+def as_violations(df: DataFrame, cid: str, observed: F.Column, expected: F.Column) -> DataFrame:
+    """Project offending rows onto the canonical violation envelope."""
+    return df.select(
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        F.lit(cid).alias("check_id"),
+        observed.cast("string").alias("observed"),
+        expected.cast("string").alias("expected"),
+    )
+
+
+def verdict_frame(
+    per_partition: DataFrame,
+    cid: str,
+    partition_col: str,
+    fail_when: F.Column,
+    skip_when: F.Column | None = None,
+    metric_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse per-partition stats into the verdict envelope.
+
+    One row per partition value, verdict = SKIPPED if skip_when,
+    else FAIL if fail_when, else PASS. ``metric_cols`` become a
+    map<string,double> column.
+    """
+    v = F.when(fail_when, F.lit(FAIL)).otherwise(F.lit(PASS))
+    if skip_when is not None:
+        v = F.when(skip_when, F.lit(SKIPPED)).otherwise(v)
+    metrics = F.create_map(
+        *[x for c in (metric_cols or []) for x in (F.lit(c), F.col(c).cast("double"))]
+    )
+    return per_partition.select(
+        F.col(partition_col).cast("string").alias("partition_key"),
+        F.lit(cid).alias("check_id"),
+        v.alias("verdict"),
+        metrics.alias("metrics"),
+    )

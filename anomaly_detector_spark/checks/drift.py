@@ -1,0 +1,189 @@
+"""Distribution-drift check: PSI + two-sample KS with z-score/IQR flagging.
+
+Replaces the reference's autoencoder-reconstruction-error outlier kernel
+(/root/reference/algo/cont_device.py:110-205) with distribution tests,
+keeping its decision *shape*:
+
+* a frozen baseline (the reference trains once then freezes the model,
+  algo/operator.py:169 + retrain cadence :106-118 → here: a baseline
+  histogram, either supplied/frozen in the manifest or the global
+  distribution of the current run),
+* a per-partition drift score (PSI and KS replace area/PCM/DTW curve
+  distances, algo/cont_device.py:110-153),
+* outlier flagging of the scores with a MEDIAN GATE — the reference
+  flags window i iff IsolationForest says -1 AND error_i > median(errors)
+  (/root/reference/algo/error_calculation.py:5-12). We flag partition p
+  iff (|z_p| > z_k OR score outside IQR fence) AND score_p > median.
+
+Scale design: content length is histogrammed with a fixed bucket width
+via ``groupBy(partition, bucket).count()`` — one partial-aggregated
+shuffle whose size is O(partitions x buckets), independent of row count.
+The PSI/KS kernel then runs inside ``applyInPandas`` (Arrow-vectorized,
+per input_hint) over those tiny histogram frames — the UDF never sees a
+raw content row. The final flagging pass operates on one row per
+partition (driver-scale) but stays in Spark for composability.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .base import CheckResult, CheckSpec, empty_violations, verdict_frame
+
+HIST_SCHEMA = "partition_key string, bucket long, n long"
+SCORE_SCHEMA = "partition_key string, psi double, ks double, n_obs long"
+
+
+def length_histogram(
+    df: DataFrame, partition_col: str, col: str = "content", bucket_width: int = 100
+) -> DataFrame:
+    """Pre-aggregated content-length histogram: one row per (partition, bucket)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(partition_col).cast("string").alias("partition_key"),
+            (F.floor(F.length(F.col(col)) / bucket_width)).cast("long").alias("bucket"),
+        )
+        .groupBy("partition_key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def global_baseline(hist: DataFrame) -> DataFrame:
+    """Default baseline = pooled histogram over all partitions (first-run freeze)."""
+    return hist.groupBy("bucket").agg(F.sum("n").alias("base_n"))
+
+
+def psi_ks(obs, base) -> tuple[float, float]:
+    """PSI and binned two-sample KS between two aligned count vectors.
+
+    Laplace smoothing keeps log-ratios of empty buckets bounded so a
+    partition that simply lacks a rare bucket is not scored as drifted.
+    Pure numpy — shared by the Spark kernel and the test oracle.
+    """
+    import numpy as np
+
+    obs = np.asarray(obs, dtype=np.float64)
+    base = np.asarray(base, dtype=np.float64)
+    p = (obs + 0.5) / (obs.sum() + 0.5 * len(obs))
+    q = (base + 0.5) / (base.sum() + 0.5 * len(base))
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+    return psi, ks
+
+
+def _make_kernel():
+    """Build the per-partition scoring kernel as a closure.
+
+    A closure is cloudpickled BY VALUE, so the plan is self-contained and
+    executes on workers that don't have this package on their PYTHONPATH
+    (spark-submit without --py-files, notebook clusters, etc.). A
+    module-level function would be pickled by reference and fail with
+    ModuleNotFoundError on the Python workers.
+    """
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NOTE: keeps all logic inline (no references to module globals)
+        # so cloudpickle ships it fully by value. Must stay numerically
+        # identical to psi_ks() above, which the tests oracle against.
+        import numpy as np
+
+        pdf = pdf.sort_values("bucket")  # shuffle does not preserve order
+        key = pdf["partition_key"].iloc[0]
+        obs = pdf["n"].fillna(0.0).to_numpy(dtype=np.float64)
+        base = pdf["base_n"].fillna(0.0).to_numpy(dtype=np.float64)
+        p = (obs + 0.5) / (obs.sum() + 0.5 * len(obs))
+        q = (base + 0.5) / (base.sum() + 0.5 * len(base))
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+        return pd.DataFrame(
+            {"partition_key": [key], "psi": [psi], "ks": [ks], "n_obs": [int(obs.sum())]}
+        )
+
+    return kernel
+
+
+def drift_scores(hist: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Join partition histograms with the baseline and score in Arrow batches.
+
+    Builds the full (partition x bucket) grid first so every partition's
+    frame carries the complete bucket support of both its own histogram
+    and the baseline — otherwise missing buckets silently drop baseline
+    mass and understate drift. All inputs here are pre-aggregated and
+    tiny (O(partitions x buckets)), so the crossJoin is broadcast-cheap.
+    """
+    parts = hist.select("partition_key").distinct()
+    buckets = (
+        hist.select("bucket").union(baseline.select("bucket")).distinct()
+    )
+    grid = parts.crossJoin(F.broadcast(buckets))
+    joined = (
+        grid.join(hist, on=["partition_key", "bucket"], how="left")
+        .join(F.broadcast(baseline), on="bucket", how="left")
+    )
+    return joined.groupBy("partition_key").applyInPandas(_make_kernel(), SCORE_SCHEMA)
+
+
+def flag_outliers(
+    scores: DataFrame,
+    score_col: str = "psi",
+    z_thresh: float = 3.0,
+    iqr_k: float = 1.5,
+    abs_thresh: float | None = None,
+    min_gap: float = 0.1,
+) -> DataFrame:
+    """z-score / IQR outlier flags over per-partition scores with a median gate."""
+    w = Window.partitionBy(F.lit(1))
+    s = F.col(score_col)
+    stats = (
+        scores.withColumn("_mean", F.avg(s).over(w))
+        .withColumn("_std", F.stddev_samp(s).over(w))
+        .withColumn("_med", F.expr(f"percentile({score_col}, 0.5)").over(w))
+        .withColumn("_q1", F.expr(f"percentile({score_col}, 0.25)").over(w))
+        .withColumn("_q3", F.expr(f"percentile({score_col}, 0.75)").over(w))
+    )
+    z = F.when(F.col("_std") > 0, F.abs(s - F.col("_mean")) / F.col("_std")).otherwise(F.lit(0.0))
+    iqr = F.col("_q3") - F.col("_q1")
+    outlier = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
+    if abs_thresh is not None:
+        outlier = outlier | (s > abs_thresh)
+    # median gate (K4 semantics) + a minimum effect size: when all
+    # partitions cluster tightly, the IQR fence degenerates and would
+    # flag noise — require the score to exceed the median by min_gap.
+    flagged = outlier & (s > F.col("_med") + min_gap)
+    return stats.withColumn("z_score", z).withColumn("is_drifted", flagged).drop(
+        "_mean", "_std", "_q1", "_q3"
+    ).withColumnRenamed("_med", "median_score")
+
+
+def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    part = spec.partition_col
+    cid = spec.id
+    col = spec.config.get("column", "content")
+    bucket_width = spec.config.get("bucket_width", 100)
+    score_col = spec.config.get("score", "psi")
+    baseline = spec.config.get("baseline_df")  # frozen baseline (manifest) or None
+
+    hist = length_histogram(df, part, col, bucket_width)
+    base = baseline if baseline is not None else global_baseline(hist)
+    scores = drift_scores(hist, base)
+    flagged = flag_outliers(
+        scores,
+        score_col=score_col,
+        z_thresh=spec.config.get("z_thresh", 3.0),
+        iqr_k=spec.config.get("iqr_k", 1.5),
+        abs_thresh=spec.config.get("abs_thresh"),
+        min_gap=spec.config.get("min_gap", 0.1),
+    )
+
+    verdicts = verdict_frame(
+        flagged,
+        cid,
+        "partition_key",
+        fail_when=F.col("is_drifted"),
+        skip_when=F.col("n_obs") < spec.min_rows,
+        metric_cols=["psi", "ks", "n_obs", "z_score", "median_score"],
+    )
+    # Drift is a partition-level property — no per-file violation rows.
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=flagged)

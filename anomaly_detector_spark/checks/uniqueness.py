@@ -1,0 +1,89 @@
+"""Uniqueness check on (repo, path, commit) with skew-safe two-phase counting.
+
+Semantics: the reference deduplicates its per-device history keeping the
+FIRST row for a duplicated index (/root/reference/algo/operator.py:92
+``series[~series.index.duplicated(keep='first')]``). Reframed: every
+(repo, path, commit) key must appear exactly once; extra occurrences are
+violations, and the deterministic keep-first survivor (ordered by a
+stable tiebreak) is exempt.
+
+Scale design (SURVEY.md §4.3): a naive ``groupBy(repo,path,commit)``
+hash-aggregates with map-side partial counts, which Spark already
+handles well even under repo skew because the *composite* key is high
+cardinality. The salted two-phase path exists for the pathological case
+of a single hot (repo,path,commit) key (mega-repo with one file shape):
+phase 1 counts per (key, salt), phase 2 sums per key — both partial
+aggregates, bounded-size shuffle. ``dedup_keep_first`` provides the
+survivor-selection operator used by pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .base import CheckResult, CheckSpec, as_violations, verdict_frame
+
+KEY = ["repo", "path", "commit"]
+
+
+def duplicate_counts(df: DataFrame, key: list[str] = KEY, salt_buckets: int = 0) -> DataFrame:
+    """count per key, optionally via salted two-phase aggregation."""
+    if salt_buckets <= 1:
+        return df.groupBy(*key).agg(F.count(F.lit(1)).alias("n"))
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in key], F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(*key, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
+    return partial.groupBy(*key).agg(F.sum("_pn").alias("n"))
+
+
+def dedup_keep_first(df: DataFrame, key: list[str] = KEY, order_col: str = "content") -> DataFrame:
+    """Deterministic keep-first dedup: survivor = min(order_col) per key.
+
+    The reference's keep='first' depends on arrival order; in a
+    distributed table there is no arrival order, so we pin a total order
+    (order_col, e.g. content or an ingest timestamp) to make the
+    survivor invariant under partitioning — required for the
+    two-parallelism determinism gate (SURVEY.md §7 hard part 4).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key]).orderBy(F.col(order_col).asc_nulls_last())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    part = spec.partition_col
+    key = spec.config.get("key", KEY)
+    salt_buckets = spec.config.get("salt_buckets", 0)
+    order_col = spec.config.get("order_col", "content")
+    cid = spec.id
+
+    counts = duplicate_counts(df, key, salt_buckets)
+    dup_keys = counts.filter(F.col("n") > 1)
+
+    # Violation rows: every non-survivor occurrence of a duplicated key.
+    w = Window.partitionBy(*[F.col(c) for c in key]).orderBy(F.col(order_col).asc_nulls_last())
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    offenders = ranked.join(dup_keys.select(*key, "n"), on=key, how="inner").filter(F.col("_rn") > 1)
+    violations = as_violations(
+        offenders,
+        cid,
+        observed=F.concat(F.lit("key seen "), F.col("n").cast("string"), F.lit(" times")),
+        expected=F.lit("unique (repo, path, commit)"),
+    )
+
+    per_part = (
+        df.join(dup_keys.select(*key).withColumn("_dup", F.lit(1)), on=key, how="left")
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_rows"),
+        )
+    )
+    verdicts = verdict_frame(
+        per_part,
+        cid,
+        part,
+        fail_when=F.col("n_dup_rows") > 0,
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_dup_rows"],
+    )
+    return CheckResult(violations=violations, verdicts=verdicts, metrics=per_part)

@@ -1,0 +1,53 @@
+"""Check-suite composition and execution.
+
+The suite is the engine's "logical plan": a registry of CheckSpecs (the
+analog of the reference's selector routing table,
+/root/reference/util/__init__.py:98-103) composed into one job. Each
+check declares its pipeline with the DataFrame API; Catalyst plans the
+whole suite together, so common subexpressions like the base scan are
+shared when the input is cached and column pruning keeps checks that
+never read ``content`` (uniqueness, referential) off the heavy column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checks.base import CheckResult, CheckSpec
+from ..checks.drift import run_drift
+from ..checks.referential import run_referential
+from ..checks.stats import run_stats
+from ..checks.uniqueness import run_uniqueness
+
+
+@dataclass
+class SuiteResult:
+    violations: DataFrame  # unioned canonical violation rows
+    verdicts: DataFrame    # unioned (partition_key, check_id, verdict, metrics)
+    per_check: dict[str, CheckResult]
+
+
+def default_suite(partition_col: str = "lang", min_rows: int = 25) -> list[CheckSpec]:
+    return [
+        CheckSpec("stats", run_stats, {"column": "content", "approx": True}, partition_col, min_rows),
+        CheckSpec("uniqueness", run_uniqueness, {}, partition_col, min_rows),
+        CheckSpec("referential", run_referential, {}, partition_col, min_rows),
+        CheckSpec("drift", run_drift, {"column": "content"}, partition_col, min_rows),
+    ]
+
+
+def run_suite(df: DataFrame, suite: list[CheckSpec] | None = None, cache: bool = True) -> SuiteResult:
+    suite = suite or default_suite()
+    if cache:
+        df = df.cache()
+    results = {s.name: s.run(df) for s in suite}
+    violations = reduce(DataFrame.unionByName, [r.violations for r in results.values()])
+    verdicts = reduce(DataFrame.unionByName, [r.verdicts for r in results.values()])
+    # Envelope columns mirroring the reference's output message
+    # {pipeline_id, operator_id, analytics, time} (/root/reference/util/op_base.py:86-97).
+    verdicts = verdicts.withColumn("emitted_at", F.current_timestamp())
+    return SuiteResult(violations=violations, verdicts=verdicts, per_check=results)
