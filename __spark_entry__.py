@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operators (SURVEY.md §2) over the driver's
+parquet test tables; oracle_sql() carries the DuckDB-equivalent SQL.
+Column names and float rounding are kept in lockstep between the two
+sides (the driver hash-compares values after sorting columns by name).
+
+The validation-engine queries run over a ``files`` view derived
+deterministically from ``documents`` (see
+anomaly_detector_spark/sources/registry.py — the same derivation exists
+as FILES_CTE_SQL for DuckDB), so both engines see an identical
+(repo, path, commit, lang, content) table with planted duplicate keys
+and disallowed langs.
 """
 
 from __future__ import annotations
@@ -12,27 +18,567 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from anomaly_detector_spark.sources.registry import (
+    ALLOWED_DOC_LANGS,
+    FILES_CTE_SQL,
+    files_view,
+    load_table,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full check-suite verdicts on the derived files table."""
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    files = files_view(spark, SF0001).drop("doc_id")
+    res = run_suite(files)
+    return res.verdicts.select("partition_key", "check_id", "verdict")
+
+
+# ---------------------------------------------------------------- helpers
+
+def _dec(col: str, scale: int = 4) -> F.Column:
+    """Exact decimal cast for cross-engine-stable sums."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_files_stats(spark: SparkSession, sf: str) -> DataFrame:
+    files = files_view(spark, sf)
+    ln = F.length("content")
+    return files.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("content").isNull().cast("long")).alias("n_null"),
+        F.round(F.avg(F.col("content").isNull().cast("double")), 4).alias("null_rate"),
+        F.min(ln).cast("long").alias("min_len"),
+        F.max(ln).cast("long").alias("max_len"),
+        F.round(F.avg(ln), 4).alias("avg_len"),
+        F.count_distinct(F.col("content")).cast("long").alias("distinct_content"),
+    )
+
+
+def q_files_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    files = files_view(spark, sf)
+    return (
+        files.groupBy("repo", "path", "commit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q_files_referential(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.checks.referential import unknown_lang_rows
+
+    files = files_view(spark, sf)
+    dim = spark.createDataFrame([(x,) for x in ALLOWED_DOC_LANGS], "lang string")
+    return unknown_lang_rows(files, dim).select("repo", "path", "commit", "lang")
+
+
+def q_files_sha256(spark: SparkSession, sf: str) -> DataFrame:
+    files = files_view(spark, sf)
+    return files.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+def q_files_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.checks.drift import drift_scores, global_baseline, length_histogram
+
+    files = files_view(spark, sf)
+    hist = length_histogram(files, "lang", "content", bucket_width=50)
+    scores = drift_scores(hist, global_baseline(hist))
+    return scores.select(
+        "partition_key",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
+def q_files_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.checks.uniqueness import dedup_keep_first
+
+    files = files_view(spark, sf)
+    # survivor = min doc_id per key (keep-first semantics with a pinned total order)
+    return dedup_keep_first(files, order_col="doc_id").select("repo", "path", "commit", "doc_id")
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg(_dec("l_quantity")), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg(_dec("l_discount")), 4).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("rev"))
+    per_cust = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    top = (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+    return top
+
+
+def q_events_fwd_max(spark: SparkSession, sf: str) -> DataFrame:
+    # W3 analog: 2-hour look-forward max per user (range frame, one pass —
+    # replaces the reference's O(n^2) scan, /root/reference/algo/operator.py:90-104)
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("double"))
+        .rangeBetween(0, 7200)
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.max("value").over(w), 4).alias("fwd_max_2h"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    # W4 analog: gaps-and-islands sessionization (30-min inactivity gap)
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.col("ts").cast("timestamp").cast("double") - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+def q_events_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    # W6/T6 analog: anomaly = value > 400; suppressed if previous anomaly
+    # of the same user was <= 30 min earlier (notification debounce,
+    # /root/reference/algo/cont_device.py:208-224)
+    ev = load_table(spark, sf, "events").filter(F.col("value") > 400)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "suppressed",
+        F.when((F.col("ts").cast("timestamp").cast("double") - prev) <= 1800, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anomalies"),
+        F.sum("suppressed").cast("long").alias("n_suppressed"),
+    )
+
+
+def q_docs_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.text import with_text_stats
+
+    d = load_table(spark, sf, "documents")
+    return with_text_stats(d, "text").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def q_docs_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.text import bpe_ish_token_count
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"))
+
+
+def q_docs_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.text import quality_score
+
+    d = load_table(spark, sf, "documents")
+    q = quality_score(d, "text")
+    return q.groupBy("lang").agg(
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def q_docs_prefix_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # exact dedup on a normalized 40-char prefix fingerprint
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy(F.substring("text", 1, 40).alias("prefix"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q_emb_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ------------------------- rows-only queries (no SQL-expressible oracle)
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    d = load_table(spark, sf, "documents")
+    cand = minhash_lsh_candidates(d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3)
+    return jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.dedup import simhash_near_dups
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=8, blocks=4)
+
+
+def q_docs_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.text import with_lang_id
+
+    d = load_table(spark, sf, "documents")
+    return with_lang_id(d, "text").select("doc_id", "lang_id", "lang_id_hits")
+
+
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries, k=5, dim=64, bits=10, tables=4)
+
+
+def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    files = files_view(spark, sf).drop("doc_id")
+    return run_suite(files).verdicts.select("partition_key", "check_id", "verdict")
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 1000)
+    return extract_features(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "files_stats": q_files_stats,
+        "files_dup_keys": q_files_dup_keys,
+        "files_referential": q_files_referential,
+        "files_sha256": q_files_sha256,
+        "files_drift_scores": q_files_drift_scores,
+        "files_keep_first": q_files_keep_first,
+        "tpch_q1": q_tpch_q1,
+        "top_customers": q_top_customers,
+        "events_fwd_max": q_events_fwd_max,
+        "events_sessions": q_events_sessions,
+        "events_debounce": q_events_debounce,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_quality_by_lang": q_docs_quality_by_lang,
+        "docs_prefix_dups": q_docs_prefix_dups,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        # rows-only (non-SQL-expressible):
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "docs_langid": q_docs_langid,
+        "lsh_topk": q_lsh_topk,
+        "suite_verdicts": q_suite_verdicts,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_Q1_DISC = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+_Q1_CHARGE = f"{_Q1_DISC} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "files_stats": f"""
+            WITH {FILES_CTE_SQL}
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN content IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   round(avg(CASE WHEN content IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate,
+                   CAST(min(length(content)) AS BIGINT) AS min_len,
+                   CAST(max(length(content)) AS BIGINT) AS max_len,
+                   round(avg(length(content)), 4) AS avg_len,
+                   CAST(count(DISTINCT content) AS BIGINT) AS distinct_content
+            FROM files GROUP BY lang
+        """,
+        "files_dup_keys": f"""
+            WITH {FILES_CTE_SQL}
+            SELECT repo, path, "commit",
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keep_doc
+            FROM files GROUP BY 1, 2, 3 HAVING count(*) > 1
+        """,
+        "files_referential": f"""
+            WITH {FILES_CTE_SQL}
+            SELECT repo, path, "commit", lang FROM files
+            WHERE lang NOT IN ({",".join("'" + x + "'" for x in ALLOWED_DOC_LANGS)})
+        """,
+        "files_sha256": f"""
+            WITH {FILES_CTE_SQL}
+            SELECT doc_id, sha256(content) AS content_sha FROM files
+        """,
+        "files_drift_scores": f"""
+            WITH {FILES_CTE_SQL},
+            hist AS (
+              SELECT lang AS partition_key,
+                     CAST(floor(length(content) / 50) AS BIGINT) AS bucket,
+                     count(*) AS n
+              FROM files WHERE content IS NOT NULL GROUP BY 1, 2
+            ),
+            base AS (SELECT bucket, sum(n) AS base_n FROM hist GROUP BY 1),
+            grid AS (
+              SELECT p.partition_key, b.bucket
+              FROM (SELECT DISTINCT partition_key FROM hist) p
+              CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+            ),
+            j AS (
+              SELECT g.partition_key, g.bucket,
+                     CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                     CAST(coalesce(bs.base_n, 0) AS DOUBLE) AS base_n
+              FROM grid g
+              LEFT JOIN hist h ON h.partition_key = g.partition_key AND h.bucket = g.bucket
+              LEFT JOIN base bs ON bs.bucket = g.bucket
+            ),
+            norm AS (
+              SELECT partition_key, bucket, n,
+                     (n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                                  + 0.5 * count(*) OVER (PARTITION BY partition_key)) AS p,
+                     (base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                                  + 0.5 * count(*) OVER (PARTITION BY partition_key)) AS q
+              FROM j
+            ),
+            cum AS (
+              SELECT partition_key, p, q, n,
+                     sum(p) OVER (PARTITION BY partition_key ORDER BY bucket) AS cp,
+                     sum(q) OVER (PARTITION BY partition_key ORDER BY bucket) AS cq
+              FROM norm
+            )
+            SELECT partition_key,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi,
+                   round(max(abs(cp - cq)), 6) AS ks,
+                   CAST(sum(n) AS BIGINT) AS n_obs
+            FROM cum GROUP BY 1
+        """,
+        "files_keep_first": f"""
+            WITH {FILES_CTE_SQL}
+            SELECT repo, path, "commit", doc_id FROM (
+              SELECT repo, path, "commit", doc_id,
+                     row_number() OVER (PARTITION BY repo, path, "commit" ORDER BY doc_id ASC) AS rn
+              FROM files
+            ) WHERE rn = 1
+        """,
+        "tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum({_Q1_DISC}) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum({_Q1_CHARGE}) AS DOUBLE) AS sum_charge,
+                   round(avg(CAST(l_quantity AS DECIMAL(18,4))), 4) AS avg_qty,
+                   round(avg(CAST(l_discount AS DECIMAL(18,4))), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": f"""
+            WITH per_order AS (
+              SELECT l_orderkey, sum({_Q1_DISC}) AS rev
+              FROM lineitem GROUP BY 1
+            ),
+            per_cust AS (
+              SELECT o_custkey, sum(rev) AS rev
+              FROM per_order JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1
+            )
+            SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,
+                   CAST(rev AS DOUBLE) AS revenue
+            FROM per_cust JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, custkey ASC LIMIT 10
+        """,
+        "events_fwd_max": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   round(max(value) OVER (
+                     PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN CURRENT ROW AND 7200 FOLLOWING
+                   ), 4) AS fwd_max_2h
+            FROM events
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            ),
+            per_sess AS (
+              SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n_events) AS BIGINT) AS max_session_events
+            FROM per_sess GROUP BY 1
+        """,
+        "events_debounce": """
+            WITH a AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                          ) <= 1800 THEN 1 ELSE 0 END AS suppressed
+              FROM events WHERE value > 400
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_anomalies,
+                   CAST(sum(suppressed) AS BIGINT) AS n_suppressed
+            FROM a GROUP BY 1
+        """,
+        "docs_token_stats": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4)
+                        ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN length(text) > 0
+                        THEN round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 4)
+                        ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> list_contains({STOPWORDS}, lower(t)))) AS DOUBLE)
+                                   / len(string_split_regex(trim(text), '\s+')), 4) END AS stopword_ratio
+            FROM documents
+        """,
+        "docs_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '([A-Za-z0-9]+|[^A-Za-z0-9\s])')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "docs_quality_by_lang": r"""
+            WITH s AS (
+              SELECT lang, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4)
+                          ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 4)
+                          ELSE 0.0 END AS punct_ratio
+              FROM documents
+            ),
+            q AS (
+              SELECT lang,
+                     round(CASE WHEN n_tokens >= 5 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END
+                           + alpha_ratio * 0.3
+                           + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3, 4) AS quality_score
+              FROM s
+            )
+            SELECT lang, round(avg(quality_score), 4) AS avg_quality,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM q GROUP BY 1
+        """,
+        "docs_prefix_dups": """
+            SELECT substr(text, 1, 40) AS prefix,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keep_doc
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "emb_topk_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+              FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(
+                       list_aggregate(list_transform(range(1, 65),
+                          i -> q.q_vec[i] * c.c_vec[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(range(1, 65), i -> q.q_vec[i] * q.q_vec[i]), 'sum'))
+                        * sqrt(list_aggregate(list_transform(range(1, 65), i -> c.c_vec[i] * c.c_vec[i]), 'sum'))),
+                     6) AS score
+              FROM c CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+                   score, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }
+
+
+# inject the stopword list literal into the docs_token_stats oracle
+def _stopword_sql_list() -> str:
+    from anomaly_detector_spark.operators.text import STOPWORDS
+
+    return "[" + ", ".join("'" + w + "'" for w in STOPWORDS) + "]"
+
+
+_raw_oracle_sql = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _raw_oracle_sql()
+    out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
+    return out

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query
+  set against the corpus; the dot product runs JVM-side with
+  ``F.zip_with`` + ``F.aggregate`` (no Python, no shuffle of the
+  corpus); top-k via per-query row_number. This is the baseline and
+  the verification oracle for the ANN path.
+* lsh_topk — scale path: random-hyperplane LSH buckets (signs of
+  hash-derived pseudo-random projections) shrink the candidate set to
+  matching buckets (multi-probe via multiple tables), then exact
+  cosine re-rank. At 10^12 vectors the bucket join replaces the full
+  cross product; buckets are uniform by construction.
+* ivf_topk — IVF-style: k-means-lite centroids sampled deterministically,
+  assign each vector to nearest centroid (one narrow pass), search only
+  the ``nprobe`` closest cells per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row.
+
+    Output: (query_id, vec_id, score, rank), rank 1..k, deterministic
+    tie-break on vec_id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane_sig(vec: Column, dim: int, bits: int, table: int) -> Column:
+    """Deterministic random-hyperplane signature: bit j = sign of
+    sum_i vec[i] * h(table, j, i), with h a +/-1 hash — all JVM-side.
+    Bits are unrolled in Python (bit masks must be int literals)."""
+    def make_step(j: int):
+        # factory (not a default arg) — Spark counts lambda params
+        return lambda a, i: a + F.element_at(vec, i.cast("int") + 1) * F.when(
+            F.xxhash64(F.lit(table), F.lit(j), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    sig = None
+    for j in range(bits):
+        proj = F.aggregate(F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), make_step(j))
+        term = F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 12,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH bucket join + exact re-rank.
+
+    Recall improves with ``tables`` (independent hash tables). Output
+    schema matches brute_force_topk; ranks are per-query over the
+    candidate union.
+    """
+    def sig_cols(vec: Column):
+        return [
+            _hyperplane_sig(vec, dim, bits, t).alias(f"sig{t}") for t in range(tables)
+        ]
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        *sig_cols(F.col(vec_col).cast("array<double>")),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        *sig_cols(F.col(vec_col).cast("array<double>")),
+    )
+    c_b = c.select(
+        "vec_id", "c_vec",
+        F.explode(F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("s")) for t in range(tables)])).alias("b"),
+    ).select("vec_id", "c_vec", F.col("b.t").alias("t"), F.col("b.s").alias("s"))
+    q_b = q.select(
+        "query_id", "q_vec",
+        F.explode(F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("s")) for t in range(tables)])).alias("b"),
+    ).select("query_id", "q_vec", F.col("b.t").alias("t"), F.col("b.s").alias("s"))
+    cand = (
+        c_b.join(F.broadcast(q_b), on=["t", "s"], how="inner")
+        .select("query_id", "vec_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: deterministic sampled centroids, cell-restricted search.
+
+    Centroids = the ``n_cells`` corpus vectors with the smallest
+    xxhash64(id) (a deterministic uniform sample — k-means-lite). Each
+    corpus vector is assigned to its nearest centroid; each query probes
+    its ``nprobe`` nearest cells.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    cents = (
+        c.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("c_vec").alias("cent_vec"))
+    )
+    # assign corpus rows to nearest centroid (broadcast centroids)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cosine(F.col("c_vec"), F.col("cent_vec")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "c_vec", "cell_id")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cell_id", how="inner")
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

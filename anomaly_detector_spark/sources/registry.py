@@ -1,0 +1,68 @@
+"""Table sources: parquet test tables and the derived ``files`` view.
+
+``load_table`` is the engine's batch source (the Spark-native analog of
+the reference's Kafka source, /root/reference/util/op_base.py:81-84 —
+an Iceberg/parquet scan instead of a poll loop; filters and column
+selection push down into the scan).
+
+``files_view`` deterministically derives a source-code-files-shaped
+table ``(repo, path, commit, lang, content)`` from the ``documents``
+test table, with planted duplicate keys (doc_id folding) and langs that
+are checked against an allowed dimension. The SAME derivation is
+expressed as ANSI SQL in ``FILES_CTE_SQL`` so DuckDB produces the
+identical table for oracle comparison — keep the two in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Langs permitted by the referential check on the derived files table.
+# 'zh' is deliberately absent → its rows are planted referential violations.
+ALLOWED_DOC_LANGS = ["de", "en", "es", "fr"]
+
+# doc_id folding modulus: ids >= _FOLD alias the key columns of id % _FOLD,
+# creating duplicate (repo, path, commit) keys with differing content.
+_FOLD = 450
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def files_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived files table; must stay semantically identical to FILES_CTE_SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    key_id = (F.col("doc_id") % _FOLD).cast("long")
+    return d.select(
+        F.concat(
+            F.lit("org"), (key_id % 10).cast("string"), F.lit("/repo"), (key_id % 7).cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), key_id.cast("string"), F.lit("."), F.col("lang")).alias("path"),
+        F.substring(F.sha2(key_id.cast("string"), 256), 1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+# DuckDB CTE producing the identical table (oracle side).
+FILES_CTE_SQL = f"""
+files AS (
+  SELECT
+    'org' || CAST((doc_id % {_FOLD}) % 10 AS VARCHAR)
+          || '/repo' || CAST((doc_id % {_FOLD}) % 7 AS VARCHAR) AS repo,
+    'src/f' || CAST(doc_id % {_FOLD} AS VARCHAR) || '.' || lang AS path,
+    substr(sha256(CAST(doc_id % {_FOLD} AS VARCHAR)), 1, 40) AS "commit",
+    lang,
+    text AS content,
+    CAST(doc_id AS BIGINT) AS doc_id
+  FROM documents
+)
+"""
