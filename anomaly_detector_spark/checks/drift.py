@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .base import CheckResult, CheckSpec, empty_violations, verdict_frame
 
 HIST_SCHEMA = "partition_key string, bucket long, n long"
-SCORE_SCHEMA = "partition_key string, psi double, ks double, n_obs long"
+SCORE_SCHEMA = "partition_key string, psi double, ks double, n_obs long, n_buckets long"
 
 
 def length_histogram(
@@ -98,7 +98,13 @@ def _make_kernel():
         psi = float(np.sum((p - q) * np.log(p / q)))
         ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
         return pd.DataFrame(
-            {"partition_key": [key], "psi": [psi], "ks": [ks], "n_obs": [int(obs.sum())]}
+            {
+                "partition_key": [key],
+                "psi": [psi],
+                "ks": [ks],
+                "n_obs": [int(obs.sum())],
+                "n_buckets": [len(obs)],
+            }
         )
 
     return kernel
@@ -130,10 +136,20 @@ def flag_outliers(
     score_col: str = "psi",
     z_thresh: float = 3.0,
     iqr_k: float = 1.5,
-    abs_thresh: float | None = None,
+    abs_thresh: float | None = 0.25,
     min_gap: float = 0.1,
+    noise_c: float = 3.0,
 ) -> DataFrame:
-    """z-score / IQR outlier flags over per-partition scores with a median gate."""
+    """z-score / IQR / absolute outlier flags over per-partition scores,
+    gated by the median plus a sampling-noise floor.
+
+    The gate generalizes the reference's median gate (K4): a partition is
+    flagged only if its score exceeds median + max(min_gap, noise_c *
+    (n_buckets-1) / n_obs). The second term is the chi-square expectation
+    of PSI under the null for a partition with n_obs samples over
+    n_buckets bins — small partitions have genuinely noisy histograms and
+    must clear a proportionally higher bar, large partitions a lower one.
+    """
     w = Window.partitionBy(F.lit(1))
     s = F.col(score_col)
     stats = (
@@ -148,10 +164,8 @@ def flag_outliers(
     outlier = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
     if abs_thresh is not None:
         outlier = outlier | (s > abs_thresh)
-    # median gate (K4 semantics) + a minimum effect size: when all
-    # partitions cluster tightly, the IQR fence degenerates and would
-    # flag noise — require the score to exceed the median by min_gap.
-    flagged = outlier & (s > F.col("_med") + min_gap)
+    noise_floor = noise_c * (F.col("n_buckets") - 1) / F.greatest(F.col("n_obs"), F.lit(1))
+    flagged = outlier & (s > F.col("_med") + F.greatest(F.lit(min_gap), noise_floor))
     return stats.withColumn("z_score", z).withColumn("is_drifted", flagged).drop(
         "_mean", "_std", "_q1", "_q3"
     ).withColumnRenamed("_med", "median_score")
@@ -173,8 +187,9 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         score_col=score_col,
         z_thresh=spec.config.get("z_thresh", 3.0),
         iqr_k=spec.config.get("iqr_k", 1.5),
-        abs_thresh=spec.config.get("abs_thresh"),
+        abs_thresh=spec.config.get("abs_thresh", 0.25),
         min_gap=spec.config.get("min_gap", 0.1),
+        noise_c=spec.config.get("noise_c", 3.0),
     )
 
     verdicts = verdict_frame(

@@ -1,0 +1,158 @@
+"""Unit tests per check on tiny hand-written frames with known answers
+(the analog of the reference's assert-exact golden style,
+/root/reference/tests/_util.py:93-104)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.checks.base import CheckSpec, FAIL, PASS, SKIPPED
+from anomaly_detector_spark.checks.drift import (
+    drift_scores,
+    flag_outliers,
+    global_baseline,
+    length_histogram,
+    psi_ks,
+    run_drift,
+)
+from anomaly_detector_spark.checks.referential import run_referential, unknown_lang_rows
+from anomaly_detector_spark.checks.stats import run_stats
+from anomaly_detector_spark.checks.uniqueness import (
+    dedup_keep_first,
+    duplicate_counts,
+    run_uniqueness,
+)
+
+FILES_COLS = "repo string, path string, commit string, lang string, content string"
+
+
+def mkfiles(spark, rows):
+    return spark.createDataFrame(rows, FILES_COLS)
+
+
+def test_stats_known_answers(spark):
+    df = mkfiles(
+        spark,
+        [
+            ("r", "a", "c1", "python", "abc"),
+            ("r", "b", "c1", "python", None),
+            ("r", "c", "c1", "python", "abcdef"),
+            ("r", "d", "c1", "go", "xy"),
+        ],
+    )
+    spec = CheckSpec("stats", run_stats, {"approx": False, "max_null_rate": 0.3}, "lang", 1)
+    res = spec.run(df)
+    m = {r["lang"]: r.asDict() for r in res.metrics.collect()}
+    assert m["python"]["n_rows"] == 3
+    assert m["python"]["n_null"] == 1
+    assert abs(m["python"]["null_rate"] - 1 / 3) < 1e-9
+    assert m["python"]["min_len"] == 3 and m["python"]["max_len"] == 6
+    assert m["python"]["distinct_content"] == 2
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v["python"] == FAIL  # null_rate 0.33 > 0.3
+    assert v["go"] == PASS
+    assert res.violations.count() == 1  # the NULL row
+
+
+def test_stats_min_rows_skip(spark):
+    df = mkfiles(spark, [("r", "a", "c", "python", "abc")])
+    spec = CheckSpec("stats", run_stats, {"approx": False}, "lang", min_rows=5)
+    v = spec.run(df).verdicts.collect()[0]
+    assert v["verdict"] == SKIPPED
+
+
+def test_uniqueness_keep_first_and_violations(spark):
+    df = mkfiles(
+        spark,
+        [
+            ("r", "p", "c1", "python", "AAA"),
+            ("r", "p", "c1", "python", "BBB"),  # dup key, different content
+            ("r", "q", "c1", "python", "CCC"),
+        ],
+    )
+    spec = CheckSpec("uniqueness", run_uniqueness, {}, "lang", 1)
+    res = spec.run(df)
+    viol = res.violations.collect()
+    assert len(viol) == 1
+    assert viol[0]["observed"] == "key seen 2 times"
+    # keep-first with order_col=content keeps "AAA"
+    surv = dedup_keep_first(df).filter(F.col("path") == "p").collect()
+    assert len(surv) == 1 and surv[0]["content"] == "AAA"
+    assert {r["verdict"] for r in res.verdicts.collect()} == {FAIL}
+
+
+def test_uniqueness_salted_matches_unsalted(spark):
+    rows = [("mega/repo", f"p{i % 7}", "c", "python", f"x{i}") for i in range(100)]
+    df = mkfiles(spark, rows)
+    plain = {tuple(r) for r in duplicate_counts(df).collect()}
+    salted = {tuple(r) for r in duplicate_counts(df, salt_buckets=8).collect()}
+    assert plain == salted
+
+
+def test_referential(spark):
+    df = mkfiles(
+        spark,
+        [
+            ("r", "a", "c", "python", "x"),
+            ("r", "b", "c", "klingon", "y"),
+            ("r", "c", "c", None, "z"),
+        ],
+    )
+    dim = spark.createDataFrame([("python",)], "lang string")
+    bad = unknown_lang_rows(df, dim).collect()
+    assert {r["path"] for r in bad} == {"b", "c"}  # NULL lang is a violation
+    spec = CheckSpec("referential", run_referential, {"dim_df": dim}, "lang", 1)
+    res = spec.run(df)
+    assert res.violations.count() == 2
+
+
+def test_psi_ks_oracle():
+    # identical distributions → 0 drift
+    psi, ks = psi_ks([10, 20, 30], [10, 20, 30])
+    assert psi == pytest.approx(0.0, abs=1e-12)
+    assert ks == pytest.approx(0.0, abs=1e-12)
+    # disjoint mass → large psi
+    psi2, _ = psi_ks([100, 0], [0, 100])
+    assert psi2 > 5
+
+
+def test_drift_flags_planted_shift(spark):
+    rows = []
+    for i in range(300):
+        rows.append(("r", f"a{i}", "c", "python", "x" * (50 + i % 20)))
+        rows.append(("r", f"b{i}", "c", "go", "x" * (50 + i % 20)))
+        rows.append(("r", f"c{i}", "c", "rust", "x" * (500 + i % 20)))  # shifted
+    df = mkfiles(spark, rows)
+    spec = CheckSpec("drift", run_drift, {"bucket_width": 50}, "lang", 25)
+    res = spec.run(df)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v["rust"] == FAIL
+    assert v["python"] == PASS and v["go"] == PASS
+
+
+def test_drift_kernel_matches_oracle(spark):
+    rows = [("r", f"p{i}", "c", "python" if i % 2 else "go", "y" * (10 + (i * 37) % 300)) for i in range(200)]
+    df = mkfiles(spark, rows)
+    hist = length_histogram(df, "lang", bucket_width=50)
+    scores = {r["partition_key"]: r for r in drift_scores(hist, global_baseline(hist)).collect()}
+    # recompute with the pure-python oracle
+    import collections
+
+    by_lang = collections.defaultdict(collections.Counter)
+    for repo, path, commit, lang, content in rows:
+        by_lang[lang][len(content) // 50] += 1
+    buckets = sorted({b for c in by_lang.values() for b in c})
+    base = [sum(c[b] for c in by_lang.values()) for b in buckets]
+    for lang, counter in by_lang.items():
+        obs = [counter.get(b, 0) for b in buckets]
+        psi, ks = psi_ks(obs, base)
+        assert scores[lang]["psi"] == pytest.approx(psi, rel=1e-9)
+        assert scores[lang]["ks"] == pytest.approx(ks, rel=1e-9)
+
+
+def test_flag_outliers_median_gate(spark):
+    scores = spark.createDataFrame(
+        [("a", 0.01, 0.0, 100, 5), ("b", 0.02, 0.0, 100, 5), ("c", 0.015, 0.0, 100, 5), ("d", 5.0, 0.0, 100, 5)],
+        "partition_key string, psi double, ks double, n_obs long, n_buckets long",
+    )
+    flagged = {r["partition_key"]: r["is_drifted"] for r in flag_outliers(scores).collect()}
+    assert flagged == {"a": False, "b": False, "c": False, "d": True}

@@ -1,0 +1,196 @@
+"""Operator tests: dedup family, similarity search, text analysis,
+multimodal plumbing, synth determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.functions.hashing import sha256_oracle, with_content_sha
+from anomaly_detector_spark.functions.timeparse import tolerant_timestamp
+from anomaly_detector_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    with_simhash64,
+    word_shingles,
+)
+from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
+from anomaly_detector_spark.operators.similarity import brute_force_topk, lsh_topk
+from anomaly_detector_spark.operators.text import (
+    bpe_ish_token_count,
+    quality_score,
+    token_count,
+    with_lang_id,
+    with_text_stats,
+)
+from anomaly_detector_spark.synth import DRIFT_LANG, MEGA_REPO, synth_files
+
+
+# ------------------------------------------------------------------ synth
+
+def test_synth_deterministic_and_planted(spark):
+    a = synth_files(spark, 5000).collect()
+    b = synth_files(spark, 5000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = a
+    n = len(rows)
+    mega = sum(1 for r in rows if r.repo == MEGA_REPO)
+    assert 0.4 < mega / n < 0.6  # skewed mega-repo
+    nulls = sum(1 for r in rows if r.content is None)
+    assert 0.001 < nulls / n < 0.02
+    unknown = sum(1 for r in rows if r.lang in ("klingon", "brainfuck", ""))
+    assert 0.003 < unknown / n < 0.03
+    keys = [(r.repo, r.path, r.commit) for r in rows]
+    assert len(set(keys)) < len(keys)  # planted duplicate keys
+    drift_lens = [len(r.content) for r in rows if r.lang == DRIFT_LANG and r.content]
+    other_lens = [len(r.content) for r in rows if r.lang == "python" and r.content]
+    assert sum(drift_lens) / len(drift_lens) > 2 * sum(other_lens) / len(other_lens)
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    surv = exact_dedup(df).collect()
+    assert {r.doc_id for r in surv} == {1, 3}
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_minhash_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark and distributed joins " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    cand = minhash_lsh_candidates(df, num_hashes=64, bands=16)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    verified = jaccard_pairs(df, cand, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in verified} == {(1, 2)}
+    jac = verified[0]["jaccard"]
+    assert 0.5 < jac < 1.0
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2, 1)], "id_a long, id_b long, n_bands int")
+    out = jaccard_pairs(df, cand, shingle_k=2, threshold=0.0).collect()
+    # word-2-shingles: {a b, b c, c d} vs {a b, b c, c e} → J = 2/4
+    assert out[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_simhash_identical_and_near(spark):
+    base = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("ten", "zen")), (4, "unrelated words entirely xyz")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in with_simhash64(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(df, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+# -------------------------------------------------------------- similarity
+
+def test_brute_force_topk_self_first(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(emb, q, k=3).collect()
+    rank1 = {r.query_id: r for r in top if r.rank == 1}
+    for qid, r in rank1.items():
+        assert r.vec_id == qid  # self-similarity wins
+        assert r.score == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.vec_id) for r in lsh_topk(emb, q, k=3, dim=64, bits=4, tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # ANN quality floor at tiny scale (random vectors)
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, "a  b\tc"), (5, None)], "id long, text string"
+    )
+    out = {r.id: r.n for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 3, 5: 0}
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "ab1 c! d,e")], "id long, text string")
+    n = df.select(bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    # ab1, c, !, d, ',', e
+    assert n == 6
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the dog run fast today")], "id long, text string"
+    )
+    r = quality_score(with_text_stats(df, "text"), "text").collect()[0]
+    assert r["n_tokens"] == 10
+    assert r["stopword_ratio"] == pytest.approx(0.3)  # the, the, and = 3 of 10
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house for now"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "qqq zzz xxx"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.lang_id for r in with_lang_id(df, "text").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+# -------------------------------------------------------------- functions
+
+def test_sha256_matches_hashlib(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, None), (3, "")], "id long, content string")
+    rows = with_content_sha(df).collect()
+    for r in rows:
+        assert r.content_sha256 == sha256_oracle(r.content)
+
+
+def test_tolerant_timestamp(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "1577836800000"),  # 13-digit ms
+            (2, "1577836800"),  # 10-digit s
+            (3, "2020-01-01 00:00:00"),  # ISO
+            (4, "1577836800000000000"),  # 19-digit ns
+        ],
+        "id long, t string",
+    )
+    out = {r.id: r.ts for r in df.select("id", tolerant_timestamp("t").alias("ts")).collect()}
+    assert len({str(v) for v in out.values()}) == 1  # all the same instant
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 50)
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r.n_bytes > 0
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 0.01
+    again = {r.media_id: tuple(r.feature) for r in extract_features(media).collect()}
+    assert again == {r.media_id: tuple(r.feature) for r in feats}  # deterministic
