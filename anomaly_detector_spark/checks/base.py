@@ -63,7 +63,10 @@ class CheckSpec:
 
     @property
     def id(self) -> str:
-        return check_id(self.name, {**self.config, "partition_col": self.partition_col})
+        return check_id(
+            self.name,
+            {**self.config, "partition_col": self.partition_col, "min_rows": self.min_rows},
+        )
 
     def run(self, df: DataFrame) -> CheckResult:
         return self.fn(df, self)

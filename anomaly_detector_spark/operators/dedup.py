@@ -62,12 +62,32 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 1) -> Column:
-    """K minhash values: min over shingles of xxhash64(seed_i, shingle)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i + seed, s))),
-    )
+def minhash_signatures(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` long columns _h0.._hK.
+
+    Implementation note (the 100 TB story): the naive column expression
+    ``transform(0..K, i -> array_min(transform(shingles, s -> hash(i,s))))``
+    is a nested higher-order function — interpreted (no whole-stage
+    codegen) AND re-inlined per reference by Catalyst's projection
+    collapse, which made it ~1000x slower than this form in practice.
+    Here we explode to (id, shingle) rows and run K min-aggregates over
+    ``xxhash64(lit(i+seed), shingle)`` — plain codegen'd expressions with
+    map-side partial aggregation, so the shuffle carries K longs per
+    document regardless of document size, and skew is bounded by the
+    longest single document.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(col, shingle_k)).alias("_sh"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i + seed), F.col("_sh"))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -78,33 +98,39 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 1,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
     rows_per_band = num_hashes / bands; a pair is a candidate if any band
     of their signatures matches exactly. Output: (id_a, id_b, n_bands)
     with n_bands = number of matching bands.
+
+    Band hashes are computed straight off the signature columns
+    (``xxhash64(lit(b), _h{br}.., _h{br+r-1})``) — no array slicing, no
+    string concat, fully codegen'd. The self-join on (band_idx,
+    band_hash) is O(sum bucket^2); buckets larger than ``max_bucket``
+    (degenerate content, e.g. empty files at web scale) are dropped from
+    candidate generation — their members are exact-duplicable far more
+    cheaply via exact_dedup, and keeping them would quadratically blow up
+    the join. AQE skew-join splitting handles the surviving skew.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(word_shingles(col, shingle_k), num_hashes, seed)
-    withsig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
-        F.size(F.col("_sig")) > 0
+    sigs = minhash_signatures(df, col, id_col, num_hashes, shingle_k, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(F.lit(b), *[F.col(f"_h{b * r + j}") for j in range(r)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
     )
-    banded = withsig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice(F.col("_sig"), b * r + 1, r), lambda x: x.cast("string")
-                    ))).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    oversized = bucket_sizes.filter(F.col("_n") > max_bucket).select("band_idx", "band_hash")
+    banded = banded.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -124,8 +150,21 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard verification of candidate pairs (JVM set ops)."""
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(col, shingle_k).alias("_sh"))
+    """Exact n-gram Jaccard verification of candidate pairs (JVM set ops).
+
+    Only candidate members get shingled (semi-join first), so the heavy
+    array materialization is proportional to the candidate set, not the
+    corpus.
+    """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, df[id_col] == cand_ids["_id"], "left_semi")
+        .select(F.col(id_col).alias("_id"), word_shingles(col, shingle_k).alias("_sh"))
+    )
     out = (
         candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")

@@ -1,0 +1,170 @@
+"""Per-partition lineage + metrics manifest with idempotent resume.
+
+Replaces the reference's per-device parquet+pickle checkpoint
+(/root/reference/algo/operator.py:130-152, save_data() after every
+message at :175) with a columnar manifest table: one row per
+(run, partition, check) holding the verdict, metrics, row count and
+lineage timestamps. Commit happens ONCE per run, AFTER every check for
+the covered partitions has completed (T5 semantics — atomic "all checks
+for this partition are done", never mid-flight state).
+
+Resume (T7, the reference's endpoint_last_load cursor at
+/root/reference/algo/load_device.py:60-63) is an anti-join: partitions
+of the input that already have committed manifest rows for the SAME
+suite_id (content-addressed over every check id, so any config change
+invalidates the checkpoint) are pruned from the scan before any heavy
+work runs. At cluster scale this anti-join is a broadcast (the manifest
+key set is tiny relative to the data) and combines with partition
+pruning on the source table.
+
+The storage layout is a parquet directory partitioned by run_id —
+append-only, Iceberg-friendly (swap write.parquet for writeTo(...) on a
+real catalog; the commit protocol is identical because Iceberg appends
+are atomic snapshots).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checks.base import CheckSpec
+from .suite import SuiteResult, default_suite, run_suite
+
+MANIFEST_SCHEMA = (
+    "run_id string, suite_id string, partition_key string, check_id string, "
+    "verdict string, metrics map<string,double>, n_rows long, "
+    "n_violations long, status string, committed_at timestamp"
+)
+
+
+def suite_id(suite: list[CheckSpec]) -> str:
+    """Content-addressed id over the whole suite config (analog of the
+    reference's gen_filter sha256 ids, /root/reference/util/__init__.py:120-139)."""
+    return hashlib.sha256("|".join(sorted(s.id for s in suite)).encode()).hexdigest()
+
+
+def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Committed manifest rows; empty frame if no manifest exists yet."""
+    try:
+        df = spark.read.parquet(manifest_dir)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return df.filter(F.col("status") == "committed")
+
+
+def committed_partitions(manifest: DataFrame, sid: str, n_checks: int) -> DataFrame:
+    """Partition keys whose FULL suite committed: one row per check id.
+
+    A partition with only a subset of checks committed (e.g. a config
+    change added a check) counts as pending and reruns whole — per-check
+    partial resume would let two checks see different snapshots of the
+    same partition.
+    """
+    return (
+        manifest.filter(F.col("suite_id") == sid)
+        .select("partition_key", "check_id")
+        .distinct()
+        .groupBy("partition_key")
+        .count()
+        .filter(F.col("count") >= n_checks)
+        .select("partition_key")
+    )
+
+
+def pending_input(df: DataFrame, done: DataFrame, partition_col: str) -> DataFrame:
+    """Prune already-committed partitions via broadcast anti-join.
+
+    The done-set is partition keys only (tiny at any scale: cardinality
+    of the partition column, not of the data), so this is always a
+    map-side broadcast — zero shuffle on the big table, and with a
+    partitioned/Iceberg source the filter turns into partition pruning.
+    """
+    keys = done.select(F.col("partition_key").cast("string"))
+    return df.join(
+        F.broadcast(keys),
+        df[partition_col].cast("string") == keys["partition_key"],
+        "left_anti",
+    )
+
+
+@dataclass
+class ManifestRun:
+    run_id: str
+    suite_id: str
+    pending_partitions: int
+    result: SuiteResult | None  # None when nothing was pending (no-op resume)
+
+
+def run_with_manifest(
+    df: DataFrame,
+    manifest_dir: str,
+    suite: list[CheckSpec] | None = None,
+    partition_col: str = "lang",
+    run_id: str | None = None,
+) -> ManifestRun:
+    """Run the suite on not-yet-committed partitions; commit once at the end.
+
+    Idempotent: a rerun over the same input+suite is a no-op; a crash
+    before the final append leaves no partial state, so the retry simply
+    redoes the pending partitions.
+    """
+    spark = df.sparkSession
+    suite = suite or default_suite(partition_col=partition_col)
+    sid = suite_id(suite)
+    rid = run_id or uuid.uuid4().hex[:16]
+
+    manifest = read_manifest(spark, manifest_dir)
+    done = committed_partitions(manifest, sid, n_checks=len(suite))
+    pending = pending_input(df, done, partition_col).cache()
+
+    n_keys = pending.select(partition_col).distinct().count()
+    if n_keys == 0:
+        pending.unpersist()
+        return ManifestRun(rid, sid, 0, None)
+
+    res = run_suite(pending, suite=suite, cache=False)
+
+    rows_per_part = pending.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    viol_per_part = (
+        res.violations.join(
+            pending.select(
+                "repo", "path", "commit", F.col(partition_col).cast("string").alias("partition_key")
+            ).dropDuplicates(["repo", "path", "commit"]),
+            ["repo", "path", "commit"],
+            "left",
+        )
+        .groupBy("partition_key", "check_id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+    manifest_rows = (
+        res.verdicts.select("partition_key", "check_id", "verdict", "metrics")
+        .join(F.broadcast(rows_per_part), "partition_key", "left")
+        .join(viol_per_part, ["partition_key", "check_id"], "left")
+        .select(
+            F.lit(rid).alias("run_id"),
+            F.lit(sid).alias("suite_id"),
+            "partition_key",
+            "check_id",
+            "verdict",
+            "metrics",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+            F.lit("committed").alias("status"),
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+    # Single atomic append per run: parquet dir append locally; on an
+    # Iceberg catalog this is one snapshot commit (same atomicity story).
+    mode = "append" if os.path.isdir(manifest_dir) else "overwrite"
+    manifest_rows.coalesce(1).write.mode(mode).parquet(manifest_dir)
+    pending.unpersist()
+    return ManifestRun(rid, sid, n_keys, res)

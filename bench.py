@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric mirrors BASELINE.json: the full validation suite
+(stats + uniqueness + referential + drift) over the derived
+(repo, path, commit, lang, content) files table, plus the engine's other
+operator families (TPC-H-style joins/aggs, windowed event analytics,
+text pipeline, dedup, ANN). Each query is timed to completion of a
+driver-side materialization (count/collect), never a pandas round-trip
+of the full result.
+
+Extra fields (not part of the driver contract, informational):
+  - files_per_sec: rows validated / suite wall-time
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from anomaly_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    qs = e.queries()
+
+    headline = [
+        "suite_verdicts",      # full validation suite (the BASELINE metric)
+        "files_sha256",        # per-row invariant scan over content
+        "files_drift_scores",  # histogram pre-agg + Arrow-UDF PSI/KS
+        "tpch_q1",             # scan-heavy hash aggregate
+        "top_customers",       # multi-join + agg + top-k
+        "events_fwd_max",      # range-frame window
+        "events_sessions",     # gaps-and-islands sessionization
+        "docs_token_stats",    # text feature extraction
+        "minhash_pairs",       # MinHash-LSH near-dup
+        "emb_topk_cosine",     # brute-force ANN baseline
+    ]
+
+    timings: dict[str, float] = {}
+    suite_rows = 0
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "suite_verdicts":
+            # rows validated by the suite = rows of the input files table
+            from anomaly_detector_spark.sources.registry import files_view
+
+            suite_rows = files_view(spark, SF_DIR).count()
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query suite wall time (validation suite + operator families)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "files_per_sec": round(suite_rows / timings["suite_verdicts"], 1)
+        if timings.get("suite_verdicts")
+        else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

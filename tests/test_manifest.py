@@ -1,0 +1,82 @@
+"""Manifest commit + resume protocol tests (SURVEY.md §2.10 T5/T7).
+
+Pins: (1) fresh run commits one row per (partition, check); (2) rerun is
+a no-op (idempotency); (3) new partitions resume incrementally and the
+combined manifest equals a fresh full run's verdicts; (4) a suite config
+change invalidates the checkpoint (content-addressed suite_id).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.plans.manifest import (
+    read_manifest,
+    run_with_manifest,
+    suite_id,
+)
+from anomaly_detector_spark.plans.suite import default_suite
+from anomaly_detector_spark.sources.registry import files_view
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def manifest_dir(tmp_path):
+    d = str(tmp_path / "manifest")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fresh_run_commits_all_partitions(spark, manifest_dir):
+    files = files_view(spark, SF).drop("doc_id")
+    run = run_with_manifest(files, manifest_dir)
+    assert run.result is not None
+    n_langs = files.select("lang").distinct().count()
+    m = read_manifest(spark, manifest_dir)
+    assert m.count() == n_langs * 4  # 4 checks per partition
+    assert m.filter(F.col("status") != "committed").count() == 0
+    assert m.filter(F.col("n_rows") <= 0).count() == 0
+
+
+def test_rerun_is_noop(spark, manifest_dir):
+    files = files_view(spark, SF).drop("doc_id")
+    first = run_with_manifest(files, manifest_dir)
+    assert first.pending_partitions > 0
+    before = read_manifest(spark, manifest_dir).count()
+    second = run_with_manifest(files, manifest_dir)
+    assert second.pending_partitions == 0 and second.result is None
+    assert read_manifest(spark, manifest_dir).count() == before
+
+
+def test_incremental_resume_matches_fresh_run(spark, manifest_dir):
+    files = files_view(spark, SF).drop("doc_id")
+    langs = sorted(r[0] for r in files.select("lang").distinct().collect())
+    subset = files.filter(F.col("lang").isin(langs[:2]))
+
+    run_with_manifest(subset, manifest_dir)
+    resumed = run_with_manifest(files, manifest_dir)
+    # only the remaining partitions were recomputed
+    assert resumed.pending_partitions == len(langs) - 2
+
+    combined = read_manifest(spark, manifest_dir).select(
+        "partition_key", "check_id", "verdict"
+    )
+    fresh_run = run_with_manifest(files, manifest_dir + "_fresh")
+    fresh = read_manifest(spark, manifest_dir + "_fresh").select(
+        "partition_key", "check_id", "verdict"
+    )
+    assert sorted(map(tuple, combined.collect())) == sorted(map(tuple, fresh.collect()))
+    shutil.rmtree(manifest_dir + "_fresh", ignore_errors=True)
+
+
+def test_suite_change_invalidates_checkpoint(spark, manifest_dir):
+    files = files_view(spark, SF).drop("doc_id")
+    run_with_manifest(files, manifest_dir)
+    changed = default_suite(min_rows=99)  # different config → different check ids
+    assert suite_id(changed) != suite_id(default_suite())
+    rerun = run_with_manifest(files, manifest_dir, suite=changed)
+    assert rerun.pending_partitions > 0  # old checkpoint does not satisfy new suite
