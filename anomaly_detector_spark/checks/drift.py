@@ -179,9 +179,16 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
     score_col = spec.config.get("score", "psi")
     baseline = spec.config.get("baseline_df")  # frozen baseline (manifest) or None
 
-    hist = length_histogram(df, part, col, bucket_width)
+    # The histogram is the ONLY thing that scans the big table, and the
+    # score plan references it ~5x (partition list, bucket grid, baseline,
+    # broadcast, join). It is O(partitions x buckets) rows — cache it so
+    # the heavy aggregation runs exactly once; likewise the per-partition
+    # scores (O(partitions) rows) feed both the verdict and metrics
+    # branches. Without these two caches the check re-scanned the input
+    # five times and anti-scaled with parallelism.
+    hist = length_histogram(df, part, col, bucket_width).cache()
     base = baseline if baseline is not None else global_baseline(hist)
-    scores = drift_scores(hist, base)
+    scores = drift_scores(hist, base).cache()
     flagged = flag_outliers(
         scores,
         score_col=score_col,

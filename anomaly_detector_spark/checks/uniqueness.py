@@ -52,17 +52,28 @@ def dedup_keep_first(df: DataFrame, key: list[str] = KEY, order_col: str = "cont
 def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     part = spec.partition_col
     key = spec.config.get("key", KEY)
-    salt_buckets = spec.config.get("salt_buckets", 0)
     order_col = spec.config.get("order_col", "content")
     cid = spec.id
 
-    counts = duplicate_counts(df, key, salt_buckets)
-    dup_keys = counts.filter(F.col("n") > 1)
+    # Single-shuffle design: project down to (key, partition, order) BEFORE
+    # the window — `content` must never ride a shuffle (SURVEY.md §7 hard
+    # part 5), so when it is the tiebreak we sort on xxhash64(content)
+    # instead (8 bytes per row instead of the payload). Survivor identity
+    # under hash ties is irrelevant: tied rows are byte-identical in every
+    # output column. count(*) and row_number share one window partitioning,
+    # so Spark plans ONE hash-partition exchange + one sort for both.
+    ord_expr = (
+        F.xxhash64(F.col(order_col)) if order_col == "content" else F.col(order_col)
+    )
+    wkey = Window.partitionBy(*[F.col(c) for c in key])
+    slim = df.select(
+        *key,
+        F.col(part).alias("_part"),
+        F.count(F.lit(1)).over(wkey).alias("n"),
+        F.row_number().over(wkey.orderBy(ord_expr.asc_nulls_last())).alias("_rn"),
+    )
 
-    # Violation rows: every non-survivor occurrence of a duplicated key.
-    w = Window.partitionBy(*[F.col(c) for c in key]).orderBy(F.col(order_col).asc_nulls_last())
-    ranked = df.withColumn("_rn", F.row_number().over(w))
-    offenders = ranked.join(dup_keys.select(*key, "n"), on=key, how="inner").filter(F.col("_rn") > 1)
+    offenders = slim.filter((F.col("n") > 1) & (F.col("_rn") > 1))
     violations = as_violations(
         offenders,
         cid,
@@ -70,13 +81,9 @@ def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
         expected=F.lit("unique (repo, path, commit)"),
     )
 
-    per_part = (
-        df.join(dup_keys.select(*key).withColumn("_dup", F.lit(1)), on=key, how="left")
-        .groupBy(part)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_rows"),
-        )
+    per_part = slim.groupBy(F.col("_part").alias(part)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_rows"),
     )
     verdicts = verdict_frame(
         per_part,

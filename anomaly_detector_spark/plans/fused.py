@@ -1,0 +1,214 @@
+"""Scan-fused execution of the default check suite.
+
+The naive composition (plans/suite.py) runs each check as an independent
+pipeline: correct, modular, oracle-tested — but the full suite then
+scans the source table up to 8x (each check x verdicts + violations).
+At 100 TB every extra scan is hours. This module compiles the SAME
+four checks into a minimal number of passes:
+
+* stats + referential are row-expression checks over the same
+  partitioning → ONE groupBy(partition).agg(...) computes both verdict
+  frames, and ONE filtered scan emits both checks' violation rows
+  (array-of-struct + explode, so a row violating both checks emits both
+  envelopes);
+* uniqueness drops the window-sort-of-everything for a partial
+  aggregated groupBy((key, partition)).count(): the shuffle carries one
+  row per distinct key (map-side combined) and is never sorted.
+  Violation rows don't need row identity — a duplicated key with n
+  copies emits exactly n-1 byte-identical envelope rows — so they are
+  regenerated from the counts via explode(sequence(2, n)): zero extra
+  scans, zero sort, identical output multiset to the keep-first window
+  formulation;
+* drift already scans once (pre-aggregated histogram, cached).
+
+Equivalence with the naive path is pinned by tests/test_fused.py: same
+verdicts, same violation-row multiset, same check ids.
+
+Scans of the big table per full materialization: 3 for verdicts
+(fused agg, uniqueness counts, drift histogram) + 2 for violations
+(fused row filter, uniqueness counts again) — down from 8, and the only
+wide shuffle left is the uniqueness count keyed by the uniform composite
+key (skew-immune; AQE splits any residual hot partition).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checks.base import CheckResult, CheckSpec, as_violations, empty_violations, verdict_frame
+from ..checks.drift import run_drift
+from ..checks.referential import run_referential
+from ..checks.stats import run_stats, stats_exprs
+from ..checks.uniqueness import KEY, run_uniqueness
+from ..schema import allowed_langs_df
+from .suite import SuiteResult
+
+
+def fused_row_checks(
+    df: DataFrame, stats_spec: CheckSpec, ref_spec: CheckSpec, dim: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(stats_verdicts, ref_verdicts, violations) from one agg + one filter scan."""
+    part = stats_spec.partition_col
+    col = stats_spec.config.get("column", "content")
+    approx = stats_spec.config.get("approx", True)
+    max_null_rate = stats_spec.config.get("max_null_rate", 0.02)
+
+    pre = df.join(
+        F.broadcast(dim.select("lang").withColumn("_ok", F.lit(1))), on="lang", how="left"
+    )
+
+    agg = pre.groupBy(part).agg(
+        *stats_exprs(col, approx=approx),
+        F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0)).alias("n_unknown"),
+    )
+
+    stats_verdicts = verdict_frame(
+        agg,
+        stats_spec.id,
+        part,
+        fail_when=F.col("null_rate") > max_null_rate,
+        skip_when=F.col("n_rows") < stats_spec.min_rows,
+        metric_cols=[
+            "n_rows", "n_null", "null_rate", "min_len", "max_len",
+            "avg_len", "p50_len", "p99_len", "distinct_content",
+        ],
+    )
+    ref_verdicts = verdict_frame(
+        agg,
+        ref_spec.id,
+        part,
+        fail_when=F.col("n_unknown") > 0,
+        skip_when=F.col("n_rows") < ref_spec.min_rows,
+        metric_cols=["n_rows", "n_unknown"],
+    )
+
+    # One scan, both checks' violation rows. Strings must stay byte-equal
+    # to the per-check formulations (checks/stats.py, checks/referential.py).
+    null_v = F.when(
+        F.col(col).isNull(),
+        F.struct(
+            F.lit(stats_spec.id).alias("check_id"),
+            F.lit("content IS NULL").alias("observed"),
+            F.lit("content NOT NULL").alias("expected"),
+        ),
+    )
+    ref_v = F.when(
+        F.col("_ok").isNull(),
+        F.struct(
+            F.lit(ref_spec.id).alias("check_id"),
+            F.concat(F.lit("lang="), F.coalesce(F.col("lang"), F.lit("NULL"))).alias("observed"),
+            F.lit("lang IN allowed_langs").alias("expected"),
+        ),
+    )
+    violations = (
+        pre.filter(F.col(col).isNull() | F.col("_ok").isNull())
+        .select(
+            "repo", "path", "commit",
+            F.explode(F.filter(F.array(null_v, ref_v), lambda x: x.isNotNull())).alias("_v"),
+        )
+        .select("repo", "path", "commit", "_v.check_id", "_v.observed", "_v.expected")
+    )
+    return stats_verdicts, ref_verdicts, violations
+
+
+def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Aggregation-only uniqueness: no window, no sort, one scan per action."""
+    part = spec.partition_col
+    key = spec.config.get("key", KEY)
+    cid = spec.id
+
+    # Two-level aggregate: per-(key, partition) counts first (one scan,
+    # map-side combined), then per-key totals. A key duplicated ACROSS
+    # partition values is still a duplicate — grouping by (key, part)
+    # alone would miss those (caught by the 16M equivalence run), so the
+    # key-level total n is joined back onto the (key, part) counts. Both
+    # sides of that join are aggregated (distinct keys), far smaller than
+    # the table.
+    counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
+        F.count(F.lit(1)).alias("n_kp")
+    )
+    counts = counts_kp.groupBy(*key).agg(F.sum("n_kp").alias("n"))
+
+    dup = counts.filter(F.col("n") > 1)
+    violations = as_violations(
+        dup.select(*key, "n", F.explode(F.sequence(F.lit(2), F.col("n"))).alias("_i")),
+        cid,
+        observed=F.concat(F.lit("key seen "), F.col("n").cast("string"), F.lit(" times")),
+        expected=F.lit("unique (repo, path, commit)"),
+    )
+
+    per_part = (
+        counts_kp.join(counts.select(*key, "n"), on=key, how="left")
+        .groupBy(F.col("_part").alias(part))
+        .agg(
+            F.sum("n_kp").alias("n_rows"),
+            F.sum(F.when(F.col("n") > 1, F.col("n_kp")).otherwise(0)).alias("n_dup_rows"),
+        )
+    )
+    verdicts = verdict_frame(
+        per_part,
+        cid,
+        part,
+        fail_when=F.col("n_dup_rows") > 0,
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_dup_rows"],
+    )
+    return CheckResult(violations=violations, verdicts=verdicts, metrics=per_part)
+
+
+def run_suite_fused(df: DataFrame, suite: list[CheckSpec] | None = None) -> SuiteResult:
+    """Drop-in replacement for run_suite over the default check set.
+
+    Falls back to per-check execution for any spec it cannot fuse, so
+    custom suites still work; the default suite takes the fused path
+    end-to-end.
+    """
+    from .suite import default_suite
+
+    suite = suite or default_suite()
+    by_name = {s.name: s for s in suite}
+    results: dict[str, CheckResult] = {}
+    extra_violations: list[DataFrame] = []
+
+    stats_spec, ref_spec = by_name.get("stats"), by_name.get("referential")
+    fusable = (
+        stats_spec is not None
+        and ref_spec is not None
+        and stats_spec.partition_col == ref_spec.partition_col
+        and ref_spec.config.get("dim_df") is None
+    )
+    if fusable:
+        dim = allowed_langs_df(df.sparkSession)
+        sv, rv, viol = fused_row_checks(df, stats_spec, ref_spec, dim)
+        results["stats"] = CheckResult(violations=empty_violations(df), verdicts=sv)
+        results["referential"] = CheckResult(violations=empty_violations(df), verdicts=rv)
+        extra_violations.append(viol)
+    else:
+        if stats_spec:
+            results["stats"] = run_stats(df, stats_spec)
+        if ref_spec:
+            results["referential"] = run_referential(df, ref_spec)
+
+    if "uniqueness" in by_name:
+        results["uniqueness"] = fused_uniqueness(df, by_name["uniqueness"])
+    if "drift" in by_name:
+        results["drift"] = run_drift(df, by_name["drift"])
+    for name, spec in by_name.items():
+        if name not in results:
+            results[name] = spec.run(df)
+
+    violations = reduce(
+        DataFrame.unionByName,
+        [r.violations for r in results.values()] + extra_violations,
+    )
+    verdicts = reduce(DataFrame.unionByName, [r.verdicts for r in results.values()])
+    verdicts = verdicts.withColumn("emitted_at", F.current_timestamp())
+    return SuiteResult(violations=violations, verdicts=verdicts, per_check=results)
+
+
+def run_uniqueness_window(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Alias of the window-based formulation (kept for equivalence tests)."""
+    return run_uniqueness(df, spec)

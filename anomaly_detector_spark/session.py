@@ -36,6 +36,14 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        # Local-mode shuffle/spill on tmpfs: the sandbox's ext4-on-virtio
+        # disk shows heavy kernel time under concurrent shuffle-file churn.
+        # On a real cluster this conf is ignored in favor of the node
+        # manager's local SSD dirs.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
