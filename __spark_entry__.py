@@ -258,6 +258,55 @@ def q_emb_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_tail_windows(spark: SparkSession, sf: str) -> DataFrame:
+    # W1: tail-aligned tumbling windows (reference preprocessing.py:15-21 —
+    # windows count back from the newest row; oldest remainder dropped)
+    from anomaly_detector_spark.operators.windows import tail_aligned_windows
+
+    ev = load_table(spark, sf, "events")
+    out = tail_aligned_windows(ev, "user_id", "ts", 50)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("window_id").cast("long").alias("window_id"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def q_events_ts_parse(spark: SparkSession, sf: str) -> DataFrame:
+    # F1: tolerant multi-format timestamp coercion (epoch-ms digit strings)
+    from anomaly_detector_spark.functions.timeparse import tolerant_timestamp
+
+    ev = load_table(spark, sf, "events")
+    ms = (F.col("ts").cast("timestamp").cast("double") * 1000).cast("long")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        tolerant_timestamp(ms.cast("string")).alias("parsed_ts"),
+    )
+
+
+def q_emb_exact_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # exact embedding-cosine near-dup pairs (brute force; the oracle for
+    # the LSH-bucketed emb_near_dups variant below)
+    from anomaly_detector_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.5)
+    )
+    return pairs
+
+
 # ------------------------- rows-only queries (no SQL-expressible oracle)
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -292,6 +341,47 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, dim=64, bits=10, tables=4)
 
 
+def q_emb_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5, dim=64, bits=8, tables=6)
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+def q_events_savgol(spark: SparkSession, sf: str) -> DataFrame:
+    # W7: Savitzky-Golay smoothing per key (reference preprocessing.py:11-13;
+    # FIR coefficients derived closed-form, numpy convolution in Arrow batches)
+    from anomaly_detector_spark.operators.windows import savgol_smooth
+
+    ev = load_table(spark, sf, "events")
+    return savgol_smooth(ev, "user_id", "ts", "value", window_length=7, polyorder=3)
+
+
+def q_events_resample(spark: SparkSession, sf: str) -> DataFrame:
+    # W8: per-key resample to 1-minute grid + linear interpolation
+    from anomaly_detector_spark.operators.windows import resample_interpolate
+
+    ev = load_table(spark, sf, "events")
+    return resample_interpolate(ev, "user_id", "ts", "value", freq="1min")
+
+
+def q_docs_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from anomaly_detector_spark.operators.text import with_fingerprint
+
+    d = load_table(spark, sf, "documents")
+    return with_fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
 def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.plans.suite import run_suite
 
@@ -324,7 +414,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_by_lang": q_docs_quality_by_lang,
         "docs_prefix_dups": q_docs_prefix_dups,
         "emb_topk_cosine": q_emb_topk_cosine,
+        "events_tail_windows": q_events_tail_windows,
+        "events_ts_parse": q_events_ts_parse,
+        "emb_exact_near_dups": q_emb_exact_near_dups,
         # rows-only (non-SQL-expressible):
+        "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        "ivf_topk": q_ivf_topk,
+        "events_savgol": q_events_savgol,
+        "events_resample": q_events_resample,
+        "docs_fingerprint": q_docs_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
@@ -539,6 +637,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies,
                    min(doc_id) AS keep_doc
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "events_tail_windows": """
+            WITH r AS (
+              SELECT event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(CASE WHEN (n // 50) * 50 >= rn THEN (rn - 1) // 50 ELSE -1 END AS BIGINT) AS window_id,
+                   CAST(CASE WHEN (n // 50) * 50 >= rn THEN 50 - 1 - ((rn - 1) % 50) ELSE -1 END AS BIGINT) AS pos
+            FROM r
+        """,
+        "events_ts_parse": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   make_timestamp(CAST(epoch_ms(ts) AS BIGINT) * 1000) AS parsed_ts
+            FROM events
+        """,
+        "emb_exact_near_dups": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_aggregate(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i]), 'sum'))
+                        * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.vec[i] * b.vec[i]), 'sum'))),
+                     6) AS score
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, score
+            FROM p WHERE score >= 0.5
         """,
         "emb_topk_cosine": """
             WITH q AS (

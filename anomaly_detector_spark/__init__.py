@@ -16,9 +16,9 @@ files ``(repo, path, commit, lang, content)``:
 * per-partition lineage + resumable manifest (manifest)
 
 plus large-scale training-data-pipeline operators (operators.dedup,
-operators.similarity, operators.text, operators.multimodal) and a
-Structured Streaming analog of the reference's stateful kernel
-(streaming.anomaly).
+operators.similarity, operators.text, operators.multimodal, operators.windows)
+and a Structured Streaming analog of the reference's stateful loop
+(streaming.validate), plus a spark-submit entry point (cli).
 
 Everything is declared with the DataFrame API so Catalyst handles
 pushdown, pruning, join selection and AQE; Python only runs inside

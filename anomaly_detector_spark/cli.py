@@ -1,0 +1,91 @@
+"""spark-submit entry point for the validation engine.
+
+Usage (cluster):
+    spark-submit --py-files anomaly_detector_spark.zip -m anomaly_detector_spark.cli -- \
+        --input s3://bucket/files_table --manifest s3://bucket/manifest \
+        --violations s3://bucket/violations --partition-col lang
+
+Usage (local):
+    python -m anomaly_detector_spark.cli --input /tmp/files --manifest /tmp/manifest
+
+Reads the files table (parquet directory, or an Iceberg table name via
+--format iceberg), runs the full check suite on partitions not yet
+committed to the manifest (resume semantics, plans/manifest.py), writes
+violation rows, and prints a one-line JSON summary. When launched under
+spark-submit the already-created session is reused (getOrCreate); the
+local-mode builder in session.py only applies when no master is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="anomaly_detector_spark")
+    p.add_argument("--input", required=True, help="parquet dir or table name of the files table")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg", "table"])
+    p.add_argument("--manifest", required=True, help="manifest table location (parquet dir)")
+    p.add_argument("--violations", default=None, help="violations sink (parquet dir); omit to only count")
+    p.add_argument("--partition-col", default="lang")
+    p.add_argument("--min-rows", type=int, default=25)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from .session import get_spark
+
+        spark = get_spark(app_name="anomaly_detector_spark", cores=args.cores)
+
+    if args.format == "parquet":
+        df = spark.read.parquet(args.input)
+    elif args.format == "iceberg":
+        df = spark.read.format("iceberg").load(args.input)
+    else:
+        df = spark.table(args.input)
+
+    from .plans.manifest import run_with_manifest
+    from .plans.suite import default_suite
+
+    suite = default_suite(partition_col=args.partition_col, min_rows=args.min_rows)
+    run = run_with_manifest(
+        df, args.manifest, suite=suite, partition_col=args.partition_col, run_id=args.run_id
+    )
+
+    summary = {
+        "run_id": run.run_id,
+        "suite_id": run.suite_id,
+        "pending_partitions": run.pending_partitions,
+        "noop_resume": run.result is None,
+    }
+    if run.result is not None:
+        if args.violations:
+            run.result.violations.write.mode("append").parquet(args.violations)
+            summary["violations_sink"] = args.violations
+        from pyspark.sql import functions as F
+
+        verd = {
+            r["verdict"]: r["n"]
+            for r in run.result.verdicts.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        summary["verdicts"] = verd
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -179,6 +179,58 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Candidate pairs = vectors sharing a random-hyperplane LSH bucket in
+    any table (cosine-similar vectors collide with probability
+    (1 - theta/pi)^bits per table); candidates are exactly re-scored and
+    filtered at ``threshold``. Output: (id_a, id_b, score), id_a < id_b.
+    At scale the bucket join replaces the O(n^2) cross product; the
+    signature computation is a narrow JVM-side pass.
+    """
+    from .similarity import _hyperplane_sig, cosine
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec")
+    )
+    sigs = c.select(
+        "_id", "_vec",
+        *[_hyperplane_sig(F.col("_vec"), dim, bits, t).alias(f"sig{t}") for t in range(tables)],
+    )
+    banded = sigs.select(
+        "_id", "_vec",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("s")) for t in range(tables)])
+        ).alias("b"),
+    ).select("_id", "_vec", F.col("b.t").alias("t"), F.col("b.s").alias("s"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["t", "s"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._vec").alias("va"),
+            F.col("b._vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def _bit_mask(bit: int) -> int:
     """Signed-64 literal for 1<<bit (bit 63 wraps to the sign bit)."""
     return (1 << bit) if bit < 63 else -(1 << 63)

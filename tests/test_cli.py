@@ -1,0 +1,40 @@
+"""CLI entry-point tests: run, resume no-op, violations sink."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from anomaly_detector_spark.cli import main
+from anomaly_detector_spark.sources.registry import files_view
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def dirs(tmp_path, spark):
+    files = files_view(spark, SF).drop("doc_id")
+    inp = str(tmp_path / "input")
+    files.write.parquet(inp)
+    d = {"input": inp, "manifest": str(tmp_path / "m"), "viol": str(tmp_path / "v")}
+    yield d
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_cli_run_and_resume(spark, dirs, capsys):
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--violations", dirs["viol"], "--run-id", "t1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run_id"] == "t1" and out["pending_partitions"] > 0
+    assert out["verdicts"].get("PASS", 0) > 0
+    assert spark.read.parquet(dirs["viol"]).count() > 0
+
+    rc = main(["--input", dirs["input"], "--manifest", dirs["manifest"], "--run-id", "t2"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["noop_resume"] is True and out2["pending_partitions"] == 0

@@ -194,3 +194,42 @@ def test_multimodal_features(spark):
         assert abs(sum(r.feature) - 1.0) < 0.01
     again = {r.media_id: tuple(r.feature) for r in extract_features(media).collect()}
     assert again == {r.media_id: tuple(r.feature) for r in feats}  # deterministic
+
+
+# ------------------------------------------------------- embedding near-dups
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    import numpy as np
+
+    from anomaly_detector_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 64))
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=64)  # near-duplicate of 3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_near_dups(df, threshold=0.95, dim=64, bits=8, tables=6).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (3, 7) in pairs
+    assert all(r["score"] >= 0.95 for r in out)
+
+
+def test_ivf_topk_agrees_with_brute_force_top1(spark):
+    import numpy as np
+
+    from anomaly_detector_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(80, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # self-query: top-1 must be the vector itself (score 1.0), any nprobe
+    out = ivf_topk(df, q, k=1, n_cells=8, nprobe=8).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in out} == {(i, i) for i in range(3)}
