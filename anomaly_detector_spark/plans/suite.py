@@ -30,6 +30,26 @@ class SuiteResult:
     verdicts: DataFrame    # unioned (partition_key, check_id, verdict, metrics)
     per_check: dict[str, CheckResult]
 
+    def summary(self) -> DataFrame:
+        """Per-check verdict counts + per-check violation counts in one
+        small frame — a convenience for reporting. NOTE: materializing
+        this single unioned plan measured SLOWER than two separate count
+        actions on the 16M-row bench (AQE plans the union monolithically
+        and no exchange reuse materialized) — prefer separate actions in
+        hot paths."""
+        v = (
+            self.verdicts.groupBy("check_id", "verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("kind", F.lit("verdicts"))
+        )
+        w = (
+            self.violations.groupBy("check_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("verdict", F.lit(None).cast("string"))
+            .withColumn("kind", F.lit("violations"))
+        )
+        return v.unionByName(w.select("check_id", "verdict", "n", "kind"))
+
 
 def default_suite(partition_col: str = "lang", min_rows: int = 25) -> list[CheckSpec]:
     return [
