@@ -56,6 +56,18 @@ def main() -> int:
         "emb_topk_cosine",     # brute-force ANN baseline
     ]
 
+    # Warmup: JIT, codegen caches, Arrow python workers — so timings
+    # measure the queries, not first-query JVM ramp-up.
+    from anomaly_detector_spark.sources.registry import files_view
+
+    warm = files_view(spark, SF_DIR).limit(2000)
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    wr = run_suite(warm, cache=False)
+    wr.verdicts.count()
+    wr.violations.count()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     suite_rows = 0
     for name in headline:
