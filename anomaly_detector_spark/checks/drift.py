@@ -125,7 +125,7 @@ def drift_scores(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     )
     grid = parts.crossJoin(F.broadcast(buckets))
     joined = (
-        grid.join(F.broadcast(hist), on=["partition_key", "bucket"], how="left")
+        grid.join(hist, on=["partition_key", "bucket"], how="left")
         .join(F.broadcast(baseline), on="bucket", how="left")
     )
     return joined.groupBy("partition_key").applyInPandas(_make_kernel(), SCORE_SCHEMA)

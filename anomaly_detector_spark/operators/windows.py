@@ -56,6 +56,44 @@ def tail_aligned_windows(
     return out
 
 
+def shifted_window_bank(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    window_len: int,
+    shifts: int = 21,
+    shift_step: int = 10,
+) -> DataFrame:
+    """W2: overlapping window bank — ``shifts`` copies of each key's series,
+    copy s dropping its newest ``s * shift_step`` rows, each decomposed into
+    tail-aligned windows (reference prepare_batches,
+    /root/reference/algo/cont_device.py:88-96: 21 shifts of 10 steps).
+
+    One shuffle-sort per key computes rn once; the bank fans out via a
+    JVM-side explode of shift ids — no self-unions, no recomputation.
+    Output: input columns + (shift, window_id, pos); rows whose shifted
+    position falls in the dropped head or the oldest partial remainder are
+    excluded (the reference drops both).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc())
+    n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    rn = F.row_number().over(w)  # 1 = newest
+    base = df.withColumn("_rn", rn).withColumn("_n", n)
+    fanned = base.withColumn(
+        "shift", F.explode(F.sequence(F.lit(0), F.lit(shifts - 1)))
+    )
+    srn = F.col("_rn") - F.col("shift") * shift_step  # position within the shifted copy
+    sn = F.col("_n") - F.col("shift") * shift_step    # shifted copy length
+    complete = (srn >= 1) & ((F.floor(sn / window_len) * window_len) >= srn)
+    out = (
+        fanned.filter(complete)
+        .withColumn("window_id", F.floor((srn - 1) / window_len).cast("long"))
+        .withColumn("pos", (window_len - 1 - F.pmod(srn - 1, F.lit(window_len))).cast("long"))
+        .drop("_rn", "_n")
+    )
+    return out
+
+
 def savgol_coeffs(window_length: int, polyorder: int) -> list[float]:
     """Closed-form Savitzky-Golay FIR coefficients (central point).
 

@@ -120,23 +120,22 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     key = spec.config.get("key", KEY)
     cid = spec.id
 
-    # Two-level aggregate, join-free: per-(key, partition) counts first
-    # (one scan, map-side combined), then per-key totals carrying the
-    # per-partition breakdown as collect_list(struct(part, n_kp)). A key
-    # duplicated ACROSS partition values is still a duplicate — grouping
-    # by (key, part) alone would miss those (caught at 16M rows) — and a
-    # join of key-level totals back onto (key, part) rows planned as a
-    # SortMergeJoin + sorts (caught by the explain audit). The list is
-    # bounded by the number of partition values a single key spans (tiny),
-    # so buffers stay small even for a pathological hot key; no shuffle in
-    # this plan is ever sorted.
+    # Two-level aggregate: per-(key, partition) counts first (one scan,
+    # map-side combined), then per-key totals. A key duplicated ACROSS
+    # partition values is still a duplicate — grouping by (key, part)
+    # alone would miss those (caught by the 16M equivalence run), so the
+    # key-level total n is joined back onto the (key, part) counts. Both
+    # join inputs derive from the SAME counts_kp aggregate, so Spark
+    # reuses the exchange — the table is aggregated once. Two variants
+    # benchmarked WORSE at 32M rows: collect_list(struct(part, n_kp))
+    # instead of the join (2x slower — per-key list buffers), and
+    # broadcast(dup) as the join side (slower — the broadcast build runs
+    # as a separate job and forfeits the exchange reuse). The plain join
+    # is the measured winner, not just the cleaner-looking plan.
     counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
         F.count(F.lit(1)).alias("n_kp")
     )
-    counts = counts_kp.groupBy(*key).agg(
-        F.sum("n_kp").alias("n"),
-        F.collect_list(F.struct(F.col("_part"), F.col("n_kp"))).alias("_pp"),
-    )
+    counts = counts_kp.groupBy(*key).agg(F.sum("n_kp").alias("n"))
 
     dup = counts.filter(F.col("n") > 1)
     violations = as_violations(
@@ -147,11 +146,11 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     )
 
     per_part = (
-        counts.select("n", F.explode("_pp").alias("_e"))
-        .groupBy(F.col("_e._part").alias(part))
+        counts_kp.join(counts.select(*key, "n"), on=key, how="left")
+        .groupBy(F.col("_part").alias(part))
         .agg(
-            F.sum("_e.n_kp").alias("n_rows"),
-            F.sum(F.when(F.col("n") > 1, F.col("_e.n_kp")).otherwise(0)).alias("n_dup_rows"),
+            F.sum("n_kp").alias("n_rows"),
+            F.sum(F.when(F.col("n") > 1, F.col("n_kp")).otherwise(0)).alias("n_dup_rows"),
         )
     )
     verdicts = verdict_frame(
