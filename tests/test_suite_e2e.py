@@ -77,3 +77,32 @@ def test_content_projection_pruned(spark):
     spec = CheckSpec("referential", run_referential, {}, "lang", 1)
     plan = spec.run(df).verdicts._jdf.queryExecution().optimizedPlan().toString()
     assert "content" not in plan
+
+
+def test_suite_partitioned_by_skewed_repo(spark):
+    # partition_col="repo" with the mega-repo holding ~50% of rows: the
+    # suite must complete, emit a verdict row per (repo, check), and the
+    # mega-repo's stats must reflect its share. Exercises the skewed
+    # partition-key path end-to-end (SURVEY.md §7 hard part 1).
+    df = synth_files(spark, N, skew=True)
+    suite = default_suite(partition_col="repo", min_rows=10)
+    res = run_suite(df, suite)
+    from anomaly_detector_spark.synth import MEGA_REPO as MR
+
+    verd = res.verdicts.select("partition_key", "check_id", "verdict").collect()
+    n_repos = df.select("repo").distinct().count()
+    assert len(verd) == n_repos * 4
+    stats_cid = suite[0].id
+    mega_stats = [
+        r["metrics"]
+        for r in res.verdicts.filter(
+            (F.col("partition_key") == MR) & (F.col("check_id") == stats_cid)
+        ).collect()
+    ]
+    assert len(mega_stats) == 1
+    assert mega_stats[0]["n_rows"] > 0.4 * N  # the planted skew is visible
+    # determinism under skew: same verdicts at different parallelism
+    res2 = run_suite(synth_files(spark, N, skew=True, partitions=3), suite)
+    assert sorted(map(tuple, verd)) == sorted(
+        map(tuple, res2.verdicts.select("partition_key", "check_id", "verdict").collect())
+    )
