@@ -152,6 +152,56 @@ def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     return top
 
 
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    # shipping-priority: 3-way join + agg + top-k. customer is the small
+    # side (broadcast); orders⋈lineitem shuffles on the join key.
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "revenue",
+        )
+    )
+    return out
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    # local-supplier-volume: 6-way join; region/nation broadcast, the
+    # supplier-customer nation equality closes the cycle.
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+    return out
+
+
 def q_events_fwd_max(spark: SparkSession, sf: str) -> DataFrame:
     # W3 analog: 2-hour look-forward max per user (range frame, one pass —
     # replaces the reference's O(n^2) scan, /root/reference/algo/operator.py:90-104)
@@ -405,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_drift_scores": q_files_drift_scores,
         "files_keep_first": q_files_keep_first,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "top_customers": q_top_customers,
         "events_fwd_max": q_events_fwd_max,
         "events_sessions": q_events_sessions,
@@ -530,6 +582,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": f"""
+            SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS orderdate,
+                   o_orderpriority AS orderpriority,
+                   CAST(sum({_Q1_DISC}) AS DOUBLE) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate  > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, orderkey ASC LIMIT 10
+        """,
+        "tpch_q5": f"""
+            SELECT n_name AS nation, CAST(sum({_Q1_DISC}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+                          JOIN nation   ON s_nationkey = n_nationkey
+                          JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "top_customers": f"""
             WITH per_order AS (

@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+These cover the math the Spark plans delegate to: PSI/KS properties,
+Savitzky-Golay polynomial reproduction, and content-addressing stability
+— fast, driverless, no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anomaly_detector_spark.checks.base import check_id
+from anomaly_detector_spark.checks.drift import psi_ks
+from anomaly_detector_spark.operators.windows import savgol_coeffs
+
+counts = st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40)
+
+
+@given(counts)
+@settings(max_examples=200, deadline=None)
+def test_psi_ks_identical_distributions_score_zero(obs):
+    psi, ks = psi_ks(obs, obs)
+    assert abs(psi) < 1e-12
+    assert abs(ks) < 1e-12
+
+
+@given(counts, counts)
+@settings(max_examples=200, deadline=None)
+def test_psi_nonnegative_ks_bounded(a, b):
+    if len(a) != len(b):
+        n = min(len(a), len(b))
+        a, b = a[:n], b[:n]
+    psi, ks = psi_ks(a, b)
+    assert psi >= -1e-12  # PSI is a KL-symmetrization: nonnegative
+    assert -1e-12 <= ks <= 1.0 + 1e-12
+
+
+@given(counts, st.integers(min_value=1, max_value=7))
+@settings(max_examples=100, deadline=None)
+def test_psi_scale_invariant(obs, k):
+    # multiplying all counts by a constant leaves the distribution, and
+    # (up to Laplace smoothing, negligible at large totals) the score,
+    # nearly unchanged
+    obs = [(c + 1) * 100 for c in obs]  # avoid all-zero / tiny totals
+    psi1, ks1 = psi_ks(obs, [c * k for c in obs])
+    assert psi1 < 0.01 and ks1 < 0.01
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.lists(st.floats(min_value=-5, max_value=5), min_size=5, max_size=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_savgol_reproduces_polynomials(half, coefs):
+    # a Savitzky-Golay filter of polyorder p reproduces any degree<=p
+    # polynomial exactly at the window center
+    win = 2 * half + 1
+    poly = min(win - 1, 4)
+    c = np.asarray(savgol_coeffs(win, poly))
+    x = np.arange(-half, half + 1, dtype=float)
+    y = sum(coefs[d] * x**d for d in range(poly + 1))
+    assert np.isclose(np.dot(c, y), float(coefs[0]), atol=1e-6 * (1 + abs(coefs[0])))
+
+
+@given(st.dictionaries(st.text(max_size=10), st.integers() | st.text(max_size=10), max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_check_id_stable_and_order_insensitive(cfg):
+    a = check_id("stats", cfg)
+    b = check_id("stats", dict(reversed(list(cfg.items()))))
+    assert a == b and len(a) == 64
+    assert check_id("other", cfg) != a
