@@ -63,9 +63,15 @@ class CheckSpec:
 
     @property
     def id(self) -> str:
+        # DataFrame-valued config (e.g. an injected frozen baseline_df or
+        # dim_df) is runtime state, not configuration — excluding it keeps
+        # the check id stable whether a baseline is injected or not, so
+        # manifest rows written with and without T2 baseline injection
+        # refer to the same check.
+        cfg = {k: v for k, v in self.config.items() if not isinstance(v, DataFrame)}
         return check_id(
             self.name,
-            {**self.config, "partition_col": self.partition_col, "min_rows": self.min_rows},
+            {**cfg, "partition_col": self.partition_col, "min_rows": self.min_rows},
         )
 
     def run(self, df: DataFrame) -> CheckResult:

@@ -161,11 +161,21 @@ def flag_outliers(
     )
     z = F.when(F.col("_std") > 0, F.abs(s - F.col("_mean")) / F.col("_std")).otherwise(F.lit(0.0))
     iqr = F.col("_q3") - F.col("_q1")
-    outlier = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
+    relative = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
+    noise_floor = noise_c * (F.col("n_buckets") - 1) / F.greatest(F.col("n_obs"), F.lit(1))
+    # All outlier paths must clear the median gate (K4 semantics) — EXCEPT
+    # when the run scored a single partition (e.g. one new partition on an
+    # incremental resume against a frozen baseline): there the median IS
+    # the score and no relative gate can ever fire, so the absolute
+    # threshold decides alone (noise floor still applies).
+    outlier = relative
     if abs_thresh is not None:
         outlier = outlier | (s > abs_thresh)
-    noise_floor = noise_c * (F.col("n_buckets") - 1) / F.greatest(F.col("n_obs"), F.lit(1))
-    flagged = outlier & (s > F.col("_med") + F.greatest(F.lit(min_gap), noise_floor))
+    gate = s > F.col("_med") + F.greatest(F.lit(min_gap), noise_floor)
+    n_scored = F.count(s).over(w)
+    flagged = outlier & gate
+    if abs_thresh is not None:
+        flagged = flagged | ((n_scored == 1) & (s > abs_thresh) & (s > noise_floor))
     return stats.withColumn("z_score", z).withColumn("is_drifted", flagged).drop(
         "_mean", "_std", "_q1", "_q3"
     ).withColumnRenamed("_med", "median_score")

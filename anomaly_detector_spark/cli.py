@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partition-col", default="lang")
     p.add_argument("--min-rows", type=int, default=25)
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--freeze-baseline", action="store_true",
+        help="freeze the pooled drift baseline on first run (T2/T3 semantics)",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -61,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
 
     suite = default_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     run = run_with_manifest(
-        df, args.manifest, suite=suite, partition_col=args.partition_col, run_id=args.run_id
+        df, args.manifest, suite=suite, partition_col=args.partition_col,
+        run_id=args.run_id, freeze_drift_baseline=args.freeze_baseline,
     )
 
     summary = {

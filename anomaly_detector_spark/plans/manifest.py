@@ -101,18 +101,58 @@ class ManifestRun:
     result: SuiteResult | None  # None when nothing was pending (no-op resume)
 
 
+# ------------------------------------------------------------ drift baseline
+
+def baseline_dir(manifest_dir: str) -> str:
+    return manifest_dir.rstrip("/") + "_baselines"
+
+
+def load_frozen_baseline(spark: SparkSession, manifest_dir: str, sid: str):
+    """The frozen drift baseline histogram for this suite config, or None.
+
+    T2 semantics (/root/reference/algo/operator.py:169: type inferred once
+    then frozen): the FIRST committed run writes the pooled content-length
+    histogram; every later run drifts against that snapshot instead of its
+    own pooled distribution. Keyed by suite_id, so a config change
+    (including bucket_width) re-freezes — the re-baseline cadence T3 is a
+    config bump or deleting the baseline table.
+    """
+    try:
+        df = spark.read.parquet(baseline_dir(manifest_dir))
+    except Exception:
+        return None
+    out = df.filter(F.col("suite_id") == sid).select("bucket", "base_n")
+    return out if out.limit(1).count() > 0 else None
+
+
+def freeze_baseline(hist_df: DataFrame, manifest_dir: str, sid: str) -> None:
+    """Persist the pooled histogram as this suite's frozen baseline."""
+    from ..checks.drift import global_baseline
+
+    rows = global_baseline(hist_df).withColumn("suite_id", F.lit(sid))
+    bdir = baseline_dir(manifest_dir)
+    mode = "append" if os.path.isdir(bdir) else "overwrite"
+    rows.coalesce(1).write.mode(mode).parquet(bdir)
+
+
 def run_with_manifest(
     df: DataFrame,
     manifest_dir: str,
     suite: list[CheckSpec] | None = None,
     partition_col: str = "lang",
     run_id: str | None = None,
+    freeze_drift_baseline: bool = False,
 ) -> ManifestRun:
     """Run the suite on not-yet-committed partitions; commit once at the end.
 
     Idempotent: a rerun over the same input+suite is a no-op; a crash
     before the final append leaves no partial state, so the retry simply
     redoes the pending partitions.
+
+    ``freeze_drift_baseline=True`` enables T2/T3 semantics: the first run
+    freezes the pooled content-length histogram next to the manifest and
+    injects it as every later run's drift baseline (instead of each run
+    self-baselining against its own pooled distribution).
     """
     spark = df.sparkSession
     suite = suite or default_suite(partition_col=partition_col)
@@ -127,6 +167,24 @@ def run_with_manifest(
     if n_keys == 0:
         pending.unpersist()
         return ManifestRun(rid, sid, 0, None)
+
+    if freeze_drift_baseline:
+        from ..checks.drift import length_histogram
+
+        drift_specs = [s for s in suite if s.name == "drift"]
+        if drift_specs:
+            spec = drift_specs[0]
+            frozen = load_frozen_baseline(spark, manifest_dir, sid)
+            if frozen is None:
+                hist = length_histogram(
+                    df,  # freeze over the FULL input, not just pending partitions
+                    spec.partition_col,
+                    spec.config.get("column", "content"),
+                    spec.config.get("bucket_width", 100),
+                )
+                freeze_baseline(hist, manifest_dir, sid)
+                frozen = load_frozen_baseline(spark, manifest_dir, sid)
+            spec.config = {**spec.config, "baseline_df": frozen}
 
     res = run_suite(pending, suite=suite, cache=False)
 

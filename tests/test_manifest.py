@@ -80,3 +80,42 @@ def test_suite_change_invalidates_checkpoint(spark, manifest_dir):
     assert suite_id(changed) != suite_id(default_suite())
     rerun = run_with_manifest(files, manifest_dir, suite=changed)
     assert rerun.pending_partitions > 0  # old checkpoint does not satisfy new suite
+
+
+def test_frozen_drift_baseline_detects_new_drifted_partition(spark, manifest_dir):
+    # T2/T3: run 1 freezes the pooled baseline (normal langs). Run 2 brings
+    # a NEW partition with shifted lengths: against the FROZEN baseline it
+    # must FAIL drift; without freezing, a lone pending partition
+    # self-baselines (pooled = itself) and would PASS.
+    from anomaly_detector_spark.synth import DRIFT_LANG, synth_files
+
+    df = synth_files(spark, 30000)
+    normal = df.filter(F.col("lang") != DRIFT_LANG)
+    shifted = df.filter(F.col("lang") == DRIFT_LANG)
+
+    r1 = run_with_manifest(normal, manifest_dir, freeze_drift_baseline=True)
+    assert r1.result is not None
+
+    r2 = run_with_manifest(df, manifest_dir, freeze_drift_baseline=True)
+    assert r2.pending_partitions == 1  # only the drifted lang is new
+    drift_cid = [s.id for s in default_suite() if s.name == "drift"][0]
+    verdict = (
+        read_manifest(spark, manifest_dir)
+        .filter((F.col("partition_key") == DRIFT_LANG) & (F.col("check_id") == drift_cid))
+        .select("verdict")
+        .collect()
+    )
+    assert [r["verdict"] for r in verdict] == ["FAIL"]
+
+    # control: WITHOUT freezing, the lone pending partition self-baselines → PASS
+    ctrl_dir = manifest_dir + "_ctrl"
+    run_with_manifest(normal, ctrl_dir)
+    run_with_manifest(df, ctrl_dir)
+    ctrl = (
+        read_manifest(spark, ctrl_dir)
+        .filter((F.col("partition_key") == DRIFT_LANG) & (F.col("check_id") == drift_cid))
+        .select("verdict")
+        .collect()
+    )
+    assert [r["verdict"] for r in ctrl] == ["PASS"]
+    shutil.rmtree(ctrl_dir, ignore_errors=True)
