@@ -42,6 +42,7 @@ def validate_stream(
     partition_col: str = "lang",
     trigger_available_now: bool = True,
     on_batch: Callable[[ManifestRun, int], None] | None = None,
+    freeze_drift_baseline: bool = False,
 ) -> StreamingQuery:
     """Validate a stream of file rows micro-batch by micro-batch.
 
@@ -62,6 +63,7 @@ def validate_stream(
             suite=suite,
             partition_col=partition_col,
             run_id=f"stream-{batch_id}",
+            freeze_drift_baseline=freeze_drift_baseline,
         )
         if on_batch is not None:
             on_batch(run, batch_id)

@@ -71,3 +71,37 @@ def test_staleness_filter(spark):
     ).select(F.col("ts").cast("timestamp").alias("ts"))
     out = with_staleness_filter(df, "ts", "2026-01-01").collect()
     assert len(out) == 1 and str(out[0]["ts"]).startswith("2026-06-01")
+
+
+def test_stateful_debounce_stream_matches_batch_oracle(spark, tmp_path):
+    from anomaly_detector_spark.streaming.debounce import (
+        debounce_batch,
+        debounced_anomalies_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "ev")
+    ev.write.parquet(inp)
+
+    expected = sorted(
+        (r["user_id"], str(r["ts"]), r["value"])
+        for r in debounce_batch(ev, threshold=300.0, window_s=1800).collect()
+    )
+    assert len(expected) > 0
+
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    out = debounced_anomalies_stream(stream, threshold=300.0, window_s=1800)
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], str(r["ts"]), r["value"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == expected
