@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tail_windows": q_events_tail_windows,
         "events_ts_parse": q_events_ts_parse,
         "emb_exact_near_dups": q_emb_exact_near_dups,
+        "suite_verdicts": q_suite_verdicts,  # full-suite verdict oracle (all 4 checks in SQL)
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -479,7 +480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
-        "suite_verdicts": q_suite_verdicts,
         "media_features": q_media_features,
     }
 
@@ -774,6 +774,113 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _suite_verdicts_oracle() -> str:
+    """Full-suite verdict oracle: re-derives every verdict rule in SQL.
+
+    check_ids are content-addressed (sha256 of canonical config) — inlined
+    as literals from the very CheckSpecs the Spark side runs, so a config
+    drift between engine and oracle breaks the hash match loudly.
+    """
+    from anomaly_detector_spark.plans.suite import default_suite
+    from anomaly_detector_spark.schema import ALLOWED_LANGS
+
+    ids = {s.name: s.id for s in default_suite()}
+    allowed = ",".join("'" + lang + "'" for lang, _fam in ALLOWED_LANGS)
+    return f"""
+        WITH {FILES_CTE_SQL},
+        stats AS (
+          SELECT lang AS partition_key, count(*) AS n_rows,
+                 avg(CASE WHEN content IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate
+          FROM files GROUP BY 1
+        ),
+        ref AS (
+          SELECT lang AS partition_key, count(*) AS n_rows,
+                 sum(CASE WHEN lang IN ({allowed}) THEN 0 ELSE 1 END) AS n_unknown
+          FROM files GROUP BY 1
+        ),
+        key_counts AS (
+          SELECT repo, path, "commit", count(*) AS n FROM files GROUP BY 1, 2, 3
+        ),
+        uniq AS (
+          SELECT f.lang AS partition_key, count(*) AS n_rows,
+                 sum(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS n_dup_rows
+          FROM files f JOIN key_counts k USING (repo, path, "commit")
+          GROUP BY 1
+        ),
+        hist AS (
+          SELECT lang AS partition_key,
+                 CAST(floor(length(content) / 100) AS BIGINT) AS bucket, count(*) AS n
+          FROM files WHERE content IS NOT NULL GROUP BY 1, 2
+        ),
+        base AS (SELECT bucket, sum(n) AS base_n FROM hist GROUP BY 1),
+        grid AS (
+          SELECT p.partition_key, b.bucket
+          FROM (SELECT DISTINCT partition_key FROM hist) p
+          CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+        ),
+        j AS (
+          SELECT g.partition_key, g.bucket,
+                 CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                 CAST(coalesce(bs.base_n, 0) AS DOUBLE) AS base_n
+          FROM grid g
+          LEFT JOIN hist h ON h.partition_key = g.partition_key AND h.bucket = g.bucket
+          LEFT JOIN base bs ON bs.bucket = g.bucket
+        ),
+        norm AS (
+          SELECT partition_key, n,
+                 (n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                              + 0.5 * count(*) OVER (PARTITION BY partition_key)) AS p,
+                 (base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                              + 0.5 * count(*) OVER (PARTITION BY partition_key)) AS q
+          FROM j
+        ),
+        scores AS (
+          SELECT partition_key, sum((p - q) * ln(p / q)) AS psi,
+                 CAST(sum(n) AS BIGINT) AS n_obs, count(*) AS n_buckets
+          FROM norm GROUP BY 1
+        ),
+        g AS (
+          SELECT avg(psi) AS m, stddev_samp(psi) AS sd, median(psi) AS med,
+                 quantile_cont(psi, 0.25) AS q1, quantile_cont(psi, 0.75) AS q3,
+                 count(*) AS n_scored
+          FROM scores
+        ),
+        drift AS (
+          SELECT s.partition_key, s.n_obs,
+                 (
+                   ( (CASE WHEN g.sd > 0 THEN abs(s.psi - g.m) / g.sd ELSE 0 END) > 3.0
+                     OR s.psi > g.q3 + 1.5 * (g.q3 - g.q1)
+                     OR s.psi < g.q1 - 1.5 * (g.q3 - g.q1)
+                     OR s.psi > 0.25 )
+                   AND s.psi > g.med + greatest(0.1, 3.0 * (s.n_buckets - 1) / greatest(s.n_obs, 1))
+                 ) OR (
+                   g.n_scored = 1 AND s.psi > 0.25
+                   AND s.psi > 3.0 * (s.n_buckets - 1) / greatest(s.n_obs, 1)
+                 ) AS flagged
+          FROM scores s CROSS JOIN g
+        )
+        SELECT partition_key, '{ids["stats"]}' AS check_id,
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN null_rate > 0.02 THEN 'FAIL' ELSE 'PASS' END AS verdict
+        FROM stats
+        UNION ALL
+        SELECT partition_key, '{ids["referential"]}',
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN n_unknown > 0 THEN 'FAIL' ELSE 'PASS' END
+        FROM ref
+        UNION ALL
+        SELECT partition_key, '{ids["uniqueness"]}',
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN n_dup_rows > 0 THEN 'FAIL' ELSE 'PASS' END
+        FROM uniq
+        UNION ALL
+        SELECT partition_key, '{ids["drift"]}',
+               CASE WHEN n_obs < 25 THEN 'SKIPPED'
+                    WHEN flagged THEN 'FAIL' ELSE 'PASS' END
+        FROM drift
+    """
+
+
 # inject the stopword list literal into the docs_token_stats oracle
 def _stopword_sql_list() -> str:
     from anomaly_detector_spark.operators.text import STOPWORDS
@@ -787,4 +894,5 @@ _raw_oracle_sql = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
+    out["suite_verdicts"] = _suite_verdicts_oracle()
     return out
