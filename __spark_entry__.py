@@ -432,6 +432,15 @@ def q_docs_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return with_fingerprint(d, "text").select("doc_id", "fingerprint")
 
 
+def q_docs_fingerprint_sha(spark: SparkSession, sf: str) -> DataFrame:
+    # oracle-able fingerprint variant: first 16 hex chars of sha256 over
+    # whitespace-normalized lowercased text (same normalization as the
+    # xxhash64 fingerprint; DuckDB has sha256 but not xxhash64)
+    d = load_table(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    return d.select("doc_id", F.substring(F.sha2(norm, 256), 1, 16).alias("fingerprint16"))
+
+
 def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.plans.suite import run_suite
 
@@ -476,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_savgol": q_events_savgol,
         "events_resample": q_events_resample,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_fingerprint_sha": q_docs_fingerprint_sha,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
@@ -732,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(CAST(epoch_ms(ts) AS BIGINT) * 1000) AS parsed_ts
             FROM events
         """,
+        "docs_fingerprint_sha": r"""
+            SELECT doc_id,
+                   substr(sha256(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), 1, 16)
+                     AS fingerprint16
+            FROM documents
+        """,
         "emb_exact_near_dups": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
             p AS (
@@ -772,6 +788,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
     }
+
+
+def _langid_oracle() -> str:
+    """Marker-word language-ID re-derived in SQL from the SAME marker lists
+    (argmax hits, lexicographic tie-break, 'und' on zero hits)."""
+    from anomaly_detector_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n".join(
+        "len(list_distinct(list_intersect(toks, ["
+        + ", ".join("'" + w + "'" for w in LANG_MARKERS[lang])
+        + f"]))) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                x -> lower(x)) AS toks
+          FROM documents
+        ),
+        scored AS (SELECT doc_id, {hit_cols} FROM t),
+        b AS (SELECT doc_id, *, {best} AS best FROM scored)
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und' {pick} END AS lang_id,
+               CAST(best AS BIGINT) AS lang_id_hits
+        FROM b
+    """
 
 
 def _suite_verdicts_oracle() -> str:
@@ -895,4 +941,5 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
     out["suite_verdicts"] = _suite_verdicts_oracle()
+    out["docs_langid"] = _langid_oracle()
     return out
