@@ -251,6 +251,29 @@ def q_events_debounce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_loads(spark: SparkSession, sf: str) -> DataFrame:
+    # W4: value-threshold load-session extraction — the reference's exact
+    # extract_loads state machine (/root/reference/algo/load_device.py:8-34),
+    # thresholds adapted to the events value distribution (start>100 ~ top
+    # 13%, end-accumulate <50 ~ 63%). Scalar per-load summary so the
+    # driver can hash rows; the values array feeds the padding/outlier
+    # stages in the library API.
+    from anomaly_detector_spark.operators.loads import extract_loads
+
+    ev = load_table(spark, sf, "events")
+    loads = extract_loads(
+        ev, "user_id", "ts", "value",
+        start_thresh=100.0, end_thresh=50.0, end_count=10, lookback=10, trim=10,
+        tiebreak_col="event_id",
+    )
+    return loads.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "load_id", "start_rn", "trigger_rn", "end_rn", "n_points",
+        F.round(F.aggregate("values", F.lit(0.0), lambda a, v: a + v), 4).alias("v_sum"),
+        F.round(F.array_max("values"), 4).alias("v_max"),
+    )
+
+
 def q_docs_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.text import with_text_stats
 
@@ -470,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_fwd_max": q_events_fwd_max,
         "events_sessions": q_events_sessions,
         "events_debounce": q_events_debounce,
+        "events_loads": q_events_loads,
         "docs_token_stats": q_docs_token_stats,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_quality_by_lang": q_docs_quality_by_lang,
@@ -673,6 +697,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(suppressed) AS BIGINT) AS n_suppressed
             FROM a GROUP BY 1
         """,
+        "events_loads": """
+            -- the reference extract_loads state machine as a recursive
+            -- CTE: each load's end position gates the next load's
+            -- trigger, so loads are derived iteratively per key; the
+            -- cumulative below-threshold counter clt makes "11th low
+            -- value since the trigger" a running-sum lookup. Members of
+            -- a load are {s} UNION (t, e-10] (the reference appends only
+            -- the lookback index at trigger time).
+            WITH RECURSIVE ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS k,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     value AS v,
+                     sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clt
+              FROM events
+            ),
+            loads AS (
+              SELECT t.k AS k, 1 AS load_no, t.rn AS t, t.clt AS clt_t
+              FROM (SELECT k AS fk, min(rn) AS first_t FROM ev WHERE v > 100.0 GROUP BY 1) f
+              JOIN ev t ON t.k = f.fk AND t.rn = f.first_t
+              UNION ALL
+              SELECT l.k, l.load_no + 1, nt.rn, nt.clt
+              FROM loads l
+              JOIN LATERAL (
+                SELECT min(rn) AS e_rn FROM ev
+                WHERE ev.k = l.k AND ev.rn > l.t AND ev.clt - l.clt_t >= 11
+              ) fin ON fin.e_rn IS NOT NULL
+              JOIN LATERAL (
+                SELECT rn, clt FROM ev
+                WHERE ev.k = l.k AND ev.rn > fin.e_rn AND ev.v > 100.0
+                ORDER BY rn LIMIT 1
+              ) nt ON TRUE
+            ),
+            ended AS (
+              SELECT l.k, l.load_no, l.t,
+                     (SELECT min(rn) FROM ev
+                      WHERE ev.k = l.k AND ev.rn > l.t AND ev.clt - l.clt_t >= 11) AS e
+              FROM loads l
+            ),
+            complete AS (SELECT * FROM ended WHERE e IS NOT NULL)
+            SELECT c.k AS user_id,
+                   CAST(c.load_no AS BIGINT) AS load_id,
+                   CAST(greatest(1, c.t - 10) AS BIGINT) AS start_rn,
+                   CAST(c.t AS BIGINT) AS trigger_rn,
+                   CAST(c.e AS BIGINT) AS end_rn,
+                   CAST(c.e - c.t - 10 + 1 AS BIGINT) AS n_points,
+                   (SELECT round(sum(v), 4) FROM ev
+                    WHERE ev.k = c.k AND (ev.rn = greatest(1, c.t - 10)
+                          OR (ev.rn > c.t AND ev.rn <= c.e - 10))) AS v_sum,
+                   (SELECT round(max(v), 4) FROM ev
+                    WHERE ev.k = c.k AND (ev.rn = greatest(1, c.t - 10)
+                          OR (ev.rn > c.t AND ev.rn <= c.e - 10))) AS v_max
+            FROM complete c
+        """,
         "docs_token_stats": r"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0
@@ -761,6 +839,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, score
             FROM p WHERE score >= 0.5
+        """,
+        "media_features": """
+            -- synth_media is pure arithmetic + sha256 (no xxhash64), so
+            -- the whole mapInPandas byte-histogram decode is re-derivable:
+            -- payload = ascii bytes of the 64-char sha256 hex string, so
+            -- bucket 1 (bytes 48-57) = digit count, bucket 3 (97-102) =
+            -- a-f count; counts/64 have <= 6 decimal digits exactly.
+            WITH m AS (
+              SELECT range AS media_id,
+                     ['image','audio','video'][CAST(range % 3 AS INT) + 1] AS kind,
+                     sha256('payload' || CAST(range AS VARCHAR)) AS hexstr
+              FROM range(1000)
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+                   CAST(length(hexstr) AS BIGINT) AS n_bytes,
+                   0.0 AS f0,
+                   round(CAST(length(regexp_replace(hexstr, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / length(hexstr), 6) AS f1,
+                   0.0 AS f2,
+                   round(CAST(length(regexp_replace(hexstr, '[^a-f]', '', 'g')) AS DOUBLE)
+                         / length(hexstr), 6) AS f3,
+                   0.0 AS f4, 0.0 AS f5, 0.0 AS f6, 0.0 AS f7
+            FROM m
         """,
         "emb_topk_cosine": """
             WITH q AS (

@@ -31,7 +31,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-VIOLATION_COLS = ["repo", "path", "commit", "check_id", "observed", "expected"]
+VIOLATION_COLS = ["repo", "path", "commit", "partition_key", "check_id", "observed", "expected"]
 PASS, FAIL, SKIPPED = "PASS", "FAIL", "SKIPPED"
 
 
@@ -49,6 +49,11 @@ class CheckResult:
     violations: DataFrame
     verdicts: DataFrame
     metrics: DataFrame | None = None
+    # cached intermediate frames (e.g. drift histograms) — the suite
+    # runner unpersists them once outputs are materialized, so repeated
+    # invocations (streaming micro-batches, bench loops) don't leak
+    # executor storage memory for the session lifetime.
+    caches: list[DataFrame] = field(default_factory=list)
 
 
 @dataclass
@@ -81,15 +86,31 @@ class CheckSpec:
 def empty_violations(df: DataFrame) -> DataFrame:
     """An empty violations frame with the canonical schema."""
     spark = df.sparkSession
-    return spark.createDataFrame([], "repo string, path string, commit string, check_id string, observed string, expected string")
+    return spark.createDataFrame(
+        [],
+        "repo string, path string, commit string, partition_key string, "
+        "check_id string, observed string, expected string",
+    )
 
 
-def as_violations(df: DataFrame, cid: str, observed: F.Column, expected: F.Column) -> DataFrame:
-    """Project offending rows onto the canonical violation envelope."""
+def as_violations(
+    df: DataFrame,
+    cid: str,
+    observed: F.Column,
+    expected: F.Column,
+    partition_key: F.Column,
+) -> DataFrame:
+    """Project offending rows onto the canonical violation envelope.
+
+    ``partition_key`` is carried at emission time so downstream
+    per-partition accounting (manifest n_violations) is a plain groupBy —
+    never a join back to the source table to recover the key.
+    """
     return df.select(
         F.col("repo"),
         F.col("path"),
         F.col("commit"),
+        partition_key.cast("string").alias("partition_key"),
         F.lit(cid).alias("check_id"),
         observed.cast("string").alias("observed"),
         expected.cast("string").alias("expected"),

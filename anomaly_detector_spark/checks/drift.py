@@ -27,7 +27,7 @@ partition (driver-scale) but stays in Spark for composability.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .base import CheckResult, CheckSpec, empty_violations, verdict_frame
@@ -150,15 +150,22 @@ def flag_outliers(
     n_buckets bins — small partitions have genuinely noisy histograms and
     must clear a proportionally higher bar, large partitions a lower one.
     """
-    w = Window.partitionBy(F.lit(1))
+    # Global stats via a 1-row aggregate broadcast-joined back — NOT a
+    # Window.partitionBy(lit(1)), which funnels every score row into one
+    # task for a single-partition sort. With a low-cardinality partition
+    # column the difference is invisible; with millions of partition keys
+    # (per-repo drift at web scale) the window variant serializes the
+    # whole flagging pass through one reducer.
     s = F.col(score_col)
-    stats = (
-        scores.withColumn("_mean", F.avg(s).over(w))
-        .withColumn("_std", F.stddev_samp(s).over(w))
-        .withColumn("_med", F.expr(f"percentile({score_col}, 0.5)").over(w))
-        .withColumn("_q1", F.expr(f"percentile({score_col}, 0.25)").over(w))
-        .withColumn("_q3", F.expr(f"percentile({score_col}, 0.75)").over(w))
+    g = scores.agg(
+        F.avg(s).alias("_mean"),
+        F.stddev_samp(s).alias("_std"),
+        F.expr(f"percentile({score_col}, 0.5)").alias("_med"),
+        F.expr(f"percentile({score_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({score_col}, 0.75)").alias("_q3"),
+        F.count(s).alias("_n_scored"),
     )
+    stats = scores.crossJoin(F.broadcast(g))
     z = F.when(F.col("_std") > 0, F.abs(s - F.col("_mean")) / F.col("_std")).otherwise(F.lit(0.0))
     iqr = F.col("_q3") - F.col("_q1")
     relative = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
@@ -172,12 +179,11 @@ def flag_outliers(
     if abs_thresh is not None:
         outlier = outlier | (s > abs_thresh)
     gate = s > F.col("_med") + F.greatest(F.lit(min_gap), noise_floor)
-    n_scored = F.count(s).over(w)
     flagged = outlier & gate
     if abs_thresh is not None:
-        flagged = flagged | ((n_scored == 1) & (s > abs_thresh) & (s > noise_floor))
+        flagged = flagged | ((F.col("_n_scored") == 1) & (s > abs_thresh) & (s > noise_floor))
     return stats.withColumn("z_score", z).withColumn("is_drifted", flagged).drop(
-        "_mean", "_std", "_q1", "_q3"
+        "_mean", "_std", "_q1", "_q3", "_n_scored"
     ).withColumnRenamed("_med", "median_score")
 
 
@@ -218,4 +224,13 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         metric_cols=["psi", "ks", "n_obs", "z_score", "median_score"],
     )
     # Drift is a partition-level property — no per-file violation rows.
-    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=flagged)
+    # hist/scores caches are handed to the caller for unpersist once the
+    # outputs are materialized (SuiteResult.unpersist) — without that,
+    # every suite invocation (each streaming micro-batch, each bench
+    # pass) leaked two cached plans for the session lifetime.
+    return CheckResult(
+        violations=empty_violations(df),
+        verdicts=verdicts,
+        metrics=flagged,
+        caches=[hist, scores],
+    )

@@ -37,6 +37,7 @@ def run_referential(df: DataFrame, spec: CheckSpec) -> CheckResult:
         cid,
         observed=F.concat(F.lit("lang="), F.coalesce(F.col("lang"), F.lit("NULL"))),
         expected=F.lit("lang IN allowed_langs"),
+        partition_key=F.col(part),
     )
 
     # Per-partition verdict via one aggregate over a broadcast semi-join flag.

@@ -83,5 +83,6 @@ def run_stats(df: DataFrame, spec: CheckSpec) -> CheckResult:
         cid,
         observed=F.lit("content IS NULL"),
         expected=F.lit("content NOT NULL"),
+        partition_key=F.col(part),
     )
     return CheckResult(violations=violations, verdicts=verdicts, metrics=per_part)

@@ -65,12 +65,20 @@ def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     ord_expr = (
         F.xxhash64(F.col(order_col)) if order_col == "content" else F.col(order_col)
     )
+    # Survivor ordering: partition value FIRST (nulls last), tiebreak on
+    # the order expression. Pinning the survivor to the key's MINIMUM
+    # partition value makes the per-partition attribution of violation
+    # rows deterministic and partitioning-invariant — and lets the fused
+    # aggregation-only formulation (plans/fused.py) reproduce the exact
+    # same (partition_key, count) multiset without row identity.
     wkey = Window.partitionBy(*[F.col(c) for c in key])
     slim = df.select(
         *key,
         F.col(part).alias("_part"),
         F.count(F.lit(1)).over(wkey).alias("n"),
-        F.row_number().over(wkey.orderBy(ord_expr.asc_nulls_last())).alias("_rn"),
+        F.row_number()
+        .over(wkey.orderBy(F.col(part).asc_nulls_last(), ord_expr.asc_nulls_last()))
+        .alias("_rn"),
     )
 
     offenders = slim.filter((F.col("n") > 1) & (F.col("_rn") > 1))
@@ -79,6 +87,7 @@ def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
         cid,
         observed=F.concat(F.lit("key seen "), F.col("n").cast("string"), F.lit(" times")),
         expected=F.lit("unique (repo, path, commit)"),
+        partition_key=F.col("_part"),
     )
 
     per_part = slim.groupBy(F.col("_part").alias(part)).agg(

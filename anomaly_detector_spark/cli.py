@@ -64,9 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.suite import default_suite
 
     suite = default_suite(partition_col=args.partition_col, min_rows=args.min_rows)
+    # The violations sink is passed INTO the run so it is written before
+    # the manifest commit — a crash in between re-runs the partitions
+    # rather than losing their violation rows (resume would otherwise
+    # prune the committed partitions on retry with no violations written).
     run = run_with_manifest(
         df, args.manifest, suite=suite, partition_col=args.partition_col,
         run_id=args.run_id, freeze_drift_baseline=args.freeze_baseline,
+        violations_sink=args.violations, collect_verdict_counts=True,
     )
 
     summary = {
@@ -77,17 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if run.result is not None:
         if args.violations:
-            run.result.violations.write.mode("append").parquet(args.violations)
             summary["violations_sink"] = args.violations
-        from pyspark.sql import functions as F
-
-        verd = {
-            r["verdict"]: r["n"]
-            for r in run.result.verdicts.groupBy("verdict")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        summary["verdicts"] = verd
+        summary["verdicts"] = run.verdict_counts
     print(json.dumps(summary))
     return 0
 

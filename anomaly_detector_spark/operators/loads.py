@@ -1,0 +1,120 @@
+"""W4: value-threshold load-session extraction (reference `extract_loads`).
+
+Reproduces the reference's state machine EXACTLY
+(/root/reference/algo/load_device.py:8-34), including its quirks:
+
+* a load STARTS when the detector is inactive and value > ``start_thresh``
+  at (1-based) position t; the member list begins with the single
+  lookback index s = max(1, t - ``lookback``) — positions s+1..t are NOT
+  members (the reference appends only ``start_index``, then resumes
+  appending from t+1);
+* while active, every position is appended and sub-``end_thresh`` values
+  are COUNTED CUMULATIVELY (the reference never resets ``end_check`` on
+  a high value, despite its comment saying "consecutive");
+* the load ENDS at the first position e where that count exceeds
+  ``end_count``; the trailing ``trim`` members are dropped, so the final
+  member set is {s} ∪ (t, e - trim];
+* a load still active when the series ends is dropped.
+
+Per-key sequential semantics are inherent (each load's end gates the
+next load's start), so the scan runs per key inside ``applyInPandas`` —
+Arrow-batched, one grouped task per key, embarrassingly parallel ACROSS
+keys, which is where the scale is (10^6 devices x bounded series length,
+the reference's own deployment shape). No per-row Python at the Spark
+level.
+
+Downstream of extraction, the reference normalizes each load by its max,
+pads to a common length and flags length/shape outliers
+(/root/reference/algo/load_device.py:36-50,66-76) — composed here from
+``normalize_by_max`` (F9), ``windows.pad_or_truncate`` (O5) and the
+suite's outlier flagging.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_by_max(arr: Column | str) -> Column:
+    """F9: scale an array to [..1] by its max (reference
+    preprocessing.normalize_data, /root/reference/algo/preprocessing.py:4-5).
+    Max of 0 (or an empty array) leaves values unchanged."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    mx = F.array_max(c)
+    return F.when(
+        mx.isNotNull() & (mx != 0), F.transform(c, lambda v: v / mx)
+    ).otherwise(c)
+
+
+def extract_loads(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    start_thresh: float = 10.0,
+    end_thresh: float = 1.5,
+    end_count: int = 10,
+    lookback: int = 10,
+    trim: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per completed load:
+    (key, load_id, start_rn, trigger_rn, end_rn, n_points, values).
+
+    Row order within a key is (order_col, tiebreak_col) — a pinned total
+    order, because the reference's pandas sort is stable on arrival order
+    and a distributed table has none. ``values`` is the member-value
+    array ({v[s]} ++ v[(t, e-trim]]), ready for normalize/pad/outlier
+    stages; positions are 1-based ranks within the key.
+    """
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    schema = (
+        f"{key_col} string, load_id long, start_rn long, trigger_rn long, "
+        f"end_rn long, n_points long, values array<double>"
+    )
+    key_b, val_b, sort_b = key_col, value_col, sort_cols
+    st_b, et_b, ec_b, lb_b, tr_b = start_thresh, end_thresh, end_count, lookback, trim
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_b].iloc[0]
+        v = pdf.sort_values(sort_b, kind="mergesort")[val_b].to_numpy(dtype="float64")
+        out = {c: [] for c in ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points", "values")}
+        active = False
+        t = s = low = 0
+        load_id = 0
+        for i in range(1, len(v) + 1):  # 1-based rank
+            x = v[i - 1]
+            if active:
+                if x < et_b:
+                    low += 1
+                if low > ec_b:
+                    load_id += 1
+                    members = [s] + list(range(t + 1, i - tr_b + 1))
+                    out["load_id"].append(load_id)
+                    out["start_rn"].append(s)
+                    out["trigger_rn"].append(t)
+                    out["end_rn"].append(i)
+                    out["n_points"].append(len(members))
+                    out["values"].append([float(v[m - 1]) for m in members])
+                    active = False
+                    low = 0
+            elif x > st_b:
+                active = True
+                t = i
+                s = max(1, i - lb_b)
+                low = 0
+        n = len(out["load_id"])
+        # object dtype for the list column: an empty float64 column (the
+        # pandas default for []) cannot be Arrow-cast to list<double>
+        return pd.DataFrame(
+            {
+                key_b: pd.Series([key] * n, dtype="object"),
+                **{c: out[c] for c in ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points")},
+                "values": pd.Series(out["values"], dtype="object"),
+            }
+        )
+
+    cols = [F.col(key_col).cast("string"), *[F.col(c) for c in sort_b], F.col(value_col)]
+    return df.select(*cols).groupBy(key_col).applyInPandas(kernel, schema)

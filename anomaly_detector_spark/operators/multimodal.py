@@ -39,23 +39,37 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<double>"
+# scalar feature columns (f0..f7), not array<double>: downstream
+# canonicalizers (pandas sort, parquet predicate pushdown, SQL oracles)
+# all handle scalars; an 8-bucket byte histogram is small enough that
+# exploding it into columns costs nothing and keeps the row hashable.
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, "
+    + ", ".join(f"f{i} double" for i in range(8))
+)
 
 
 def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded pseudo-bytes."""
+    """Deterministic fake media table: payload = seeded pseudo-bytes.
+
+    Every derivation is plain arithmetic + sha256 (no xxhash64) so the
+    table — and anything computed from it — is reproducible in any ANSI
+    SQL engine for oracle checks.
+    """
     df = spark.range(n_rows).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int"),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.unbase64(F.base64(F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 512).cast("binary"))).alias("payload"),
+        F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256)
+        .cast("binary")
+        .alias("payload"),
         F.struct(
             F.lit(640).alias("width"),
             F.lit(480).alias("height"),
             F.lit(16000).alias("sample_rate"),
-            (F.pmod(F.xxhash64(F.lit(seed + 1), "id"), F.lit(60000))).alias("duration_ms").cast("long"),
+            F.pmod(F.col("id") * 9973, F.lit(60000)).cast("long").alias("duration_ms"),
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
@@ -94,17 +108,15 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             return [round(c / total, 6) for c in buckets]
 
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
-                    "feature": [
-                        decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
-                    ],
-                }
-            )
-            yield out
+            feats = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            cols = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
+            }
+            for i in range(8):
+                cols[f"f{i}"] = [None if f is None else f[i] for f in feats]
+            yield pd.DataFrame(cols)
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 

@@ -160,17 +160,22 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("c_vec").alias("cent_vec"))
     )
-    # assign corpus rows to nearest centroid (broadcast centroids)
+    # assign corpus rows to nearest centroid (broadcast centroids).
+    # max_by aggregation, NOT a per-vector row_number window: the window
+    # variant sorts corpus x n_cells rows inside a hash-partition-by-
+    # vec_id exchange; max_by gets map-side partial aggregation and no
+    # sort. Tie-break folded into the ordering struct (sim desc, then
+    # cell_id asc via negation) so assignment stays deterministic.
+    sim = cosine(F.col("c_vec"), F.col("cent_vec"))
     assigned = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("_sim", cosine(F.col("c_vec"), F.col("cent_vec")))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
-            ),
+        .groupBy("vec_id")
+        .agg(
+            F.first("c_vec").alias("c_vec"),
+            F.max_by(
+                F.col("cell_id"), F.struct(sim.alias("s"), (-F.col("cell_id")).alias("t"))
+            ).alias("cell_id"),
         )
-        .filter(F.col("_rn") == 1)
         .select("vec_id", "c_vec", "cell_id")
     )
     q = queries.select(

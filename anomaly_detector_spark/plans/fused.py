@@ -107,9 +107,13 @@ def fused_row_checks(
         pre.filter(F.col(col).isNull() | F.col("_ok").isNull())
         .select(
             "repo", "path", "commit",
+            F.col(part).cast("string").alias("partition_key"),
             F.explode(F.filter(F.array(null_v, ref_v), lambda x: x.isNotNull())).alias("_v"),
         )
-        .select("repo", "path", "commit", "_v.check_id", "_v.observed", "_v.expected")
+        .select(
+            "repo", "path", "commit", "partition_key",
+            "_v.check_id", "_v.observed", "_v.expected",
+        )
     )
     return stats_verdicts, ref_verdicts, violations
 
@@ -135,14 +139,34 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
         F.count(F.lit(1)).alias("n_kp")
     )
-    counts = counts_kp.groupBy(*key).agg(F.sum("n_kp").alias("n"))
+    counts = counts_kp.groupBy(*key).agg(
+        F.sum("n_kp").alias("n"), F.min("_part").alias("_min_part")
+    )
 
-    dup = counts.filter(F.col("n") > 1)
+    # Violation attribution without row identity: the window formulation
+    # (checks/uniqueness.py) pins the survivor to the key's minimum
+    # partition value, so per (key, partition) the violation count is
+    # n_kp minus one for the survivor's partition (eqNullSafe: an
+    # all-NULL-partition key still has exactly one survivor). This
+    # reproduces the window path's (partition_key, observed) multiset
+    # exactly — pinned by test_fused.
+    dup_kp = (
+        counts_kp.join(counts.filter(F.col("n") > 1).select(*key, "n", "_min_part"), on=key)
+        .withColumn(
+            "_n_viol",
+            F.col("n_kp")
+            - F.col("_part").eqNullSafe(F.col("_min_part")).cast("long"),
+        )
+        .filter(F.col("_n_viol") > 0)
+    )
     violations = as_violations(
-        dup.select(*key, "n", F.explode(F.sequence(F.lit(2), F.col("n"))).alias("_i")),
+        dup_kp.select(
+            *key, "n", "_part", F.explode(F.sequence(F.lit(1), F.col("_n_viol"))).alias("_i")
+        ),
         cid,
         observed=F.concat(F.lit("key seen "), F.col("n").cast("string"), F.lit(" times")),
         expected=F.lit("unique (repo, path, commit)"),
+        partition_key=F.col("_part"),
     )
 
     per_part = (

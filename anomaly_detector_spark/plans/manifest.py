@@ -26,7 +26,6 @@ are atomic snapshots).
 from __future__ import annotations
 
 import hashlib
-import os
 import uuid
 from dataclasses import dataclass
 
@@ -86,9 +85,12 @@ def pending_input(df: DataFrame, done: DataFrame, partition_col: str) -> DataFra
     partitioned/Iceberg source the filter turns into partition pruning.
     """
     keys = done.select(F.col("partition_key").cast("string"))
+    # eqNullSafe: a NULL partition key must also be resumable — with plain
+    # equality NULL never matches its committed row, so the NULL partition
+    # would be re-validated (and re-committed) on every run.
     return df.join(
         F.broadcast(keys),
-        df[partition_col].cast("string") == keys["partition_key"],
+        df[partition_col].cast("string").eqNullSafe(keys["partition_key"]),
         "left_anti",
     )
 
@@ -99,6 +101,8 @@ class ManifestRun:
     suite_id: str
     pending_partitions: int
     result: SuiteResult | None  # None when nothing was pending (no-op resume)
+    skipped_rows: int | None = None  # rows pruned for already-committed partitions (if counted)
+    verdict_counts: dict[str, int] | None = None  # verdict -> n (if collected)
 
 
 # ------------------------------------------------------------ drift baseline
@@ -130,9 +134,10 @@ def freeze_baseline(hist_df: DataFrame, manifest_dir: str, sid: str) -> None:
     from ..checks.drift import global_baseline
 
     rows = global_baseline(hist_df).withColumn("suite_id", F.lit(sid))
-    bdir = baseline_dir(manifest_dir)
-    mode = "append" if os.path.isdir(bdir) else "overwrite"
-    rows.coalesce(1).write.mode(mode).parquet(bdir)
+    # Always append: parquet append creates the directory if missing, and
+    # an isdir() gate would be False for every non-local URI (s3://,
+    # hdfs://) — overwriting would wipe other suites' frozen baselines.
+    rows.coalesce(1).write.mode("append").parquet(baseline_dir(manifest_dir))
 
 
 def run_with_manifest(
@@ -142,12 +147,26 @@ def run_with_manifest(
     partition_col: str = "lang",
     run_id: str | None = None,
     freeze_drift_baseline: bool = False,
+    violations_sink: str | None = None,
+    count_skipped_rows: bool = False,
+    collect_verdict_counts: bool = False,
 ) -> ManifestRun:
     """Run the suite on not-yet-committed partitions; commit once at the end.
 
     Idempotent: a rerun over the same input+suite is a no-op; a crash
     before the final append leaves no partial state, so the retry simply
     redoes the pending partitions.
+
+    ``violations_sink``: parquet directory for violation rows. Written
+    BEFORE the manifest append — manifest commit is the last side effect,
+    so a crash between the two re-runs the partitions (duplicate
+    violation rows possible, at-least-once) instead of silently losing
+    them (manifest committed but violations gone — the failure the
+    reversed order would allow, since resume prunes committed partitions).
+
+    ``count_skipped_rows=True`` additionally counts input rows pruned
+    because their partition was already committed — streaming callers use
+    it to detect partitions whose rows are split across micro-batches.
 
     ``freeze_drift_baseline=True`` enables T2/T3 semantics: the first run
     freezes the pooled content-length histogram next to the manifest and
@@ -164,9 +183,12 @@ def run_with_manifest(
     pending = pending_input(df, done, partition_col).cache()
 
     n_keys = pending.select(partition_col).distinct().count()
+    skipped = None
+    if count_skipped_rows:
+        skipped = df.count() - pending.count()
     if n_keys == 0:
         pending.unpersist()
-        return ManifestRun(rid, sid, 0, None)
+        return ManifestRun(rid, sid, 0, None, skipped_rows=skipped)
 
     if freeze_drift_baseline:
         from ..checks.drift import length_histogram
@@ -188,25 +210,24 @@ def run_with_manifest(
 
     res = run_suite(pending, suite=suite, cache=False)
 
+    if violations_sink is not None:
+        # Violations first, manifest last (see docstring).
+        res.violations.write.mode("append").parquet(violations_sink)
+
     rows_per_part = pending.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    viol_per_part = (
-        res.violations.join(
-            pending.select(
-                "repo", "path", "commit", F.col(partition_col).cast("string").alias("partition_key")
-            ).dropDuplicates(["repo", "path", "commit"]),
-            ["repo", "path", "commit"],
-            "left",
-        )
-        .groupBy("partition_key", "check_id")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
+    # Violation accounting is a plain groupBy on the envelope's own
+    # partition_key (carried at emission, checks/base.py as_violations) —
+    # no join back to the pending table, no extra wide shuffle.
+    viol_per_part = res.violations.groupBy("partition_key", "check_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
     )
 
     manifest_rows = (
         res.verdicts.select("partition_key", "check_id", "verdict", "metrics")
         .join(F.broadcast(rows_per_part), "partition_key", "left")
-        .join(viol_per_part, ["partition_key", "check_id"], "left")
+        .join(F.broadcast(viol_per_part), ["partition_key", "check_id"], "left")
         .select(
             F.lit(rid).alias("run_id"),
             F.lit(sid).alias("suite_id"),
@@ -220,9 +241,20 @@ def run_with_manifest(
             F.current_timestamp().alias("committed_at"),
         )
     )
-    # Single atomic append per run: parquet dir append locally; on an
-    # Iceberg catalog this is one snapshot commit (same atomicity story).
-    mode = "append" if os.path.isdir(manifest_dir) else "overwrite"
-    manifest_rows.coalesce(1).write.mode(mode).parquet(manifest_dir)
+    # Single atomic append per run — the LAST side effect of the run:
+    # parquet dir append locally; on an Iceberg catalog this is one
+    # snapshot commit (same atomicity story). Always append: isdir()
+    # gates are False for non-local URIs and overwrite would wipe all
+    # previously committed rows (destroying resume).
+    manifest_rows.coalesce(1).write.mode("append").parquet(manifest_dir)
+    verdict_counts = None
+    if collect_verdict_counts:
+        # collected while pending + drift caches are still hot — callers
+        # that want a summary must not re-run the suite after unpersist
+        verdict_counts = {
+            r["verdict"]: r["n"]
+            for r in res.verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    res.unpersist()
     pending.unpersist()
-    return ManifestRun(rid, sid, n_keys, res)
+    return ManifestRun(rid, sid, n_keys, res, skipped_rows=skipped, verdict_counts=verdict_counts)

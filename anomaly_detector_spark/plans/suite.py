@@ -30,6 +30,18 @@ class SuiteResult:
     verdicts: DataFrame    # unioned (partition_key, check_id, verdict, metrics)
     per_check: dict[str, CheckResult]
 
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release per-check caches (drift histograms/scores). Call after
+        the result frames are materialized — further actions on them will
+        recompute from source."""
+        for r in self.per_check.values():
+            for c in r.caches:
+                try:
+                    c.unpersist(blocking=blocking)
+                except Exception:
+                    pass
+            r.caches = []
+
     def summary(self) -> DataFrame:
         """Per-check verdict counts + per-check violation counts in one
         small frame — a convenience for reporting. NOTE: materializing

@@ -43,6 +43,8 @@ def validate_stream(
     trigger_available_now: bool = True,
     on_batch: Callable[[ManifestRun, int], None] | None = None,
     freeze_drift_baseline: bool = False,
+    violations_sink: str | None = None,
+    warn_skipped_rows: bool = True,
 ) -> StreamingQuery:
     """Validate a stream of file rows micro-batch by micro-batch.
 
@@ -64,7 +66,26 @@ def validate_stream(
             partition_col=partition_col,
             run_id=f"stream-{batch_id}",
             freeze_drift_baseline=freeze_drift_baseline,
+            violations_sink=violations_sink,
+            count_skipped_rows=warn_skipped_rows,
         )
+        if warn_skipped_rows and run.skipped_rows:
+            # A partition is committed the first batch its data appears
+            # in; rows of the SAME partition arriving in a later batch
+            # (file sources with maxFilesPerTrigger split partitions
+            # across triggers) are pruned and never validated. Surface
+            # that loudly instead of silently under-covering — fix by
+            # triggering with availableNow/larger batches, or by
+            # invalidating the suite_id to force revalidation.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batch %d: %d row(s) of already-committed partitions were "
+                "skipped (partition split across micro-batches — these rows "
+                "were NOT validated)",
+                batch_id,
+                run.skipped_rows,
+            )
         if on_batch is not None:
             on_batch(run, batch_id)
 

@@ -190,10 +190,13 @@ def test_multimodal_features(spark):
     assert len(feats) == 50
     for r in feats:
         assert r.n_bytes > 0
-        assert len(r.feature) == 8
-        assert abs(sum(r.feature) - 1.0) < 0.01
-    again = {r.media_id: tuple(r.feature) for r in extract_features(media).collect()}
-    assert again == {r.media_id: tuple(r.feature) for r in feats}  # deterministic
+        fs = [r[f"f{i}"] for i in range(8)]
+        assert abs(sum(fs) - 1.0) < 0.01
+        # payload bytes are ascii hex chars: only buckets 1 ('0'-'9')
+        # and 3 ('a'-'f') can be populated
+        assert fs[0] == fs[2] == fs[4] == fs[5] == fs[6] == fs[7] == 0.0
+    again = {r.media_id: tuple(r[f"f{i}"] for i in range(8)) for r in extract_features(media).collect()}
+    assert again == {r.media_id: tuple(r[f"f{i}"] for i in range(8)) for r in feats}  # deterministic
 
 
 # ------------------------------------------------------- embedding near-dups

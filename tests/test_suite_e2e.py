@@ -40,7 +40,9 @@ def test_suite_golden_verdicts(spark):
     # uniqueness: planted dups exist somewhere; violations carry the envelope
     assert any(v == "FAIL" for v in by["uniqueness"].values())
     viol_cols = res.violations.columns
-    assert viol_cols == ["repo", "path", "commit", "check_id", "observed", "expected"]
+    assert viol_cols == [
+        "repo", "path", "commit", "partition_key", "check_id", "observed", "expected",
+    ]
 
 
 def test_suite_deterministic_across_parallelism(spark):
