@@ -383,18 +383,27 @@ def q_emb_exact_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------- rows-only queries (no SQL-expressible oracle)
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # sha256 hash mode: identical banded-LSH plan shape as the xxhash64
+    # production default, but every signature/band hash is re-derivable
+    # in the SQL oracle (fixed-width hex strings min-aggregate the same
+    # as their numeric values)
     from anomaly_detector_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
 
     d = load_table(spark, sf, "documents")
-    cand = minhash_lsh_candidates(d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3)
+    cand = minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3, hash_fn="sha256"
+    )
     return jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # sha256 hash mode: 60-bit signatures (15 hex chars), 4 blocks of 15
     from anomaly_detector_spark.operators.dedup import simhash_near_dups
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    return simhash_near_dups(d, "text", "doc_id", max_hamming=8, blocks=4)
+    return simhash_near_dups(
+        d, "text", "doc_id", max_hamming=8, blocks=4, bits=60, hash_fn="sha256"
+    )
 
 
 def q_docs_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -418,7 +427,11 @@ def q_emb_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.dedup import embedding_near_dups
 
     emb = load_table(spark, sf, "embeddings")
-    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5, dim=64, bits=8, tables=6)
+    # 6-bit/12-table config: at the low 0.5 threshold (the strongest pair
+    # in this synthetic table is only cos~0.51) hyperplane collisions
+    # need shallow buckets + more tables to recall it — verified that the
+    # deterministic planes do collide for the top pair
+    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5, dim=64, bits=6, tables=12)
 
 
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1028,6 +1041,249 @@ def _suite_verdicts_oracle() -> str:
     """
 
 
+_TOKS_SQL = (
+    "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END"
+)
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 1,
+                    max_bucket: int = 10_000, threshold: float = 0.4) -> str:
+    """Banded MinHash-LSH + exact-Jaccard oracle (sha256 hash mode).
+
+    Mirrors operators/dedup.py minhash_signatures/minhash_lsh_candidates/
+    jaccard_pairs exactly: 3-word shingles, per-draw hash = first 16 hex
+    of sha256('{i+seed}:' || shingle) (string min == numeric min for
+    fixed-width hex), band hash = sha256 of the '|'-joined 4 signatures,
+    oversized buckets dropped, candidates verified with distinct-shingle
+    Jaccard at the threshold.
+    """
+    r = num_hashes // bands
+    mins = ",\n              ".join(
+        f"min(substr(sha256('{i + seed}:' || s), 1, 16)) AS h{i}" for i in range(num_hashes)
+    )
+    band_sel = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, sha256("
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+          FROM t
+        ),
+        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id,
+              {mins}
+          FROM e GROUP BY doc_id
+        ),
+        banded AS (
+              {band_sel}
+        ),
+        kept AS (
+          SELECT band_idx, band_hash FROM banded
+          GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+        ),
+        b2 AS (SELECT banded.* FROM banded JOIN kept USING (band_idx, band_hash)),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM b2 a JOIN b2 b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        dsh AS (SELECT doc_id, list_distinct(shingles) AS d FROM sh),
+        j AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(da.d, db.d)) AS inter,
+                 len(da.d) + len(db.d) - len(list_intersect(da.d, db.d)) AS uni
+          FROM cand c JOIN dsh da ON da.doc_id = c.id_a JOIN dsh db ON db.doc_id = c.id_b
+        )
+        SELECT id_a, id_b,
+               CASE WHEN uni > 0 THEN round(CAST(inter AS DOUBLE) / uni, 6) ELSE 0.0 END AS jaccard
+        FROM j
+        WHERE (CASE WHEN uni > 0 THEN round(CAST(inter AS DOUBLE) / uni, 6) ELSE 0.0 END) >= {threshold}
+    """
+
+
+def _simhash_oracle(bits: int = 60, blocks: int = 4, max_hamming: int = 8) -> str:
+    """SimHash near-dup oracle (sha256 hash mode): 60-bit signatures from
+    the first 15 hex chars of sha256(token), bit-majority votes, block
+    bucketing + exact hamming — mirroring operators/dedup.py
+    with_simhash64/simhash_near_dups bit for bit."""
+    width = bits // blocks
+    votes = ",\n              ".join(
+        f"sum(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    blocked = "\n              UNION ALL ".join(
+        f"SELECT doc_id, sig, {blk} AS block_idx, (sig >> {blk * width}) & {(1 << width) - 1} AS block_val FROM allsig"
+        for blk in range(blocks)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        hashed AS (
+          SELECT doc_id, CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h FROM e
+        ),
+        votes AS (
+          SELECT doc_id,
+              {votes}
+          FROM hashed GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, {sig} AS sig FROM votes),
+        allsig AS (
+          SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+          FROM documents d LEFT JOIN sigs s USING (doc_id)
+        ),
+        blocked AS (
+              {blocked}
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.sig, b.sig)) AS hamming
+          FROM blocked a JOIN blocked b
+            ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+def _sig_sql(vec: str, dim: int, bits: int, table: int) -> str:
+    """SQL expression for the hyperplane signature of ``vec`` — inlines
+    the SAME ±1 matrix the Spark plan folds in (similarity.hyperplane_signs)."""
+    from anomaly_detector_spark.operators.similarity import hyperplane_signs
+
+    terms = []
+    for j, row in enumerate(hyperplane_signs(dim, bits, table)):
+        lits = ", ".join(str(s) for s in row)
+        proj = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec}[i] * ([{lits}])[i]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_COS64 = (
+    "list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {a}[i]), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(range(1, 65), i -> {b}[i] * {b}[i]), 'sum')))"
+)
+
+
+def _emb_near_dups_lsh_oracle(dim: int = 64, bits: int = 6, tables: int = 12,
+                              threshold: float = 0.5) -> str:
+    sigs = "\n              UNION ALL ".join(
+        f"SELECT vec_id, vec, {t} AS t, {_sig_sql('vec', dim, bits, t)} AS s FROM v"
+        for t in range(tables)
+    )
+    cos = _COS64.format(a="a.vec", b="b.vec")
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        banded AS (
+              {sigs}
+        ),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({cos}, 6) AS score
+          FROM banded a JOIN banded b
+            ON a.t = b.t AND a.s = b.s AND a.vec_id < b.vec_id
+          GROUP BY 1, 2, 3
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, score
+        FROM cand WHERE score >= {threshold}
+    """
+
+
+def _lsh_topk_oracle(dim: int = 64, bits: int = 10, tables: int = 4, k: int = 5) -> str:
+    c_sigs = "\n              UNION ALL ".join(
+        f"SELECT vec_id, vec, {t} AS t, {_sig_sql('vec', dim, bits, t)} AS s FROM v"
+        for t in range(tables)
+    )
+    q_sigs = "\n              UNION ALL ".join(
+        f"SELECT query_id, q_vec, {t} AS t, {_sig_sql('q_vec', dim, bits, t)} AS s FROM q"
+        for t in range(tables)
+    )
+    cos = _COS64.format(a="cb.vec", b="qb.q_vec")
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+              FROM embeddings WHERE vec_id < 5),
+        cb AS (
+              {c_sigs}
+        ),
+        qb AS (
+              {q_sigs}
+        ),
+        cand AS (
+          SELECT qb.query_id, cb.vec_id, round({cos}, 6) AS score
+          FROM cb JOIN qb ON cb.t = qb.t AND cb.s = qb.s
+          GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+          FROM cand
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+               score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_topk_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    cos_assign = _COS64.format(a="c.vec", b="ct.cent_vec")
+    cos_probe = _COS64.format(a="q.q_vec", b="ct.cent_vec")
+    cos_score = _COS64.format(a="a.vec", b="p.q_vec")
+    return f"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cell_id, vec AS cent_vec FROM c
+          ORDER BY sha256(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+        ),
+        assigned AS (
+          SELECT vec_id, vec, cell_id FROM (
+            SELECT c.vec_id, c.vec, ct.cell_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY {cos_assign} DESC, ct.cell_id ASC) AS rn
+            FROM c CROSS JOIN cents ct
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+              FROM embeddings WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, q_vec, cell_id FROM (
+            SELECT q.query_id, q.q_vec, ct.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {cos_probe} DESC, ct.cell_id ASC) AS rn
+            FROM q CROSS JOIN cents ct
+          ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id, round({cos_score}, 6) AS score
+          FROM assigned a JOIN probes p USING (cell_id)
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+               score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 # inject the stopword list literal into the docs_token_stats oracle
 def _stopword_sql_list() -> str:
     from anomaly_detector_spark.operators.text import STOPWORDS
@@ -1043,4 +1299,9 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
     out["suite_verdicts"] = _suite_verdicts_oracle()
     out["docs_langid"] = _langid_oracle()
+    out["minhash_pairs"] = _minhash_oracle()
+    out["simhash_pairs"] = _simhash_oracle()
+    out["emb_near_dups_lsh"] = _emb_near_dups_lsh_oracle()
+    out["lsh_topk"] = _lsh_topk_oracle()
+    out["ivf_topk"] = _ivf_topk_oracle()
     return out

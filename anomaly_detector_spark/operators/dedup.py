@@ -67,6 +67,19 @@ def word_shingles(col: Column | str, k: int = 3, distinct: bool = True) -> Colum
     return F.array_distinct(arr) if distinct else arr
 
 
+def _shingle_hash(i: int, sh: Column, seed: int, hash_fn: str) -> Column:
+    """Hash draw i of a shingle. ``xxhash64`` (production: cheapest JVM
+    hash) or ``sha256`` (oracle mode: first 16 hex chars as a STRING —
+    fixed-width lowercase hex compares lexicographically == numerically,
+    so min-aggregation semantics are identical, and any SQL engine with
+    sha256 can re-derive the signature exactly)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(i + seed), sh)
+    if hash_fn == "sha256":
+        return F.substring(F.sha2(F.concat(F.lit(f"{i + seed}:"), sh), 256), 1, 16)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     col: str = "text",
@@ -74,6 +87,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` long columns _h0.._hK.
 
@@ -93,7 +107,8 @@ def minhash_signatures(
         F.explode(word_shingles(col, shingle_k, distinct=False)).alias("_sh"),
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i + seed), F.col("_sh"))).alias(f"_h{i}") for i in range(num_hashes)
+        F.min(_shingle_hash(i, F.col("_sh"), seed, hash_fn)).alias(f"_h{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy("_id").agg(*mins)
 
@@ -107,6 +122,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     seed: int = 1,
     max_bucket: int = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -125,12 +141,18 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, col, id_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(df, col, id_col, num_hashes, shingle_k, seed, hash_fn)
+
+    def band_hash(b: int) -> F.Column:
+        cols = [F.col(f"_h{b * r + j}") for j in range(r)]
+        if hash_fn == "sha256":
+            # sha256 over the '|'-joined hex signatures — byte-identical
+            # to `sha256(h0 || '|' || h1 || ...)` in the SQL oracle
+            return F.sha2(F.concat_ws("|", *cols), 256)
+        return F.xxhash64(F.lit(b), *cols)
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(F.lit(b), *[F.col(f"_h{b * r + j}") for j in range(r)]).alias("band_hash"),
-        )
+        F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_hash"))
         for b in range(bands)
     ]
     banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
@@ -244,24 +266,42 @@ def _bit_mask(bit: int) -> int:
     return (1 << bit) if bit < 63 else -(1 << 63)
 
 
-def with_simhash64(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", out: str = "simhash"
-) -> DataFrame:
-    """64-bit SimHash per document — single-pass explode + groupBy.
+def _token_hash(tok: Column, hash_fn: str) -> Column:
+    """64-bit (xxhash64) or 60-bit (sha256-derived) token hash. The sha
+    variant parses the first 15 hex chars of sha256 as an integer —
+    60 bits, reproducible in any SQL engine with sha256 + hex casts."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(tok)
+    if hash_fn == "sha256":
+        return F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
-    bit b of the signature is 1 iff sum over tokens of (+1 if
-    xxhash64(token) has bit b set else -1) is positive. The explode
-    fans token hashing across executors; 64 conditional sums run in one
+
+def with_simhash64(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "simhash",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``bits``-wide SimHash per document — single-pass explode + groupBy.
+
+    bit b of the signature is 1 iff sum over tokens of (+1 if the token
+    hash has bit b set else -1) is positive. The explode fans token
+    hashing across executors; the conditional sums run in one
     partial-aggregated groupBy (map-side combine), so the shuffle
-    carries 64 longs per document regardless of document size. Bit
-    masks are Python int literals (no Column shift ops).
+    carries ``bits`` longs per document regardless of document size. Bit
+    masks are Python int literals (no Column shift ops). Default: 64
+    bits over xxhash64; ``hash_fn='sha256'`` uses 60-bit sha-derived
+    hashes (pass bits=60) for SQL-oracle reproducibility.
     """
-    h = F.xxhash64(F.col("_tok"))
+    h = _token_hash(F.col("_tok"), hash_fn)
     votes = [
         F.sum(
             F.when(h.bitwiseAND(F.lit(_bit_mask(b))) != 0, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"_v{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = (
         df.select(F.col(id_col), F.explode(tokens(col)).alias("_tok"))
@@ -269,7 +309,7 @@ def with_simhash64(
         .agg(*votes)
     )
     sig = None
-    for b in range(64):
+    for b in range(bits):
         term = F.when(F.col(f"_v{b}") > 0, F.lit(_bit_mask(b)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -279,16 +319,23 @@ def with_simhash64(
 
 
 def simhash_near_dups(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block the 64-bit signature into
+    """Near-dup pairs by SimHash: block the ``bits``-wide signature into
     ``blocks`` chunks; by pigeonhole, any pair within ``max_hamming``
     (< blocks) shares at least one exact block → bucket join per block,
     then exact hamming filter via bit_count(xor).
     """
-    width = 64 // blocks
+    width = bits // blocks
     sigs = with_simhash64(
-        df.select(F.col(id_col).alias("_id"), F.col(col)), col, "_id", "_sig"
+        df.select(F.col(id_col).alias("_id"), F.col(col)), col, "_id", "_sig",
+        bits=bits, hash_fn=hash_fn,
     ).select("_id", "_sig")
     blocked = sigs.select(
         "_id",

@@ -64,19 +64,35 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane_sig(vec: Column, dim: int, bits: int, table: int) -> Column:
-    """Deterministic random-hyperplane signature: bit j = sign of
-    sum_i vec[i] * h(table, j, i), with h a +/-1 hash — all JVM-side.
-    Bits are unrolled in Python (bit masks must be int literals)."""
-    def make_step(j: int):
-        # factory (not a default arg) — Spark counts lambda params
-        return lambda a, i: a + F.element_at(vec, i.cast("int") + 1) * F.when(
-            F.xxhash64(F.lit(table), F.lit(j), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+def hyperplane_signs(dim: int, bits: int, table: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix, derived on the DRIVER from
+    sha256("{table}:{j}:{i}") parity. The planes are constants of the
+    index — hashing them per data row (the previous formulation) was
+    pure overhead and, being xxhash64, unreproducible outside the JVM.
+    As literals they fold into the plan (codegen'd multiply-adds) and
+    any SQL oracle can inline the same matrix from the same derivation.
+    """
+    import hashlib
 
+    return [
+        [
+            1.0 if int(hashlib.sha256(f"{table}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def _hyperplane_sig(vec: Column, dim: int, bits: int, table: int) -> Column:
+    """Random-hyperplane signature: bit j = sign of <vec, plane_j>, the
+    plane a ±1 literal array (see hyperplane_signs). zip_with + aggregate
+    keeps the dot product JVM-side."""
     sig = None
-    for j in range(bits):
-        proj = F.aggregate(F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), make_step(j))
+    for j, row in enumerate(hyperplane_signs(dim, bits, table)):
+        plane = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: x * s), F.lit(0.0), lambda a, v: a + v
+        )
         term = F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
     return sig
@@ -154,8 +170,10 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
     )
+    # sha256-ordered deterministic sample (not xxhash64): same uniform
+    # pseudo-random pick, but reproducible outside the JVM for oracles
     cents = (
-        c.withColumn("_h", F.xxhash64("vec_id"))
+        c.withColumn("_h", F.sha2(F.col("vec_id").cast("string"), 256))
         .orderBy("_h")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("c_vec").alias("cent_vec"))
