@@ -446,19 +446,42 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_events_savgol(spark: SparkSession, sf: str) -> DataFrame:
     # W7: Savitzky-Golay smoothing per key (reference preprocessing.py:11-13;
-    # FIR coefficients derived closed-form, numpy convolution in Arrow batches)
+    # FIR coefficients derived closed-form, numpy convolution in Arrow
+    # batches). round(6) for cross-engine float stability vs the oracle's
+    # 7-term FIR sum.
     from anomaly_detector_spark.operators.windows import savgol_smooth
 
     ev = load_table(spark, sf, "events")
-    return savgol_smooth(ev, "user_id", "ts", "value", window_length=7, polyorder=3)
+    out = savgol_smooth(ev, "user_id", "ts", "value", window_length=7, polyorder=3)
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value"), F.round("smoothed", 6).alias("smoothed")
+    )
 
 
 def q_events_resample(spark: SparkSession, sf: str) -> DataFrame:
-    # W8: per-key resample to 1-minute grid + linear interpolation
+    # W8: per-key resample to 1-minute grid + linear interpolation,
+    # rolled up per (user, hour) so the driver's hash compare stays
+    # O(users x hours) instead of 6.3M minute rows; minute values are
+    # rounded BEFORE the rollup so both engines aggregate identical
+    # inputs.
     from anomaly_detector_spark.operators.windows import resample_interpolate
 
     ev = load_table(spark, sf, "events")
-    return resample_interpolate(ev, "user_id", "ts", "value", freq="1min")
+    grid = resample_interpolate(ev, "user_id", "ts", "value", freq="1min")
+    # integer micro-units: summing rounded doubles lands on round(4)
+    # boundaries where the engines' 1e-12 fp-association differences
+    # flip the last digit — integer sums are exact in both
+    micro = grid.select(
+        "user_id", "ts", F.round(F.col("value") * 1e6).cast("long").alias("vmicro")
+    )
+    return micro.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("vmicro").cast("long").alias("v_sum_micro"),
+        F.min("vmicro").cast("long").alias("v_min_micro"),
+        F.max("vmicro").cast("long").alias("v_max_micro"),
+    )
 
 
 def q_docs_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -466,6 +489,43 @@ def q_docs_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return with_fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+def q_docs_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    # winnowing fingerprints (MOSS scheme): min-hash of each sliding
+    # window over the shingle-hash sequence, distinct per doc
+    from anomaly_detector_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", shingle_k=3, window=4)
+
+
+def q_events_load_norm(spark: SparkSession, sf: str) -> DataFrame:
+    # W4 + F9 + O5 composed: extract load sessions, normalize each curve
+    # by its max, zero-pad/truncate to 20 points — the reference's
+    # load-device pipeline shape (load_device.py:36-50,66-76) minus the
+    # IsolationForest (replaced by the suite's outlier flagging). Scalar
+    # projections of the padded curve keep the row hashable.
+    from anomaly_detector_spark.operators.loads import extract_loads, normalize_by_max
+    from anomaly_detector_spark.operators.windows import pad_or_truncate
+
+    ev = load_table(spark, sf, "events")
+    loads = extract_loads(
+        ev, "user_id", "ts", "value",
+        start_thresh=100.0, end_thresh=50.0, end_count=10, lookback=10, trim=10,
+        tiebreak_col="event_id",
+    )
+    curve = loads.withColumn("norm", normalize_by_max("values")).withColumn(
+        "padded", pad_or_truncate(F.col("norm"), 20)
+    )
+    return curve.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "load_id",
+        "n_points",
+        F.round(F.aggregate("norm", F.lit(0.0), lambda a, v: a + v), 6).alias("norm_sum"),
+        F.size("padded").cast("long").alias("pad_len"),
+        F.round(F.element_at("padded", 20), 6).alias("pad_tail"),
+    )
 
 
 def q_docs_fingerprint_sha(spark: SparkSession, sf: str) -> DataFrame:
@@ -507,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_debounce": q_events_debounce,
         "events_loads": q_events_loads,
+        "events_load_norm": q_events_load_norm,
+        "docs_winnow_fp": q_docs_winnow_fp,
         "docs_token_stats": q_docs_token_stats,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_quality_by_lang": q_docs_quality_by_lang,
@@ -535,6 +597,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _Q1_DISC = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 _Q1_CHARGE = f"{_Q1_DISC} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))"
+
+# Shared recursive-CTE derivation of the reference extract_loads state
+# machine (/root/reference/algo/load_device.py:8-34): each load's end
+# position gates the next load's trigger, so loads are derived
+# iteratively per key; the CUMULATIVE below-threshold counter clt makes
+# "11th low value since the trigger" a running-sum lookup. Members of a
+# load are {s} UNION (t, e-10] (the reference appends only the lookback
+# index at trigger time). Used by the events_loads and events_load_norm
+# oracles.
+_LOADS_PREFIX = """
+            WITH RECURSIVE ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS k,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     value AS v,
+                     sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clt
+              FROM events
+            ),
+            loads AS (
+              SELECT t.k AS k, 1 AS load_no, t.rn AS t, t.clt AS clt_t
+              FROM (SELECT k AS fk, min(rn) AS first_t FROM ev WHERE v > 100.0 GROUP BY 1) f
+              JOIN ev t ON t.k = f.fk AND t.rn = f.first_t
+              UNION ALL
+              SELECT l.k, l.load_no + 1, nt.rn, nt.clt
+              FROM loads l
+              JOIN LATERAL (
+                SELECT min(rn) AS e_rn FROM ev
+                WHERE ev.k = l.k AND ev.rn > l.t AND ev.clt - l.clt_t >= 11
+              ) fin ON fin.e_rn IS NOT NULL
+              JOIN LATERAL (
+                SELECT rn, clt FROM ev
+                WHERE ev.k = l.k AND ev.rn > fin.e_rn AND ev.v > 100.0
+                ORDER BY rn LIMIT 1
+              ) nt ON TRUE
+            ),
+            ended AS (
+              SELECT l.k, l.load_no, l.t,
+                     (SELECT min(rn) FROM ev
+                      WHERE ev.k = l.k AND ev.rn > l.t AND ev.clt - l.clt_t >= 11) AS e
+              FROM loads l
+            ),
+            complete AS (SELECT * FROM ended WHERE e IS NOT NULL)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -710,46 +815,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(suppressed) AS BIGINT) AS n_suppressed
             FROM a GROUP BY 1
         """,
-        "events_loads": """
-            -- the reference extract_loads state machine as a recursive
-            -- CTE: each load's end position gates the next load's
-            -- trigger, so loads are derived iteratively per key; the
-            -- cumulative below-threshold counter clt makes "11th low
-            -- value since the trigger" a running-sum lookup. Members of
-            -- a load are {s} UNION (t, e-10] (the reference appends only
-            -- the lookback index at trigger time).
-            WITH RECURSIVE ev AS (
-              SELECT CAST(user_id AS VARCHAR) AS k,
-                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-                     value AS v,
-                     sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clt
-              FROM events
-            ),
-            loads AS (
-              SELECT t.k AS k, 1 AS load_no, t.rn AS t, t.clt AS clt_t
-              FROM (SELECT k AS fk, min(rn) AS first_t FROM ev WHERE v > 100.0 GROUP BY 1) f
-              JOIN ev t ON t.k = f.fk AND t.rn = f.first_t
-              UNION ALL
-              SELECT l.k, l.load_no + 1, nt.rn, nt.clt
-              FROM loads l
-              JOIN LATERAL (
-                SELECT min(rn) AS e_rn FROM ev
-                WHERE ev.k = l.k AND ev.rn > l.t AND ev.clt - l.clt_t >= 11
-              ) fin ON fin.e_rn IS NOT NULL
-              JOIN LATERAL (
-                SELECT rn, clt FROM ev
-                WHERE ev.k = l.k AND ev.rn > fin.e_rn AND ev.v > 100.0
-                ORDER BY rn LIMIT 1
-              ) nt ON TRUE
-            ),
-            ended AS (
-              SELECT l.k, l.load_no, l.t,
-                     (SELECT min(rn) FROM ev
-                      WHERE ev.k = l.k AND ev.rn > l.t AND ev.clt - l.clt_t >= 11) AS e
-              FROM loads l
-            ),
-            complete AS (SELECT * FROM ended WHERE e IS NOT NULL)
+        "events_loads": f"""
+            {_LOADS_PREFIX}
             SELECT c.k AS user_id,
                    CAST(c.load_no AS BIGINT) AS load_id,
                    CAST(greatest(1, c.t - 10) AS BIGINT) AS start_rn,
@@ -763,6 +830,29 @@ def oracle_sql() -> dict[str, str]:
                     WHERE ev.k = c.k AND (ev.rn = greatest(1, c.t - 10)
                           OR (ev.rn > c.t AND ev.rn <= c.e - 10))) AS v_max
             FROM complete c
+        """,
+        "events_load_norm": f"""
+            {_LOADS_PREFIX}
+            , m AS (
+              SELECT c.k, c.load_no, c.t, c.e,
+                     CAST(c.e - c.t - 10 + 1 AS BIGINT) AS n_points,
+                     (SELECT max(v) FROM ev
+                      WHERE ev.k = c.k AND (ev.rn = greatest(1, c.t - 10)
+                            OR (ev.rn > c.t AND ev.rn <= c.e - 10))) AS vm
+              FROM complete c
+            )
+            SELECT m.k AS user_id,
+                   CAST(m.load_no AS BIGINT) AS load_id,
+                   m.n_points,
+                   (SELECT round(sum(CASE WHEN m.vm <> 0 THEN v / m.vm ELSE v END), 6)
+                    FROM ev WHERE ev.k = m.k AND (ev.rn = greatest(1, m.t - 10)
+                          OR (ev.rn > m.t AND ev.rn <= m.e - 10))) AS norm_sum,
+                   CAST(20 AS BIGINT) AS pad_len,
+                   CASE WHEN m.n_points >= 20 THEN
+                     (SELECT round(CASE WHEN m.vm <> 0 THEN v / m.vm ELSE v END, 6)
+                      FROM ev WHERE ev.k = m.k AND ev.rn = m.t + 19)
+                   ELSE 0.0 END AS pad_tail
+            FROM m
         """,
         "docs_token_stats": r"""
             SELECT doc_id,
@@ -832,6 +922,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(event_id AS BIGINT) AS event_id,
                    make_timestamp(CAST(epoch_ms(ts) AS BIGINT) * 1000) AS parsed_ts
             FROM events
+        """,
+        "docs_winnow_fp": f"""
+            -- winnowing (MOSS): per doc, hash every 3-word shingle
+            -- (first 16 hex of sha256), take the min of each 4-wide
+            -- sliding window, emit the distinct selections
+            WITH t AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+              FROM t
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(shingles, s -> substr(sha256(s), 1, 16)) AS hs
+              FROM sh
+            ),
+            sel AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) - 3 < 1 THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(range(1, len(hs) - 3 + 1),
+                                             i -> list_aggregate(hs[i:i+3], 'min')))
+                     END AS fps
+              FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM sel
         """,
         "docs_fingerprint_sha": r"""
             SELECT doc_id,
@@ -1284,6 +1402,96 @@ def _ivf_topk_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
     """
 
 
+def _savgol_oracle(window_length: int = 7, polyorder: int = 3) -> str:
+    """Savitzky-Golay oracle: the FIR coefficients are a driver-side
+    closed-form constant (windows.savgol_coeffs — same math scipy uses),
+    so smoothing is a 7-term dot product over a reflect-padded series:
+    smoothed[i] = sum_d c[d] * v[reflect(i+d)]. Reflection in 1-based
+    positions: p<1 -> 2-p, p>n -> 2n-p. Series with n < window stay
+    unsmoothed (kernel behavior)."""
+    from anomaly_detector_spark.operators.windows import savgol_coeffs
+
+    c = savgol_coeffs(window_length, polyorder)
+    half = window_length // 2
+    terms = []
+    for d in range(-half, half + 1):
+        refl = (
+            f"(CASE WHEN i+({d}) < 1 THEN 2-(i+({d})) "
+            f"WHEN i+({d}) > n THEN 2*n-(i+({d})) ELSE i+({d}) END)"
+        )
+        terms.append(f"{c[d + half]!r} * vals[{refl}]")
+    expr = " + ".join(terms)
+    return f"""
+        WITH arr AS (
+          SELECT user_id,
+                 list(value ORDER BY ts) AS vals,
+                 list(ts ORDER BY ts) AS tss,
+                 count(*) AS n
+          FROM events GROUP BY user_id
+        ),
+        sm AS (
+          SELECT user_id, tss, vals,
+                 CASE WHEN n >= {window_length}
+                      THEN list_transform(range(1, n + 1), i -> {expr})
+                      ELSE vals END AS sms
+          FROM arr
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               unnest(tss) AS ts,
+               round(unnest(vals), 4) AS value,
+               round(unnest(sms), 6) AS smoothed
+        FROM sm
+    """
+
+
+def _resample_oracle() -> str:
+    """Resample+interpolate oracle. Anchors = first row per floored
+    second (ties broken on (ts, value) — pinned in the kernel too);
+    minute points = minute boundaries within [first_anchor, last_anchor];
+    value = linear interpolation between bracketing anchors (slope-first
+    association, mirroring np.interp); rolled up per (user, hour) after
+    rounding, exactly as the Spark query does."""
+    return """
+        WITH a0 AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value,
+                 row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+                   ORDER BY ts, value) AS rn
+          FROM events
+        ),
+        anchors AS (SELECT user_id, sec, value FROM a0 WHERE rn = 1),
+        rng AS (SELECT user_id, min(sec) AS s0, max(sec) AS s1 FROM anchors GROUP BY 1),
+        grid AS (
+          SELECT user_id,
+                 unnest(range(CAST(ceil(s0 / 60.0) AS BIGINT),
+                              CAST(floor(s1 / 60.0) AS BIGINT) + 1)) * 60 AS t
+          FROM rng
+        ),
+        prev AS (
+          SELECT g.user_id, g.t, a.sec AS a1, a.value AS v1
+          FROM grid g ASOF JOIN anchors a ON g.user_id = a.user_id AND g.t >= a.sec
+        ),
+        nxt AS (
+          SELECT g.user_id, g.t, a.sec AS a2, a.value AS v2
+          FROM grid g ASOF JOIN anchors a ON g.user_id = a.user_id AND g.t <= a.sec
+        ),
+        mins AS (
+          SELECT p.user_id, p.t,
+                 CAST(round((CASE WHEN n.a2 = p.a1 THEN p.v1
+                       ELSE p.v1 + (n.v2 - p.v1) / (n.a2 - p.a1) * (p.t - p.a1) END)
+                       * 1000000, 0) AS BIGINT) AS vmicro
+          FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.t = n.t
+        )
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               date_trunc('hour', make_timestamp(t * 1000000)) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(vmicro) AS BIGINT) AS v_sum_micro,
+               CAST(min(vmicro) AS BIGINT) AS v_min_micro,
+               CAST(max(vmicro) AS BIGINT) AS v_max_micro
+        FROM mins GROUP BY 1, 2
+    """
+
+
 # inject the stopword list literal into the docs_token_stats oracle
 def _stopword_sql_list() -> str:
     from anomaly_detector_spark.operators.text import STOPWORDS
@@ -1304,4 +1512,6 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["emb_near_dups_lsh"] = _emb_near_dups_lsh_oracle()
     out["lsh_topk"] = _lsh_topk_oracle()
     out["ivf_topk"] = _ivf_topk_oracle()
+    out["events_savgol"] = _savgol_oracle()
+    out["events_resample"] = _resample_oracle()
     return out

@@ -44,9 +44,12 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Character k-shingles of normalized text, JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.lower(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    n = F.length(norm) - (k - 1)
+    # sequence(1, n) descends for n < 1 — short strings yield no shingles
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+        )
     )
 
 
@@ -59,10 +62,15 @@ def word_shingles(col: Column | str, k: int = 3, distinct: bool = True) -> Colum
     fewer interpreted expression nodes per shingle.)
     """
     toks = tokens(col)
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    arr = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    n = F.size(toks) - (k - 1)
+    # guard: Spark sequence(1, n) DESCENDS for n < 1 ([1, 0], and
+    # slice(_, 0, _) throws) — docs with fewer than k tokens must yield
+    # an empty shingle set
+    arr = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
     )
     return F.array_distinct(arr) if distinct else arr
 

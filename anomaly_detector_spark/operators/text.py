@@ -116,3 +116,42 @@ def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint")
     normalized content) — cheap exact-dup key."""
     norm = F.lower(F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"\s+", " "))
     return df.withColumn(out, F.xxhash64(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer/
+    Wilkerson/Aiken SIGMOD'03): hash every word k-shingle, slide a
+    ``window``-wide window over the hash sequence, keep the minimum of
+    each window; the distinct selected hashes are the document's
+    fingerprint set. Guarantees any shared run of window+k-1 tokens
+    between two documents shares at least one fingerprint.
+
+    Everything is JVM-side array expressions (transform/slice/array_min)
+    — a narrow map, no shuffle, no Python. Hashes are sha256-derived hex
+    prefixes so any SQL engine reproduces them. Output: one row per
+    (doc, fingerprint), explode-ready for an inverted-index join.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(col, shingle_k, distinct=False)
+    hashes = F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))
+    n_windows = F.size(hashes) - (window - 1)
+    # guard: Spark sequence(1, n) DESCENDS when n < 1 — an empty doc must
+    # yield an empty fingerprint set, not sequence(1, 0) == [1, 0]
+    selected = F.when(n_windows < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(selected).alias("fingerprint")
+    )

@@ -181,7 +181,11 @@ def resample_interpolate(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_b].iloc[0]
-        s = pdf.set_index(ts_b)[val_b].sort_index()
+        # sort by (ts, value) — NOT arrival order: rows reach the kernel
+        # in shuffle order, so keep='first' below must break floored-
+        # second ties on a pinned total order to stay deterministic
+        # under partitioning (and reproducible by the SQL oracle)
+        s = pdf.sort_values([ts_b, val_b]).set_index(ts_b)[val_b]
         # second-truncate first (reference F4, algo/operator.py:132):
         # sub-second offsets would otherwise leave every 1s bin empty and
         # interpolate() with no anchors → empty output.

@@ -236,3 +236,34 @@ def test_ivf_topk_agrees_with_brute_force_top1(spark):
     # self-query: top-1 must be the vector itself (score 1.0), any nprobe
     out = ivf_topk(df, q, k=1, n_cells=8, nprobe=8).collect()
     assert {(r["query_id"], r["vec_id"]) for r in out} == {(i, i) for i in range(3)}
+
+
+# ------------------------------------------------------------- winnowing
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    # winnowing guarantee: two docs sharing a run of window+k-1 = 6+
+    # tokens share at least one fingerprint
+    from anomaly_detector_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "completely different prefix " + shared),
+            (3, "no overlap with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]          # shared run -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # disjoint docs -> disjoint sets
+
+
+def test_winnow_fingerprints_empty_doc(spark):
+    from anomaly_detector_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "one two")], "doc_id long, text string")
+    assert winnow_fingerprints(df, "text", "doc_id").count() == 0
