@@ -52,6 +52,46 @@ def files_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def parse_kafka_envelope(df: DataFrame, schema: str = FILES_SCHEMA) -> DataFrame:
+    """Decode a Kafka-shaped frame (binary ``value`` column) into file
+    rows: value = JSON document in ``input_hint`` shape. Pure column
+    expressions — testable on a static frame, identical for the stream.
+
+    The reference consumes one JSON message at a time from its Kafka
+    consumer (/root/reference/util/op_base.py:81-108); here the decode is
+    a vectorized from_json over whatever micro-batch Spark delivers.
+    """
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_m")
+    ).select("_m.*")
+
+
+def kafka_files_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: str = FILES_SCHEMA,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 in its native form: a Kafka stream of file rows, ready for
+    ``streaming.validate.validate_stream``. Requires the
+    spark-sql-kafka connector on the classpath (spark-submit --packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); the
+    envelope decode is the separately-tested parse_kafka_envelope.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_envelope(raw, schema)
+
+
 # DuckDB CTE producing the identical table (oracle side).
 FILES_CTE_SQL = f"""
 files AS (

@@ -80,6 +80,31 @@ def debounced_anomalies_stream(
     )
 
 
+def notification_decision_as_written(
+    ts_last_anomaly: float, ts_last_notification: float, ts: float, window_s: int = 1800
+):
+    """The reference's notification_decision EXACTLY as written
+    (/root/reference/algo/cont_device.py:208-224): both
+    ``anomaly_during_last_30_min`` and ``notification_during_last_30_min``
+    are computed from the SAME ``timestamp_last_anomaly`` input (:209 and
+    :213 are identical conditions), so the notify condition
+    ``anomaly AND NOT notification`` is a contradiction and
+    ``notification_now`` is ALWAYS False — the reference never notifies.
+
+    Kept as an executable fidelity fixture (test_streaming pins that it
+    never fires) so the deviation in ``debounced_anomalies_stream`` /
+    ``debounce_batch`` — which implement the evidently *intended*
+    debounce — is explicit and documented, per SURVEY.md §2.10 T6.
+    Returns (ts_last_anomaly, ts_last_notification, notification_now).
+    """
+    anomaly_recent = ts <= ts_last_anomaly + window_s
+    notification_recent = ts <= ts_last_anomaly + window_s  # sic — same input
+    notification_now = anomaly_recent and not notification_recent
+    if notification_now:  # pragma: no cover — unreachable by construction
+        ts_last_notification = ts
+    return ts, ts_last_notification, notification_now
+
+
 def debounce_batch(
     df: DataFrame,
     key_col: str = "user_id",

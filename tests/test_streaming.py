@@ -105,3 +105,19 @@ def test_stateful_debounce_stream_matches_batch_oracle(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     )
     assert got == expected
+
+
+def test_reference_notification_decision_never_fires():
+    # fidelity fixture for the as-written reference notification_decision
+    # (/root/reference/algo/cont_device.py:208-224): both booleans derive
+    # from timestamp_last_anomaly, so notification_now is always False —
+    # exhaustively exercised over gaps spanning the 30-min boundary
+    from anomaly_detector_spark.streaming.debounce import notification_decision_as_written
+
+    last_anom, last_notif = 0.0, -1e9
+    for gap in (1, 60, 1799, 1800, 1801, 3600, 10**6):
+        ts = last_anom + gap
+        last_anom, last_notif, fired = notification_decision_as_written(
+            last_anom, last_notif, ts
+        )
+        assert fired is False
