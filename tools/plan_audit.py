@@ -1,0 +1,64 @@
+"""Physical-plan audit of the fused validation suite (PLANS.md source).
+
+Materializes the fused suite's verdicts and violations on a synthetic
+input, then counts plan operators in the AQE-final executed plan:
+SortMergeJoin / BroadcastHashJoin / Sort / Exchange / FlatMapGroupsInPandas
+occurrences and the distinct parquet ReadSchema projections. Run:
+
+    python tools/plan_audit.py [rows]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(plan: str) -> dict:
+    counts = {}
+    for op in (
+        "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "FlatMapGroupsInPandas", "Exchange hashpartitioning", "Window",
+    ):
+        counts[op] = plan.count(op + " ") + plan.count(op + "\n") or plan.count(op)
+    # Sort operators (exclude SortMergeJoin/SortAggregate tokens)
+    counts["Sort"] = len(re.findall(r"\bSort \[", plan))
+    counts["ReadSchema"] = sorted(set(re.findall(r"ReadSchema: (struct<[^>]*>)", plan)))
+    return counts
+
+
+def main() -> int:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    from anomaly_detector_spark.plans.suite import run_suite
+    from anomaly_detector_spark.session import get_spark
+    from anomaly_detector_spark.synth import synth_files
+
+    spark = get_spark(app_name="plan_audit", cores=8)
+    path = f"/tmp/plan_audit_{rows}"
+    if not os.path.isdir(path):
+        synth_files(spark, rows, seed=42).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+
+    res = run_suite(df, cache=False)
+    res.verdicts.count()
+    vplan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    res.violations.count()
+    wplan = res.violations._jdf.queryExecution().executedPlan().toString()
+    res.unpersist()
+
+    for name, plan in (("verdicts", vplan), ("violations", wplan)):
+        print(f"== {name} ==")
+        for k, v in audit(plan).items():
+            if k == "ReadSchema":
+                for s in v:
+                    print(f"  scan {s}")
+            else:
+                print(f"  {k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
