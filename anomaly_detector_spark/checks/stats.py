@@ -58,6 +58,35 @@ def stats_exprs(col: str = "content", approx: bool = True) -> list[F.Column]:
     ]
 
 
+def hll_sketches(df: DataFrame, partition_col: str, col: str = "content", lgk: int = 12) -> DataFrame:
+    """Per-partition HyperLogLog sketches (Datasketches HLL, mergeable).
+
+    ``approx_count_distinct`` answers "distinct within this run"; the
+    SKETCH answers the incremental question — store one binary sketch per
+    partition next to the manifest, then union sketches across runs /
+    partitions for a global distinct estimate WITHOUT rescanning history.
+    That mergeability is what makes distinct counts tractable at 10^12
+    rows with incremental resume (SURVEY §2.4 A8 at scale).
+    """
+    return df.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_union_estimate(sketches: DataFrame) -> DataFrame:
+    """Union per-partition sketches into one global distinct estimate.
+
+    Input: any frame with a ``sketch`` binary column (e.g. the union of
+    several runs' hll_sketches outputs). One tiny aggregate — the
+    sketches are KB-sized regardless of data volume.
+    """
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("distinct_estimate"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 def run_stats(df: DataFrame, spec: CheckSpec) -> CheckResult:
     part = spec.partition_col
     col = spec.config.get("column", "content")

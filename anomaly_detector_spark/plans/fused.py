@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..checks.base import CheckResult, CheckSpec, as_violations, empty_violations, verdict_frame
@@ -139,9 +139,13 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
         F.count(F.lit(1)).alias("n_kp")
     )
-    counts = counts_kp.groupBy(*key).agg(
-        F.sum("n_kp").alias("n"), F.min("_part").alias("_min_part")
-    )
+    # The hot per-key aggregate stays SUM-ONLY (pure vectorized
+    # HashAggregate). Folding min(_part) in here measured 2x slower on
+    # the 2M-row bench: min over a string demotes the whole aggregate to
+    # ObjectHashAggregate, which falls back to SORT-based aggregation
+    # after 128 distinct groups (spark.sql.objectHashAggregate.
+    # sortBased.fallbackThreshold) — a full sort of every distinct key.
+    counts = counts_kp.groupBy(*key).agg(F.sum("n_kp").alias("n"))
 
     # Violation attribution without row identity: the window formulation
     # (checks/uniqueness.py) pins the survivor to the key's minimum
@@ -149,9 +153,13 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     # n_kp minus one for the survivor's partition (eqNullSafe: an
     # all-NULL-partition key still has exactly one survivor). This
     # reproduces the window path's (partition_key, observed) multiset
-    # exactly — pinned by test_fused.
+    # exactly — pinned by test_fused. The string-min runs only on the
+    # DUPLICATE subset (tiny by definition), as a window over the
+    # already-joined frame — never on the full key space.
+    dup_kp = counts_kp.join(counts.filter(F.col("n") > 1).select(*key, "n"), on=key)
+    w_key = Window.partitionBy(*[F.col(c) for c in key])
     dup_kp = (
-        counts_kp.join(counts.filter(F.col("n") > 1).select(*key, "n", "_min_part"), on=key)
+        dup_kp.withColumn("_min_part", F.min("_part").over(w_key))
         .withColumn(
             "_n_viol",
             F.col("n_kp")

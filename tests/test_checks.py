@@ -156,3 +156,26 @@ def test_flag_outliers_median_gate(spark):
     )
     flagged = {r["partition_key"]: r["is_drifted"] for r in flag_outliers(scores).collect()}
     assert flagged == {"a": False, "b": False, "c": False, "d": True}
+
+
+def test_hll_sketches_mergeable(spark):
+    # the sketch union across partitions must estimate the GLOBAL distinct
+    # count (shared content across partitions counted once), within HLL
+    # error; and merging two disjoint runs' sketches == one full-scan sketch
+    from anomaly_detector_spark.checks.stats import hll_sketches, hll_union_estimate
+
+    df = spark.range(20000).select(
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.concat(F.lit("c"), (F.col("id") % 3000).cast("string")).alias("content"),
+    )
+    per_part = hll_sketches(df, "lang", "content")
+    assert per_part.count() == 5
+    est = hll_union_estimate(per_part).collect()[0]
+    assert est["n_rows"] == 20000
+    assert abs(est["distinct_estimate"] - 3000) / 3000 < 0.05
+
+    # incremental: sketches from two halves union to the same estimate
+    a = hll_sketches(df.filter(F.col("id") < 10000), "lang", "content")
+    b = hll_sketches(df.filter(F.col("id") >= 10000), "lang", "content")
+    est2 = hll_union_estimate(a.unionByName(b)).collect()[0]
+    assert est2["distinct_estimate"] == est["distinct_estimate"]

@@ -18,16 +18,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def audit(plan: str) -> dict:
-    counts = {}
-    for op in (
-        "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
-        "FlatMapGroupsInPandas", "Exchange hashpartitioning", "Window",
-    ):
-        counts[op] = plan.count(op + " ") + plan.count(op + "\n") or plan.count(op)
-    # Sort operators (exclude SortMergeJoin/SortAggregate tokens)
-    counts["Sort"] = len(re.findall(r"\bSort \[", plan))
-    counts["ReadSchema"] = sorted(set(re.findall(r"ReadSchema: (struct<[^>]*>)", plan)))
-    return counts
+    """Count physical operators in FORMATTED explain output: one
+    '(id) OpName' line per distinct node, reused exchanges appear as
+    ReusedExchange — so counts reflect the actual executed DAG, not the
+    tree-string's repeated subtree prints."""
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, flags=re.M)
+    counts: dict[str, int] = {}
+    for o in ops:
+        counts[o] = counts.get(o, 0) + 1
+    interesting = {
+        k: v
+        for k, v in sorted(counts.items())
+        if any(
+            t in k
+            for t in (
+                "Join", "Sort", "Exchange", "Pandas", "Window", "Aggregate", "Scan",
+            )
+        )
+    }
+    interesting["ReadSchema"] = sorted(set(re.findall(r"ReadSchema: (struct<[^>]*>)", plan)))
+    return interesting
 
 
 def main() -> int:
@@ -44,9 +54,13 @@ def main() -> int:
 
     res = run_suite(df, cache=False)
     res.verdicts.count()
-    vplan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    vplan = res.verdicts._sc._jvm.PythonSQLUtils.explainString(
+        res.verdicts._jdf.queryExecution(), "formatted"
+    )
     res.violations.count()
-    wplan = res.violations._jdf.queryExecution().executedPlan().toString()
+    wplan = res.violations._sc._jvm.PythonSQLUtils.explainString(
+        res.violations._jdf.queryExecution(), "formatted"
+    )
     res.unpersist()
 
     for name, plan in (("verdicts", vplan), ("violations", wplan)):
