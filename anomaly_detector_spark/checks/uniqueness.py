@@ -65,19 +65,22 @@ def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     ord_expr = (
         F.xxhash64(F.col(order_col)) if order_col == "content" else F.col(order_col)
     )
-    # Survivor ordering: partition value FIRST (nulls last), tiebreak on
-    # the order expression. Pinning the survivor to the key's MINIMUM
-    # partition value makes the per-partition attribution of violation
-    # rows deterministic and partitioning-invariant — and lets the fused
-    # aggregation-only formulation (plans/fused.py) reproduce the exact
-    # same (partition_key, count) multiset without row identity.
+    # Survivor ordering: xxhash64 of the partition value FIRST, tiebreak
+    # on the order expression. Pinning the survivor to the key's
+    # minimal-HASH partition makes the per-partition attribution of
+    # violation rows deterministic and partitioning-invariant — and lets
+    # the fused aggregation-only formulation (plans/fused.py) reproduce
+    # the exact same (partition_key, count) multiset with a numeric
+    # min() that stays inside a vectorized HashAggregate (a string min
+    # would demote it to sort-based aggregation). xxhash64(NULL) is the
+    # seed constant, so NULL partitions order consistently too.
     wkey = Window.partitionBy(*[F.col(c) for c in key])
     slim = df.select(
         *key,
         F.col(part).alias("_part"),
         F.count(F.lit(1)).over(wkey).alias("n"),
         F.row_number()
-        .over(wkey.orderBy(F.col(part).asc_nulls_last(), ord_expr.asc_nulls_last()))
+        .over(wkey.orderBy(F.xxhash64(F.col(part)).asc(), ord_expr.asc_nulls_last()))
         .alias("_rn"),
     )
 

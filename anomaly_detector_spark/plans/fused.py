@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checks.base import CheckResult, CheckSpec, as_violations, empty_violations, verdict_frame
@@ -139,31 +139,49 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
         F.count(F.lit(1)).alias("n_kp")
     )
-    # The hot per-key aggregate stays SUM-ONLY (pure vectorized
-    # HashAggregate). Folding min(_part) in here measured 2x slower on
-    # the 2M-row bench: min over a string demotes the whole aggregate to
-    # ObjectHashAggregate, which falls back to SORT-based aggregation
-    # after 128 distinct groups (spark.sql.objectHashAggregate.
-    # sortBased.fallbackThreshold) — a full sort of every distinct key.
-    counts = counts_kp.groupBy(*key).agg(F.sum("n_kp").alias("n"))
+    # The per-key aggregate stays a pure vectorized HashAggregate: sum +
+    # min over LONGS. Two slower formulations are banned by measurement:
+    # (a) min(_part) as a STRING demotes to ObjectHashAggregate, which
+    # falls back to SORT-based aggregation past 128 distinct groups
+    # (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+    # 2x slower at 2M rows; (b) recovering the survivor partition with a
+    # string-min window over the joined dup frame left the probe side a
+    # full SortMergeJoin of two ~|keys|-row frames — the violations
+    # action measured 48s of a 65s suite pass at 8M rows, local[2]. So
+    # the survivor is keyed by the MIN HASH of the partition value —
+    # numeric, foldable into the same HashAggregate.
+    counts = counts_kp.groupBy(*key).agg(
+        F.sum("n_kp").alias("n"),
+        F.min(F.xxhash64(F.col("_part"))).alias("_min_h"),
+    )
 
     # Violation attribution without row identity: the window formulation
-    # (checks/uniqueness.py) pins the survivor to the key's minimum
-    # partition value, so per (key, partition) the violation count is
-    # n_kp minus one for the survivor's partition (eqNullSafe: an
-    # all-NULL-partition key still has exactly one survivor). This
-    # reproduces the window path's (partition_key, observed) multiset
-    # exactly — pinned by test_fused. The string-min runs only on the
-    # DUPLICATE subset (tiny by definition), as a window over the
-    # already-joined frame — never on the full key space.
-    dup_kp = counts_kp.join(counts.filter(F.col("n") > 1).select(*key, "n"), on=key)
-    w_key = Window.partitionBy(*[F.col(c) for c in key])
+    # (checks/uniqueness.py) orders its survivor window by
+    # xxhash64(partition) first, so per (key, partition) the violation
+    # count is n_kp minus one for the partition with the minimal hash
+    # (xxhash64 of NULL is the seed constant — consistent both sides, no
+    # null-safe special case). Reproduces the window path's
+    # (partition_key, observed) multiset exactly (pinned by test_fused)
+    # up to a 64-bit hash collision between two partition values of the
+    # same duplicated key (~2^-64; would only shift one count between
+    # partitions).
+    #
+    # The dup side (n>1 filter) is EXPLICITLY broadcast: AQE cannot see
+    # past the filter (its runtime stat is the pre-filter counts stage,
+    # ~|keys| rows) and keeps a sort-merge join — measured 47s vs 17s
+    # for the forced broadcast at 8M rows even counting the broadcast's
+    # separate build job. Escape hatch for pathological mass-duplication
+    # inputs where the dup set itself is huge: config
+    # {"broadcast_dup": False} falls back to the shuffle join.
+    dup = counts.filter(F.col("n") > 1).select(*key, "n", "_min_h")
+    if spec.config.get("broadcast_dup", True):
+        dup = F.broadcast(dup)
     dup_kp = (
-        dup_kp.withColumn("_min_part", F.min("_part").over(w_key))
+        counts_kp.join(dup, on=key)
         .withColumn(
             "_n_viol",
             F.col("n_kp")
-            - F.col("_part").eqNullSafe(F.col("_min_part")).cast("long"),
+            - (F.xxhash64(F.col("_part")) == F.col("_min_h")).cast("long"),
         )
         .filter(F.col("_n_viol") > 0)
     )

@@ -119,3 +119,42 @@ def test_frozen_drift_baseline_detects_new_drifted_partition(spark, manifest_dir
     )
     assert [r["verdict"] for r in ctrl] == ["PASS"]
     shutil.rmtree(ctrl_dir, ignore_errors=True)
+
+
+def test_null_partition_resume_is_idempotent(spark, manifest_dir):
+    # a NULL partition key must commit once and be pruned on rerun —
+    # the resume anti-join is null-safe (plans/manifest.py pending_input)
+    files = files_view(spark, SF).drop("doc_id").withColumn(
+        "lang", F.when(F.col("lang") == "en", F.lit(None)).otherwise(F.col("lang"))
+    )
+    r1 = run_with_manifest(files, manifest_dir)
+    assert r1.result is not None
+    n1 = read_manifest(spark, manifest_dir).count()
+    assert (
+        read_manifest(spark, manifest_dir).filter(F.col("partition_key").isNull()).count() > 0
+    )
+    r2 = run_with_manifest(files, manifest_dir)
+    assert r2.result is None and r2.pending_partitions == 0  # full no-op
+    assert read_manifest(spark, manifest_dir).count() == n1  # no duplicate rows
+
+
+def test_violations_sink_written_before_commit(spark, manifest_dir, tmp_path):
+    # run_with_manifest writes the sink itself (pre-commit ordering) and
+    # the sink rows carry partition_key from the envelope
+    files = files_view(spark, SF).drop("doc_id")
+    sink = str(tmp_path / "viol")
+    run = run_with_manifest(files, manifest_dir, violations_sink=sink)
+    viol = spark.read.parquet(sink)
+    assert "partition_key" in viol.columns
+    # sink counts agree with the manifest's per-check accounting
+    m = read_manifest(spark, manifest_dir).filter(F.col("run_id") == run.run_id)
+    per_check_manifest = {
+        (r["partition_key"], r["check_id"]): r["n_violations"]
+        for r in m.collect()
+        if r["n_violations"] > 0
+    }
+    per_check_sink = {
+        (r["partition_key"], r["check_id"]): r["n"]
+        for r in viol.groupBy("partition_key", "check_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_check_sink == per_check_manifest

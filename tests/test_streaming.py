@@ -121,3 +121,36 @@ def test_reference_notification_decision_never_fires():
             last_anom, last_notif, ts
         )
         assert fired is False
+
+
+def test_split_partition_rows_surface_as_skipped(spark, dirs):
+    # a partition whose rows arrive across two micro-batches: the second
+    # batch's rows are pruned (already committed) — run.skipped_rows must
+    # surface the coverage gap instead of silently dropping them
+    files = files_view(spark, SF).drop("doc_id")
+    schema = files.schema
+    one_lang = files.filter(F.col("lang") == "en")
+    half_a = one_lang.filter(F.col("repo") < "org5")
+    half_b = one_lang.filter(F.col("repo") >= "org5")
+    assert half_a.count() > 0 and half_b.count() > 0
+
+    # arrival 1 -> committed
+    half_a.write.mode("append").parquet(dirs["input"])
+    runs = []
+    q = validate_stream(
+        spark.readStream.schema(schema).parquet(dirs["input"]),
+        dirs["manifest"], dirs["ckpt"],
+        on_batch=lambda run, bid: runs.append(run),
+    )
+    q.awaitTermination(300)
+
+    # arrival 2: same partition, new rows -> pruned and counted
+    half_b.write.mode("append").parquet(dirs["input"])
+    q2 = validate_stream(
+        spark.readStream.schema(schema).parquet(dirs["input"]),
+        dirs["manifest"], dirs["ckpt2"],
+        on_batch=lambda run, bid: runs.append(run),
+    )
+    q2.awaitTermination(300)
+
+    assert any((r.skipped_rows or 0) > 0 for r in runs[1:])
