@@ -55,6 +55,32 @@ def files_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    bucket_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist the files table bucketed by the uniqueness key.
+
+    Bucketing is the co-location lever for the hot path: a scan of a
+    table bucketed by (repo, path, commit) already satisfies the
+    clustering requirement of every aggregate/join keyed by that tuple
+    (or any superset, e.g. the suite's (key, lang) counts), so the
+    uniqueness check's only wide shuffle disappears — the aggregation
+    runs entirely map-side on the bucketed scan. On Iceberg the same is
+    expressed as a `bucket(N, ...)` partition transform with
+    storage-partitioned joins. Verified by test_sources:
+    no Exchange below the first aggregate over the bucketed scan.
+    """
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols).sortBy(*bucket_cols).format("parquet")
+    if path is not None:
+        w = w.option("path", path)  # external table; default: session warehouse
+    w.saveAsTable(table)
+
+
 def parse_kafka_envelope(df: DataFrame, schema: str = FILES_SCHEMA) -> DataFrame:
     """Decode a Kafka-shaped frame (binary ``value`` column) into file
     rows: value = JSON document in ``input_hint`` shape. Pure column

@@ -59,7 +59,7 @@ def main() -> int:
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
     # measure the queries, not first-query JVM ramp-up.
-    from anomaly_detector_spark.sources.registry import files_view
+    from anomaly_detector_spark.sources.registry import TABLES, files_view, load_table
 
     warm = files_view(spark, SF_DIR).limit(2000)
     from anomaly_detector_spark.plans.suite import run_suite
@@ -67,6 +67,22 @@ def main() -> int:
     wr = run_suite(warm, cache=False)
     wr.verdicts.count()
     wr.violations.count()
+    # Read-through every input file once (raw bytes — a Spark count()
+    # only touches parquet footers): timings should measure the engine,
+    # not the page-cache state another benchmark left behind (a cold
+    # virtio disk inflates every query ~uniformly by 1.5-2x).
+    import pathlib
+
+    def _warm_path(p: str) -> None:
+        root = pathlib.Path(p)
+        files = [root] if root.is_file() else [x for x in root.rglob("*") if x.is_file()]
+        for f in files:
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    for t in TABLES:
+        _warm_path(f"{SF_DIR}/{t}.parquet")
     spark.catalog.clearCache()
 
     def minhash_production(spark_, sf_dir):
@@ -112,6 +128,7 @@ def main() -> int:
     if not os.path.isdir(big_path):
         big.write.mode("overwrite").parquet(big_path)
     bigdf = spark.read.parquet(big_path)
+    _warm_path(big_path)
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     res = run_suite(bigdf, cache=False)

@@ -69,3 +69,28 @@ def test_iceberg_manifest_roundtrip(spark, tmp_path):
 
     run = run_with_manifest(back, str(tmp_path / "manifest"))
     assert run.pending_partitions > 0
+
+
+def test_bucketed_table_skips_uniqueness_exchange(spark, tmp_path):
+    # a table bucketed by the uniqueness key satisfies the clustering
+    # requirement of the (key, lang) counts aggregate — the suite's only
+    # wide shuffle disappears from the plan
+    from anomaly_detector_spark.sources.registry import write_bucketed
+
+    files = files_view(spark, SF).drop("doc_id")
+    write_bucketed(files, "files_bucketed", buckets=8, path=str(tmp_path / "bkt"))
+    try:
+        b = spark.table("files_bucketed")
+        agg = b.groupBy("repo", "path", "commit", "lang").count()
+        agg.count()
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(agg._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan, plan
+        # and the unbucketed equivalent DOES shuffle (control)
+        agg2 = files.groupBy("repo", "path", "commit", "lang").count()
+        agg2.count()
+        plan2 = agg2._sc._jvm.PythonSQLUtils.explainString(agg2._jdf.queryExecution(), "formatted")
+        assert "Exchange" in plan2
+        # same results either way
+        assert agg.count() == agg2.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS files_bucketed")
