@@ -1492,6 +1492,42 @@ def _resample_oracle() -> str:
     """
 
 
+def _fingerprint_oracle() -> str | None:
+    """Independent oracle for the xxhash64 fingerprint: a pure-Python
+    XXH64 (functions/hashing.py — implemented from the published spec,
+    bit-verified against Spark) computes the expected fingerprint for
+    every sf0.01 document at oracle-build time; the SQL is a standalone
+    VALUES table. Normalization mirrors with_fingerprint exactly:
+    lower(regexp_replace(coalesce(text,''), '\\s+', ' ')) — Java's \\s is
+    ASCII-only, hence the explicit class below. Returns None (query
+    stays rows-only) if the sf0.01 parquet isn't readable here.
+    """
+    import re
+
+    try:
+        import duckdb
+
+        from anomaly_detector_spark.functions.hashing import xxh64
+
+        con = duckdb.connect()  # keep a live reference — the relation closes with it
+        rows = con.sql(
+            "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+    except Exception:
+        return None
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    vals = ",\n              ".join(
+        f"({int(doc_id)}, CAST({xxh64(ws.sub(' ', (text or '')).lower().encode('utf-8'))} AS BIGINT))"
+        for doc_id, text in rows
+    )
+    return f"""
+        SELECT doc_id, fingerprint
+        FROM (VALUES
+              {vals}
+        ) AS t(doc_id, fingerprint)
+    """
+
+
 # inject the stopword list literal into the docs_token_stats oracle
 def _stopword_sql_list() -> str:
     from anomaly_detector_spark.operators.text import STOPWORDS
@@ -1514,4 +1550,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["ivf_topk"] = _ivf_topk_oracle()
     out["events_savgol"] = _savgol_oracle()
     out["events_resample"] = _resample_oracle()
+    fp = _fingerprint_oracle()
+    if fp is not None:
+        out["docs_fingerprint"] = fp
     return out

@@ -267,3 +267,16 @@ def test_winnow_fingerprints_empty_doc(spark):
 
     df = spark.createDataFrame([(1, ""), (2, None), (3, "one two")], "doc_id long, text string")
     assert winnow_fingerprints(df, "text", "doc_id").count() == 0
+
+
+def test_pure_python_xxh64_matches_spark(spark):
+    # the independent XXH64 oracle (functions/hashing.py) must stay
+    # bit-exact with F.xxhash64 across every length class: empty,
+    # sub-4, sub-8, sub-32, exact-stripe, multi-stripe
+    from anomaly_detector_spark.functions.hashing import xxh64
+
+    cases = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31, "y" * 32,
+             "z" * 33, "w" * 100, "the quick brown fox " * 10, "unicode: éü中文"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [xxh64(c.encode("utf-8")) for c in cases]

@@ -154,3 +154,58 @@ def test_split_partition_rows_surface_as_skipped(spark, dirs):
     q2.awaitTermination(300)
 
     assert any((r.skipped_rows or 0) > 0 for r in runs[1:])
+
+
+def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
+    # T4 native form: run 1 establishes the watermark; run 2 appends a
+    # row far older than the watermark (DROPPED by the engine) plus a
+    # recent row that advances the watermark and closes run-1 windows.
+    # The emitted window for the late row's slot must not include it.
+    from anomaly_detector_spark.streaming.windowed import windowed_stats_stream
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    base = "2026-01-01 12:00:00"
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, "ts string, lang string, content string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "lang", "content"
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, lang string, content string").parquet(inp)
+        out = windowed_stats_stream(stream, window="10 minutes", watermark="30 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: two rows at 12:00-12:10 slot and one at 12:05
+    rows_df(
+        [(base, "en", "aaa"), ("2026-01-01 12:05:00", "en", "bbbb")]
+    ).write.mode("append").parquet(inp)
+    run_once()
+
+    # run 2: a VERY late row for the 12:00 slot (watermark is 12:05-30min
+    # = 11:35 after run 1... the late row at 09:00 is far behind) plus a
+    # fresh row at 13:00 that pushes the watermark past 12:10 so the
+    # 12:00 window finally emits
+    rows_df(
+        [("2026-01-01 09:00:00", "en", "LATE"), ("2026-01-01 13:00:00", "en", "cc")]
+    ).write.mode("append").parquet(inp)
+    run_once()
+    # one more empty-ish trigger so all closable windows flush
+    rows_df([("2026-01-01 14:00:00", "en", "dd")]).write.mode("append").parquet(inp)
+    run_once()
+
+    got = {
+        str(r["window_start"]): (r["n_rows"], r["min_len"], r["max_len"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the 12:00 window holds exactly the two on-time rows (len 3 and 4);
+    # the LATE row (len 4, 09:00 slot) was dropped — its window absent
+    assert got.get("2026-01-01 12:00:00") == (2, 3, 4)
+    assert "2026-01-01 09:00:00" not in got
