@@ -101,6 +101,24 @@ def q_files_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_count_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # categorical drift of per-lang file counts vs a uniform baseline
+    # (north_star's second drift dimension)
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_count_drift
+
+    files = files_view(spark, sf)
+    spec = CheckSpec("count_drift", run_count_drift, {}, "lang", 25)
+    res = run_count_drift(files, spec)
+    return res.verdicts.select(
+        "partition_key",
+        "verdict",
+        F.round(F.col("metrics")["psi"], 6).alias("score"),
+        F.round(F.col("metrics")["psi_term"], 6).alias("psi_term"),
+        F.col("metrics")["n_obs"].cast("long").alias("n_obs"),
+    )
+
+
 def q_files_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.checks.uniqueness import dedup_keep_first
 
@@ -559,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_sha256": q_files_sha256,
         "files_drift_scores": q_files_drift_scores,
         "files_keep_first": q_files_keep_first,
+        "files_count_drift": q_files_count_drift,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -713,6 +732,53 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(cp - cq)), 6) AS ks,
                    CAST(sum(n) AS BIGINT) AS n_obs
             FROM cum GROUP BY 1
+        """,
+        "files_count_drift": f"""
+            -- categorical count-drift vs uniform baseline, mirroring
+            -- checks/drift.py run_count_drift + flag_outliers exactly
+            WITH {FILES_CTE_SQL},
+            cur AS (SELECT lang AS partition_key, count(*) AS n FROM files GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn, count(*) AS k FROM cur),
+            sm AS (
+              SELECT partition_key, n,
+                     (n + 0.5) / (tn + 0.5 * k) AS p,
+                     ((tn / k) + 0.5) / (tn + 0.5 * k) AS q
+              FROM cur CROSS JOIN tot
+            ),
+            scores AS (
+              SELECT partition_key,
+                     abs(ln(p / q)) AS s,
+                     (p - q) * ln(p / q) AS psi_term,
+                     n AS n_obs
+              FROM sm
+            ),
+            g AS (
+              SELECT avg(s) AS m, stddev_samp(s) AS sd, median(s) AS med,
+                     quantile_cont(s, 0.25) AS q1, quantile_cont(s, 0.75) AS q3,
+                     count(*) AS n_scored
+              FROM scores
+            ),
+            f AS (
+              SELECT sc.partition_key, sc.s, sc.psi_term, sc.n_obs,
+                     (
+                       ( (CASE WHEN g.sd > 0 THEN abs(sc.s - g.m) / g.sd ELSE 0 END) > 3.0
+                         OR sc.s > g.q3 + 1.5 * (g.q3 - g.q1)
+                         OR sc.s < g.q1 - 1.5 * (g.q3 - g.q1)
+                         OR sc.s > 0.7 )
+                       AND sc.s > g.med + greatest(0.1, 3.0 * 1.0 / greatest(sc.n_obs, 1))
+                     ) OR (
+                       g.n_scored = 1 AND sc.s > 0.7
+                       AND sc.s > 3.0 * 1.0 / greatest(sc.n_obs, 1)
+                     ) AS flagged
+              FROM scores sc CROSS JOIN g
+            )
+            SELECT partition_key,
+                   CASE WHEN n_obs < 25 THEN 'SKIPPED'
+                        WHEN flagged THEN 'FAIL' ELSE 'PASS' END AS verdict,
+                   round(s, 6) AS score,
+                   round(psi_term, 6) AS psi_term,
+                   CAST(n_obs AS BIGINT) AS n_obs
+            FROM f
         """,
         "files_keep_first": f"""
             WITH {FILES_CTE_SQL}

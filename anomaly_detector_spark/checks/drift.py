@@ -187,6 +187,78 @@ def flag_outliers(
     ).withColumnRenamed("_med", "median_score")
 
 
+def count_histogram(df: DataFrame, partition_col: str) -> DataFrame:
+    """Per-partition row counts — the categorical 'file-count histogram'
+    (north_star: drift on per-lang file-count histograms, complementing
+    the content-length histograms above). One partial-aggregated shuffle
+    of O(partitions) rows."""
+    return df.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def run_count_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Categorical drift of the partition-count distribution.
+
+    Compares each partition's SHARE of rows against a baseline share
+    (``baseline_df`` = frozen (partition_key, base_n) from a reference
+    run; default: uniform across observed partitions). Per-partition
+    score = |ln(p/q)| of Laplace-smoothed shares — symmetric, unitless;
+    the global PSI = sum (p-q)ln(p/q) lands in the metrics map. Flagging
+    reuses the K4 median-gate machinery (flag_outliers) with the same
+    chi-square noise floor, so small partitions must clear a higher bar.
+    """
+    part = spec.partition_col
+    cid = spec.id
+    cur = count_histogram(df, part)
+    baseline = spec.config.get("baseline_df")
+    if baseline is None:
+        n_parts = cur.count() or 1
+        total = cur.agg(F.sum("n")).collect()[0][0] or 0
+        baseline = cur.select(
+            "partition_key", (F.lit(float(total)) / n_parts).alias("base_n")
+        )
+    joined = cur.join(baseline, on="partition_key", how="full_outer").select(
+        "partition_key",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+        F.coalesce(F.col("base_n"), F.lit(0)).cast("double").alias("base_n"),
+    )
+    tot = joined.agg(
+        F.sum("n").alias("_tn"), F.sum("base_n").alias("_tb"), F.count(F.lit(1)).alias("_k")
+    )
+    sm = joined.crossJoin(F.broadcast(tot)).select(
+        "partition_key",
+        "n",
+        ((F.col("n") + 0.5) / (F.col("_tn") + 0.5 * F.col("_k"))).alias("p"),
+        ((F.col("base_n") + 0.5) / (F.col("_tb") + 0.5 * F.col("_k"))).alias("q"),
+    )
+    scores = sm.select(
+        "partition_key",
+        F.abs(F.log(F.col("p") / F.col("q"))).alias("psi"),
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi_term"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.lit(2).alias("n_buckets"),
+    )
+    flagged = flag_outliers(
+        scores,
+        score_col="psi",
+        z_thresh=spec.config.get("z_thresh", 3.0),
+        iqr_k=spec.config.get("iqr_k", 1.5),
+        abs_thresh=spec.config.get("abs_thresh", 0.7),  # |ln p/q| 0.7 ~ 2x share shift
+        min_gap=spec.config.get("min_gap", 0.1),
+        noise_c=spec.config.get("noise_c", 3.0),
+    )
+    verdicts = verdict_frame(
+        flagged,
+        cid,
+        "partition_key",
+        fail_when=F.col("is_drifted"),
+        skip_when=F.col("n_obs") < spec.min_rows,
+        metric_cols=["psi", "psi_term", "n_obs", "z_score", "median_score"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=flagged)
+
+
 def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
     part = spec.partition_col
     cid = spec.id

