@@ -32,9 +32,23 @@ suite's outlier flagging.
 
 from __future__ import annotations
 
+import sys
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# The applyInPandas kernel calls module-level extract_loads_series; ship
+# this module BY VALUE inside the closure so executors without the
+# package on PYTHONPATH (spark-submit without --py-files) still run it —
+# the same no-footgun guarantee every other kernel keeps by being a
+# self-contained closure.
+try:  # pragma: no cover - trivial registration
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:
+    pass
 
 
 def normalize_by_max(arr: Column | str) -> Column:
@@ -46,6 +60,50 @@ def normalize_by_max(arr: Column | str) -> Column:
     return F.when(
         mx.isNotNull() & (mx != 0), F.transform(c, lambda v: v / mx)
     ).otherwise(c)
+
+
+def extract_loads_series(
+    v,
+    start_thresh: float = 10.0,
+    end_thresh: float = 1.5,
+    end_count: int = 10,
+    lookback: int = 10,
+    trim: int = 10,
+) -> list[tuple[int, int, int, list[int]]]:
+    """Pure per-series load extraction: list of (s0, t0, e0, members),
+    all 0-based indices into ``v``.
+
+    Vectorized replay of the sequential semantics: iterate per LOAD (not
+    per row) — the trigger is the next above-threshold index after the
+    previous load's end (searchsorted over the precomputed trigger
+    positions), and the end is where the CUMULATIVE below-threshold
+    count since the trigger reaches end_count+1 (searchsorted over the
+    cumsum, which steps by at most 1 so first-geq == exact hit). ~10x
+    less Python than a row loop; equivalence with the reference state
+    machine is pinned by the replay fixtures in test_loads and a
+    hypothesis property test over random series.
+    """
+    import numpy as np
+
+    v = np.asarray(v, dtype="float64")
+    n = len(v)
+    cum_lows = np.cumsum(v < end_thresh)  # inclusive count of lows up to i
+    trig_idx = np.flatnonzero(v > start_thresh)
+    loads: list[tuple[int, int, int, list[int]]] = []
+    cursor = 0  # 0-based: first index eligible to trigger
+    while True:
+        pos = np.searchsorted(trig_idx, cursor)
+        if pos >= len(trig_idx):
+            break
+        t0 = int(trig_idx[pos])
+        # first e0 > t0 with cum_lows[e0] - cum_lows[t0] == end_count+1
+        e0 = int(np.searchsorted(cum_lows, cum_lows[t0] + end_count + 1))
+        if e0 >= n:
+            break  # still active at series end -> incomplete load dropped
+        s0 = max(0, t0 - lookback)
+        loads.append((s0, t0, e0, [s0] + list(range(t0 + 1, e0 - trim + 1))))
+        cursor = e0 + 1
+    return loads
 
 
 def extract_loads(
@@ -78,44 +136,18 @@ def extract_loads(
     st_b, et_b, ec_b, lb_b, tr_b = start_thresh, end_thresh, end_count, lookback, trim
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as _np
-
         key = pdf[key_b].iloc[0]
         v = pdf.sort_values(sort_b, kind="mergesort")[val_b].to_numpy(dtype="float64")
-        n = len(v)
         out = {c: [] for c in ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points", "values")}
-        # Vectorized replay of the sequential semantics: iterate per LOAD
-        # (not per row) — the trigger is the next above-threshold index
-        # after the previous load's end (searchsorted over the
-        # precomputed trigger positions), and the end is where the
-        # CUMULATIVE below-threshold count since the trigger reaches
-        # end_count+1 (searchsorted over the cumsum, which steps by at
-        # most 1 so first-geq == exact hit). ~10x less Python than the
-        # row loop; equivalence pinned by the reference-replay fixtures
-        # in test_loads.
-        cum_lows = _np.cumsum(v < et_b)  # inclusive count of lows up to i (0-based)
-        trig_idx = _np.flatnonzero(v > st_b)
-        cursor = 0  # 0-based: first index eligible to trigger
-        load_id = 0
-        while True:
-            pos = _np.searchsorted(trig_idx, cursor)
-            if pos >= len(trig_idx):
-                break
-            t0 = int(trig_idx[pos])  # 0-based trigger
-            # first e0 > t0 with cum_lows[e0] - cum_lows[t0] == end_count+1
-            e0 = int(_np.searchsorted(cum_lows, cum_lows[t0] + ec_b + 1))
-            if e0 >= n:
-                break  # still active at series end -> incomplete load dropped
-            s0 = max(0, t0 - lb_b)
-            members = [s0] + list(range(t0 + 1, e0 - tr_b + 1))
-            load_id += 1
+        for load_id, (s0, t0, e0, members) in enumerate(
+            extract_loads_series(v, st_b, et_b, ec_b, lb_b, tr_b), start=1
+        ):
             out["load_id"].append(load_id)
             out["start_rn"].append(s0 + 1)
             out["trigger_rn"].append(t0 + 1)
             out["end_rn"].append(e0 + 1)
             out["n_points"].append(len(members))
             out["values"].append([float(v[m]) for m in members])
-            cursor = e0 + 1
         n = len(out["load_id"])
         # object dtype for the list column: an empty float64 column (the
         # pandas default for []) cannot be Arrow-cast to list<double>

@@ -71,3 +71,45 @@ def test_check_id_stable_and_order_insensitive(cfg):
     b = check_id("stats", dict(reversed(list(cfg.items()))))
     assert a == b and len(a) == 64
     assert check_id("other", cfg) != a
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=20.0, allow_nan=False), min_size=0, max_size=120
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_extract_loads_series_matches_reference_replay(values, end_count, lookback):
+    # the vectorized per-load scan must equal the reference's per-row
+    # state machine (/root/reference/algo/load_device.py:8-34) on any
+    # series and any (end_count, lookback) parameterization; trim is
+    # tied to end_count exactly as in the reference (new_load[:-10] with
+    # len(end_check) > 10)
+    from anomaly_detector_spark.operators.loads import extract_loads_series
+
+    start_thresh, end_thresh, trim = 10.0, 1.5, end_count
+
+    def reference(ts):
+        out, new_load, end_check = [], [], []
+        active = False
+        for i in range(len(ts)):
+            if active:
+                new_load.append(i)
+                if ts[i] < end_thresh:
+                    end_check.append(i)
+                if len(end_check) > end_count:
+                    active = False
+                    out.append(new_load[:-trim] if trim else new_load)
+                    new_load, end_check = [], []
+            else:
+                if ts[i] > start_thresh:
+                    active = True
+                    new_load.append(max(0, i - lookback))
+        return out
+
+    got = [m for (_s, _t, _e, m) in extract_loads_series(
+        values, start_thresh, end_thresh, end_count, lookback, trim
+    )]
+    assert got == reference(values)
