@@ -209,3 +209,46 @@ def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
     # the LATE row (len 4, 09:00 slot) was dropped — its window absent
     assert got.get("2026-01-01 12:00:00") == (2, 3, 4)
     assert "2026-01-01 09:00:00" not in got
+
+
+def test_drift_stream_accumulates_state_and_flags(spark, tmp_path):
+    # trigger 1: lengths matching the baseline -> low PSI, not drifted;
+    # trigger 2: shifted lengths for lang 'b' -> its RUNNING histogram
+    # (state accumulated across triggers) drifts past the threshold
+    from anomaly_detector_spark.streaming.drift import drift_stream
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    baseline = {1: 100.0, 2: 100.0}  # lengths ~100-299, bucket_width 100
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, "lang string, content string")
+
+    def run_once():
+        stream = spark.readStream.schema("lang string, content string").parquet(inp)
+        out = drift_stream(stream, baseline, bucket_width=100, abs_thresh=0.25)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    on_base = [("a", "x" * 150), ("a", "y" * 250)] * 20 + [("b", "z" * 150), ("b", "w" * 250)] * 20
+    rows_df(on_base).write.mode("append").parquet(inp)
+    run_once()
+    first = {r["partition_key"]: r for r in spark.read.parquet(sink).collect()}
+    assert not first["a"]["is_drifted"] and not first["b"]["is_drifted"]
+
+    # shift lang b hard: 200 rows of length ~5000
+    rows_df([("b", "q" * 5000)] * 200).write.mode("append").parquet(inp)
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in rows:  # latest emission per partition = max n_obs (state accumulates)
+        k = r["partition_key"]
+        if k not in latest or r["n_obs"] > latest[k]["n_obs"]:
+            latest[k] = r
+    assert latest["b"]["is_drifted"] and latest["b"]["n_obs"] == 240  # 40 + 200: state carried
+    assert not latest["a"]["is_drifted"]
