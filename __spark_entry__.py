@@ -363,6 +363,32 @@ def q_events_tail_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_window_bank(spark: SparkSession, sf: str) -> DataFrame:
+    # W2: overlapping shifted window bank (reference prepare_batches,
+    # cont_device.py:88-96) — explode fan-out of 5 shifted copies, each
+    # tail-aligned into 50-row windows
+    from anomaly_detector_spark.operators.windows import shifted_window_bank
+
+    ev = load_table(spark, sf, "events")
+    out = shifted_window_bank(ev, "user_id", "ts", window_len=50, shifts=5, shift_step=10)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("shift").cast("long").alias("shift"),
+        "window_id",
+        "pos",
+    )
+
+
+def q_events_fresh(spark: SparkSession, sf: str) -> DataFrame:
+    # P5/T4: staleness gate — drop rows older than a fixed cutoff before
+    # any stateful work (reference algo/operator.py:156-157, 250 days)
+    from anomaly_detector_spark.streaming.validate import with_staleness_filter
+
+    ev = load_table(spark, sf, "events")
+    fresh = with_staleness_filter(ev.select("event_id", F.col("ts").cast("timestamp").alias("ts")), "ts", "2024-01-04 00:00:00")
+    return fresh.select(F.col("event_id").cast("long").alias("event_id"))
+
+
 def q_events_ts_parse(spark: SparkSession, sf: str) -> DataFrame:
     # F1: tolerant multi-format timestamp coercion (epoch-ms digit strings)
     from anomaly_detector_spark.functions.timeparse import tolerant_timestamp
@@ -594,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_prefix_dups": q_docs_prefix_dups,
         "emb_topk_cosine": q_emb_topk_cosine,
         "events_tail_windows": q_events_tail_windows,
+        "events_window_bank": q_events_window_bank,
+        "events_fresh": q_events_fresh,
         "events_ts_parse": q_events_ts_parse,
         "emb_exact_near_dups": q_emb_exact_near_dups,
         "suite_verdicts": q_suite_verdicts,  # full-suite verdict oracle (all 4 checks in SQL)
@@ -983,6 +1011,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (n // 50) * 50 >= rn THEN (rn - 1) // 50 ELSE -1 END AS BIGINT) AS window_id,
                    CAST(CASE WHEN (n // 50) * 50 >= rn THEN 50 - 1 - ((rn - 1) % 50) ELSE -1 END AS BIGINT) AS pos
             FROM r
+        """,
+        "events_window_bank": """
+            -- W2 bank: shift s drops the newest s*10 rows of the key's
+            -- series; remaining rows tail-align into 50-row windows;
+            -- head-dropped rows and the oldest partial remainder excluded
+            WITH r AS (
+              SELECT event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            fanned AS (
+              SELECT r.event_id, s.range AS shift,
+                     r.rn - s.range * 10 AS srn,
+                     r.n - s.range * 10 AS sn
+              FROM r CROSS JOIN range(5) s
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(shift AS BIGINT) AS shift,
+                   CAST((srn - 1) // 50 AS BIGINT) AS window_id,
+                   CAST(50 - 1 - ((srn - 1) % 50) AS BIGINT) AS pos
+            FROM fanned
+            WHERE srn >= 1 AND (sn // 50) * 50 >= srn
+        """,
+        "events_fresh": """
+            SELECT CAST(event_id AS BIGINT) AS event_id
+            FROM events WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
         """,
         "events_ts_parse": """
             SELECT CAST(event_id AS BIGINT) AS event_id,

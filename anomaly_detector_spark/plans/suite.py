@@ -72,6 +72,18 @@ def default_suite(partition_col: str = "lang", min_rows: int = 25) -> list[Check
     ]
 
 
+def extended_suite(partition_col: str = "lang", min_rows: int = 25) -> list[CheckSpec]:
+    """default_suite plus the categorical count-drift check (the
+    north_star's second drift dimension). Separate factory so the
+    default suite_id — and every committed manifest keyed by it — stays
+    stable; switching suites re-validates by design (T3)."""
+    from ..checks.drift import run_count_drift
+
+    return default_suite(partition_col, min_rows) + [
+        CheckSpec("count_drift", run_count_drift, {}, partition_col, min_rows),
+    ]
+
+
 def run_suite(
     df: DataFrame,
     suite: list[CheckSpec] | None = None,

@@ -280,3 +280,21 @@ def test_pure_python_xxh64_matches_spark(spark):
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
     assert got == [xxh64(c.encode("utf-8")) for c in cases]
+
+
+def test_frame_sample_plan(spark):
+    # one row per sampled frame timestamp for video rows only, distributed
+    # via sequence+explode (no driver loop)
+    from anomaly_detector_spark.operators.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, 30)
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    vids = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect() if r["kind"] == "video"}
+    assert vids, "synth should contain video rows"
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert set(by_id) == set(vids)
+    for mid, ts in by_id.items():
+        assert len(ts) == max(vids[mid] // 1000, 1)
+        assert sorted(ts) == [i * 1000 for i in range(len(ts))]

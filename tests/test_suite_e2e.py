@@ -108,3 +108,18 @@ def test_suite_partitioned_by_skewed_repo(spark):
     assert sorted(map(tuple, verd)) == sorted(
         map(tuple, res2.verdicts.select("partition_key", "check_id", "verdict").collect())
     )
+
+
+def test_extended_suite_runs_count_drift(spark):
+    from anomaly_detector_spark.plans.suite import default_suite, extended_suite, run_suite
+    from anomaly_detector_spark.sources.registry import files_view
+
+    files = files_view(spark, "/root/testdata/sf0.001").drop("doc_id")
+    ext = extended_suite()
+    res = run_suite(files, suite=ext)
+    per_check = res.verdicts.select("check_id").distinct().count()
+    assert per_check == 5  # default 4 + count_drift
+    # a different suite composition must yield a different suite_id
+    from anomaly_detector_spark.plans.manifest import suite_id
+
+    assert suite_id(ext) != suite_id(default_suite())
