@@ -140,6 +140,18 @@ def freeze_baseline(hist_df: DataFrame, manifest_dir: str, sid: str) -> None:
     rows.coalesce(1).write.mode("append").parquet(baseline_dir(manifest_dir))
 
 
+def global_distinct(spark: SparkSession, sketches_dir: str, suite_sid: str | None = None):
+    """Global distinct-content estimate from every committed run's
+    sketches — one tiny aggregate over KB-sized sketch rows, no rescan
+    of history. Returns a 1-row DataFrame (distinct_estimate, n_rows)."""
+    from ..checks.stats import hll_union_estimate
+
+    df = spark.read.parquet(sketches_dir)
+    if suite_sid is not None:
+        df = df.filter(F.col("suite_id") == suite_sid)
+    return hll_union_estimate(df)
+
+
 def run_with_manifest(
     df: DataFrame,
     manifest_dir: str,
@@ -150,6 +162,7 @@ def run_with_manifest(
     violations_sink: str | None = None,
     count_skipped_rows: bool = False,
     collect_verdict_counts: bool = False,
+    sketches_dir: str | None = None,
 ) -> ManifestRun:
     """Run the suite on not-yet-committed partitions; commit once at the end.
 
@@ -213,6 +226,24 @@ def run_with_manifest(
     if violations_sink is not None:
         # Violations first, manifest last (see docstring).
         res.violations.write.mode("append").parquet(violations_sink)
+
+    if sketches_dir is not None:
+        # Per-partition HLL sketches for THIS run's pending partitions.
+        # Sketches are mergeable, so the union of every committed run's
+        # rows answers "global distinct contents" across the whole table
+        # WITHOUT rescanning committed history (see global_distinct) —
+        # the incremental form of the A8 distinct-count stat.
+        from ..checks.stats import hll_sketches
+
+        stats_specs = [s for s in suite if s.name == "stats"]
+        sk_col = stats_specs[0].config.get("column", "content") if stats_specs else "content"
+        (
+            hll_sketches(pending, partition_col, sk_col)
+            .withColumn("run_id", F.lit(rid))
+            .withColumn("suite_id", F.lit(sid))
+            .write.mode("append")
+            .parquet(sketches_dir)
+        )
 
     rows_per_part = pending.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
         F.count(F.lit(1)).alias("n_rows")

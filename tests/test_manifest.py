@@ -158,3 +158,30 @@ def test_violations_sink_written_before_commit(spark, manifest_dir, tmp_path):
         for r in viol.groupBy("partition_key", "check_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_check_sink == per_check_manifest
+
+
+def test_incremental_sketches_union_to_global_distinct(spark, manifest_dir, tmp_path):
+    # two incremental runs each write their pending partitions' HLL
+    # sketches; the union estimate over the sketch table equals a
+    # fresh full-scan sketch estimate — distinct counts stay queryable
+    # across resumes without rescanning committed history
+    from anomaly_detector_spark.checks.stats import hll_sketches, hll_union_estimate
+    from anomaly_detector_spark.plans.manifest import global_distinct
+
+    files = files_view(spark, SF).drop("doc_id")
+    langs = sorted(r[0] for r in files.select("lang").distinct().collect())
+    first, rest = files.filter(F.col("lang").isin(langs[:2])), files.filter(
+        ~F.col("lang").isin(langs[:2])
+    )
+    sk_dir = str(tmp_path / "sketches")
+    run_with_manifest(first, manifest_dir, sketches_dir=sk_dir)
+    run_with_manifest(files, manifest_dir, sketches_dir=sk_dir)  # resumes: only `rest` pending
+    est = global_distinct(spark, sk_dir).collect()[0]
+    full = hll_union_estimate(hll_sketches(files, "lang", "content")).collect()[0]
+    # merge order can shift the estimate slightly (sparse->dense sketch
+    # promotion happens at different points) — assert both paths agree
+    # within HLL error, and against the exact distinct count
+    exact = files.select("content").distinct().count()
+    assert abs(est["distinct_estimate"] - full["distinct_estimate"]) / exact < 0.05
+    assert abs(est["distinct_estimate"] - exact) / exact < 0.05
+    assert est["n_rows"] == files.count()
