@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--freeze-baseline", action="store_true",
         help="freeze the pooled drift baseline on first run (T2/T3 semantics)",
     )
+    p.add_argument(
+        "--suite", default="default", choices=["default", "extended"],
+        help="extended adds the categorical count-drift check (new suite_id -> revalidates)",
+    )
+    p.add_argument(
+        "--sketches", default=None,
+        help="per-run HLL sketch table (parquet dir) for incremental global distincts",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -61,9 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.table(args.input)
 
     from .plans.manifest import run_with_manifest
-    from .plans.suite import default_suite
+    from .plans.suite import default_suite, extended_suite
 
-    suite = default_suite(partition_col=args.partition_col, min_rows=args.min_rows)
+    make_suite = extended_suite if args.suite == "extended" else default_suite
+    suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     # The violations sink is passed INTO the run so it is written before
     # the manifest commit — a crash in between re-runs the partitions
     # rather than losing their violation rows (resume would otherwise
@@ -72,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         df, args.manifest, suite=suite, partition_col=args.partition_col,
         run_id=args.run_id, freeze_drift_baseline=args.freeze_baseline,
         violations_sink=args.violations, collect_verdict_counts=True,
+        sketches_dir=args.sketches,
     )
 
     summary = {
