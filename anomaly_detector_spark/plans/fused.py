@@ -25,10 +25,15 @@ Equivalence with the naive path is pinned by tests/test_fused.py: same
 verdicts, same violation-row multiset, same check ids.
 
 Scans of the big table per full materialization: 3 for verdicts
-(fused agg, uniqueness counts, drift histogram) + 2 for violations
-(fused row filter, uniqueness counts again) — down from 8, and the only
-wide shuffle left is the uniqueness count keyed by the uniform composite
-key (skew-immune; AQE splits any residual hot partition).
+(fused agg, uniqueness counts, drift histogram) + 3 for violations
+(fused row filter; uniqueness counts for the broadcast dup build; counts
+again for the attribution probe) — down from 8, and the only wide
+shuffle left is the uniqueness count keyed by the uniform composite key
+(skew-immune; AQE splits any residual hot partition). The violations
+side regained one scan in round 2 to carry per-partition attribution in
+the envelope — measured against the alternatives in PLANS.md; the
+manifest path nets ahead because its violations-to-pending re-join
+(a wide shuffle of raw rows) was deleted outright.
 """
 
 from __future__ import annotations
