@@ -402,8 +402,9 @@ def q_events_ts_parse(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_emb_exact_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    # exact embedding-cosine near-dup pairs (brute force; the oracle for
-    # the LSH-bucketed emb_near_dups variant below)
+    # exact embedding-cosine near-dup pairs — DELIBERATE O(n^2) crossJoin,
+    # oracle baseline ONLY (validates the LSH-bucketed emb_near_dups_lsh
+    # variant at test scale); never run this shape at scale
     from anomaly_detector_spark.operators.similarity import cosine
 
     emb = load_table(spark, sf, "embeddings").select(

@@ -210,28 +210,48 @@ def run_count_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
     """
     part = spec.partition_col
     cid = spec.id
-    cur = count_histogram(df, part)
+    # cur is O(partitions) rows but computing it scans the input; it feeds
+    # both the totals aggregate and the share join below, so cache it and
+    # hand the cache to the caller for release (matching run_drift).
+    cur = count_histogram(df, part).cache()
     baseline = spec.config.get("baseline_df")
     if baseline is None:
-        n_parts = cur.count() or 1
-        total = cur.agg(F.sum("n")).collect()[0][0] or 0
-        baseline = cur.select(
-            "partition_key", (F.lit(float(total)) / n_parts).alias("base_n")
+        # Uniform default baseline derived INSIDE the plan: q is the same
+        # smoothed constant (tn/k) for every partition, so no baseline
+        # frame, no self-join, and no driver actions (the former
+        # cur.count() + collect() pair cost two extra Spark jobs per run).
+        joined = cur.select("partition_key", F.col("n").cast("double").alias("n"))
+        tot = joined.agg(F.sum("n").alias("_tn"), F.count(F.lit(1)).alias("_k"))
+        sm = joined.crossJoin(F.broadcast(tot)).select(
+            "partition_key",
+            "n",
+            ((F.col("n") + 0.5) / (F.col("_tn") + 0.5 * F.col("_k"))).alias("p"),
+            ((F.col("_tn") / F.col("_k") + 0.5) / (F.col("_tn") + 0.5 * F.col("_k"))).alias("q"),
         )
-    joined = cur.join(baseline, on="partition_key", how="full_outer").select(
-        "partition_key",
-        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
-        F.coalesce(F.col("base_n"), F.lit(0)).cast("double").alias("base_n"),
-    )
-    tot = joined.agg(
-        F.sum("n").alias("_tn"), F.sum("base_n").alias("_tb"), F.count(F.lit(1)).alias("_k")
-    )
-    sm = joined.crossJoin(F.broadcast(tot)).select(
-        "partition_key",
-        "n",
-        ((F.col("n") + 0.5) / (F.col("_tn") + 0.5 * F.col("_k"))).alias("p"),
-        ((F.col("base_n") + 0.5) / (F.col("_tb") + 0.5 * F.col("_k"))).alias("q"),
-    )
+    else:
+        # Null-SAFE full outer join: with plain equality a NULL
+        # partition_key never matches its own baseline row, so one NULL
+        # partition emitted TWO verdict rows (a spurious FAIL with
+        # inflated psi from the unmatched cur side, plus a SKIPPED row
+        # from the unmatched baseline side) and corrupted manifest
+        # accounting for the extended suite.
+        b = baseline.select(F.col("partition_key").alias("_bkey"), "base_n")
+        joined = cur.join(
+            b, cur["partition_key"].eqNullSafe(b["_bkey"]), "full_outer"
+        ).select(
+            F.coalesce(cur["partition_key"], F.col("_bkey")).alias("partition_key"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+            F.coalesce(F.col("base_n"), F.lit(0)).cast("double").alias("base_n"),
+        )
+        tot = joined.agg(
+            F.sum("n").alias("_tn"), F.sum("base_n").alias("_tb"), F.count(F.lit(1)).alias("_k")
+        )
+        sm = joined.crossJoin(F.broadcast(tot)).select(
+            "partition_key",
+            "n",
+            ((F.col("n") + 0.5) / (F.col("_tn") + 0.5 * F.col("_k"))).alias("p"),
+            ((F.col("base_n") + 0.5) / (F.col("_tb") + 0.5 * F.col("_k"))).alias("q"),
+        )
     scores = sm.select(
         "partition_key",
         F.abs(F.log(F.col("p") / F.col("q"))).alias("psi"),
@@ -256,7 +276,9 @@ def run_count_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         skip_when=F.col("n_obs") < spec.min_rows,
         metric_cols=["psi", "psi_term", "n_obs", "z_score", "median_score"],
     )
-    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=flagged)
+    return CheckResult(
+        violations=empty_violations(df), verdicts=verdicts, metrics=flagged, caches=[cur]
+    )
 
 
 def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:

@@ -4,8 +4,18 @@ Semantics: the reference deduplicates its per-device history keeping the
 FIRST row for a duplicated index (/root/reference/algo/operator.py:92
 ``series[~series.index.duplicated(keep='first')]``). Reframed: every
 (repo, path, commit) key must appear exactly once; extra occurrences are
-violations, and the deterministic keep-first survivor (ordered by a
-stable tiebreak) is exempt.
+violations, with one deterministic survivor per key exempted.
+
+Survivor attribution (which PARTITION the exempt row is counted under)
+is pinned to the key's minimal-``xxhash64(partition)`` partition; the
+order expression only breaks ties WITHIN that partition. This makes
+per-partition violation counts partitioning-invariant AND lets the fused
+aggregation-only plan reproduce them with a numeric ``min()`` (a string
+min would demote the hash aggregate to sort-based). Note this is a
+different (coarser) pin than ``dedup_keep_first``, which orders by
+``order_col`` alone — the check's exempt survivor may therefore sit in a
+different partition than the row dedup_keep_first would keep; the two
+answer different questions (accounting vs row selection).
 
 Scale design (SURVEY.md §4.3): a naive ``groupBy(repo,path,commit)``
 hash-aggregates with map-side partial counts, which Spark already

@@ -82,8 +82,22 @@ def extract_loads_series(
     less Python than a row loop; equivalence with the reference state
     machine is pinned by the replay fixtures in test_loads and a
     hypothesis property test over random series.
+
+    Constraint: ``trim <= end_count``. The member formula {s} ∪ (t, e-trim]
+    matches the reference's ``new_load[:-trim]`` list slice only while the
+    trim stays within the appended (t, e] range (length >= end_count + 1);
+    a larger trim would slice into/past the lookback element s — the
+    reference yields [] there, this formula would yield [s]. Rejected
+    explicitly rather than silently diverging.
     """
     import numpy as np
+
+    if trim > end_count:
+        raise ValueError(
+            f"trim ({trim}) must be <= end_count ({end_count}): larger trims "
+            "slice into the lookback element in the reference state machine "
+            "(load_device.py new_load[:-trim]) and are not reproduced here"
+        )
 
     v = np.asarray(v, dtype="float64")
     n = len(v)
@@ -117,6 +131,7 @@ def extract_loads(
     lookback: int = 10,
     trim: int = 10,
     tiebreak_col: str | None = None,
+    include_order: bool = False,
 ) -> DataFrame:
     """One row per completed load:
     (key, load_id, start_rn, trigger_rn, end_rn, n_points, values).
@@ -126,19 +141,40 @@ def extract_loads(
     and a distributed table has none. ``values`` is the member-value
     array ({v[s]} ++ v[(t, e-trim]]), ready for normalize/pad/outlier
     stages; positions are 1-based ranks within the key.
+
+    ``include_order=True`` adds ``member_ord array<T(order_col)>`` — the
+    member rows' order values — because the reference's downstream
+    consumes a datetime-INDEXED series per load
+    (/root/reference/algo/load_device.py:54-63), not just the values.
+
+    Constraints / failure modes:
+    * ``trim <= end_count`` (validated — see extract_loads_series).
+    * One Arrow task replays one key's WHOLE series (the sequential
+      semantics are inherent: each load's end gates the next trigger).
+      Scale is across keys (10^6 devices x bounded history); a single
+      key with an unbounded (10^9-row) history pins one task — pre-slice
+      such histories by a coarse time range if that shape ever appears.
     """
+    if trim > end_count:
+        raise ValueError(f"trim ({trim}) must be <= end_count ({end_count})")
     sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    ord_type = dict(df.dtypes)[order_col] if include_order else None
     schema = (
         f"{key_col} string, load_id long, start_rn long, trigger_rn long, "
         f"end_rn long, n_points long, values array<double>"
+        + (f", member_ord array<{ord_type}>" if include_order else "")
     )
-    key_b, val_b, sort_b = key_col, value_col, sort_cols
+    key_b, val_b, sort_b, ord_b = key_col, value_col, sort_cols, order_col
+    inc_b = include_order
     st_b, et_b, ec_b, lb_b, tr_b = start_thresh, end_thresh, end_count, lookback, trim
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_b].iloc[0]
-        v = pdf.sort_values(sort_b, kind="mergesort")[val_b].to_numpy(dtype="float64")
-        out = {c: [] for c in ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points", "values")}
+        srt = pdf.sort_values(sort_b, kind="mergesort")
+        v = srt[val_b].to_numpy(dtype="float64")
+        ords = srt[ord_b].tolist() if inc_b else None
+        cols_ = ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points", "values", "member_ord")
+        out = {c: [] for c in cols_}
         for load_id, (s0, t0, e0, members) in enumerate(
             extract_loads_series(v, st_b, et_b, ec_b, lb_b, tr_b), start=1
         ):
@@ -148,16 +184,21 @@ def extract_loads(
             out["end_rn"].append(e0 + 1)
             out["n_points"].append(len(members))
             out["values"].append([float(v[m]) for m in members])
+            if inc_b:
+                out["member_ord"].append([ords[m] for m in members])
         n = len(out["load_id"])
         # object dtype for the list column: an empty float64 column (the
         # pandas default for []) cannot be Arrow-cast to list<double>
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {
                 key_b: pd.Series([key] * n, dtype="object"),
                 **{c: out[c] for c in ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points")},
                 "values": pd.Series(out["values"], dtype="object"),
             }
         )
+        if inc_b:
+            res["member_ord"] = pd.Series(out["member_ord"], dtype="object")
+        return res
 
     cols = [F.col(key_col).cast("string"), *[F.col(c) for c in sort_b], F.col(value_col)]
     return df.select(*cols).groupBy(key_col).applyInPandas(kernel, schema)

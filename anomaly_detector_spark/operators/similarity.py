@@ -47,6 +47,12 @@ def brute_force_topk(
 
     Output: (query_id, vec_id, score, rank), rank 1..k, deterministic
     tie-break on vec_id.
+
+    WARNING — oracle baseline, never the scale path: the scoring pass is
+    O(|corpus| x |queries|) and the final window funnels all N x Q scored
+    rows through Q reducers (one sorted task per query). Correct and fine
+    for validating lsh_topk / ivf_topk at test scale; at 100 TB use those
+    bucketed variants, which this function exists to oracle.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

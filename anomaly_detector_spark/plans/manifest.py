@@ -143,13 +143,27 @@ def freeze_baseline(hist_df: DataFrame, manifest_dir: str, sid: str) -> None:
 def global_distinct(spark: SparkSession, sketches_dir: str, suite_sid: str | None = None):
     """Global distinct-content estimate from every committed run's
     sketches — one tiny aggregate over KB-sized sketch rows, no rescan
-    of history. Returns a 1-row DataFrame (distinct_estimate, n_rows)."""
+    of history. Returns a 1-row DataFrame (distinct_estimate, n_rows).
+
+    Sketch rows are AT-LEAST-ONCE (written before the manifest commit,
+    like the violations sink): a crash between sketch append and manifest
+    append makes the retry — under a fresh run_id — append the same
+    partitions' sketches again. The union estimate is idempotent under
+    that, but a plain sum of n_rows would over-count, so rows are first
+    deduped to one per (suite_id, partition_key): a partition commits at
+    most once per suite_id, so every surviving row carries that
+    partition's correct n_rows (max_by run_id just pins a deterministic
+    survivor)."""
     from ..checks.stats import hll_union_estimate
 
     df = spark.read.parquet(sketches_dir)
     if suite_sid is not None:
         df = df.filter(F.col("suite_id") == suite_sid)
-    return hll_union_estimate(df)
+    deduped = df.groupBy("suite_id", "partition_key").agg(
+        F.max_by("sketch", "run_id").alias("sketch"),
+        F.max_by("n_rows", "run_id").alias("n_rows"),
+    )
+    return hll_union_estimate(deduped)
 
 
 def run_with_manifest(
@@ -232,7 +246,10 @@ def run_with_manifest(
         # Sketches are mergeable, so the union of every committed run's
         # rows answers "global distinct contents" across the whole table
         # WITHOUT rescanning committed history (see global_distinct) —
-        # the incremental form of the A8 distinct-count stat.
+        # the incremental form of the A8 distinct-count stat. Written
+        # before the manifest commit, so AT-LEAST-ONCE like the
+        # violations sink: readers must dedupe by (suite_id,
+        # partition_key) — global_distinct does.
         from ..checks.stats import hll_sketches
 
         stats_specs = [s for s in suite if s.name == "stats"]

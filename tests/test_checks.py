@@ -208,3 +208,30 @@ def test_count_drift_stable_distribution_passes(spark):
     spec = CheckSpec("count_drift", run_count_drift, {}, "lang", 25)
     res = run_count_drift(df, spec)  # default baseline: uniform — matches
     assert {r["verdict"] for r in res.verdicts.collect()} == {PASS}
+
+
+def test_count_drift_null_partition_single_row(spark):
+    # ADVICE r2 (medium): a NULL partition_key must join null-safely to
+    # its baseline row — plain equality emitted TWO verdict rows for the
+    # NULL partition (a spurious FAIL from the unmatched cur side plus a
+    # SKIPPED from the unmatched baseline side).
+    from anomaly_detector_spark.checks.drift import run_count_drift
+
+    rows = [(lang,) for lang in ("en", "de", "es") for _ in range(1000)] + [(None,)] * 1000
+    df = spark.createDataFrame(rows, "lang string")
+    baseline = spark.createDataFrame(
+        [("en", 1000.0), ("de", 1000.0), ("es", 1000.0), (None, 1000.0)],
+        "partition_key string, base_n double",
+    )
+    spec = CheckSpec("count_drift", run_count_drift, {"baseline_df": baseline}, "lang", 25)
+    res = run_count_drift(df, spec)
+    verd = res.verdicts.collect()
+    keys = [r["partition_key"] for r in verd]
+    assert sorted(keys, key=lambda k: (k is None, k)) == ["de", "en", "es", None]
+    assert {r["verdict"] for r in verd} == {PASS}  # uniform vs uniform baseline
+
+    # default (uniform) baseline path: same single-row-per-partition law
+    spec2 = CheckSpec("count_drift", run_count_drift, {}, "lang", 25)
+    res2 = run_count_drift(df, spec2)
+    keys2 = [r["partition_key"] for r in res2.verdicts.collect()]
+    assert len(keys2) == 4 and len(set(map(str, keys2))) == 4

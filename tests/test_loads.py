@@ -104,3 +104,36 @@ def test_normalize_by_max(spark):
     assert out[0] == [0.25, 0.5, 1.0]
     assert out[1] == [0.0, 0.0]  # max 0 -> unchanged
     assert out[2] == []
+
+
+def test_extract_loads_rejects_trim_beyond_end_count(spark):
+    # ADVICE r2: the {s} ∪ (t, e-trim] member formula only reproduces the
+    # reference's new_load[:-trim] slice while trim <= end_count; larger
+    # trims slice into the lookback element (ref yields [], formula would
+    # yield [s]) — rejected explicitly instead of silently diverging.
+    from anomaly_detector_spark.operators.loads import extract_loads_series
+
+    df = _series_df(spark, [20] + [0.5] * 11 + [2])
+    with pytest.raises(ValueError, match="trim"):
+        extract_loads(df, "k", "pos", "v", end_count=10, trim=11)
+    with pytest.raises(ValueError, match="trim"):
+        extract_loads_series([20.0] + [0.5] * 11 + [2.0], end_count=10, trim=11)
+
+
+def test_extract_loads_member_ord_passthrough(spark):
+    # include_order=True carries the member rows' order values — the
+    # reference's downstream consumes a datetime-INDEXED series per load
+    # (/root/reference/algo/load_device.py:54-63), not just values.
+    import datetime as dt
+
+    vals = [5, 20, 30, 1, 1, 1, 25, 1, 0.5, 0.2, 0.3, 0.3, 0.9, 1.0, 1.1, 0.4, 50, 2]
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("d1", t0 + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = extract_loads(df, "k", "ts", "v", include_order=True).orderBy("load_id").collect()
+    assert out, "expected at least one load"
+    for r in out:
+        assert len(r["member_ord"]) == r["n_points"] == len(r["values"])
+        # member timestamps map back to the exact source rows of the values
+        by_ts = {row[1]: row[2] for row in rows}
+        assert [by_ts[ts] for ts in r["member_ord"]] == r["values"]

@@ -185,3 +185,24 @@ def test_incremental_sketches_union_to_global_distinct(spark, manifest_dir, tmp_
     assert abs(est["distinct_estimate"] - full["distinct_estimate"]) / exact < 0.05
     assert abs(est["distinct_estimate"] - exact) / exact < 0.05
     assert est["n_rows"] == files.count()
+
+
+def test_sketch_retry_does_not_overcount_rows(spark, manifest_dir, tmp_path):
+    # Sketch rows are at-least-once (written BEFORE the manifest commit):
+    # simulate a crash between sketch append and manifest append by
+    # re-appending one run's sketch rows under a fresh run_id.
+    # global_distinct must dedupe per (suite_id, partition_key) so n_rows
+    # is not double-counted and the estimate is unchanged.
+    from anomaly_detector_spark.plans.manifest import global_distinct
+
+    files = files_view(spark, SF).drop("doc_id")
+    sk_dir = str(tmp_path / "sketches")
+    run_with_manifest(files, manifest_dir, sketches_dir=sk_dir)
+    before = global_distinct(spark, sk_dir).collect()[0]
+
+    dup = spark.read.parquet(sk_dir).withColumn("run_id", F.lit("retry_run"))
+    dup.write.mode("append").parquet(sk_dir)
+
+    after = global_distinct(spark, sk_dir).collect()[0]
+    assert after["n_rows"] == before["n_rows"] == files.count()
+    assert after["distinct_estimate"] == before["distinct_estimate"]
