@@ -80,9 +80,20 @@ def _shingle_hash(i: int, sh: Column, seed: int, hash_fn: str) -> Column:
     hash) or ``sha256`` (oracle mode: first 16 hex chars as a STRING —
     fixed-width lowercase hex compares lexicographically == numerically,
     so min-aggregation semantics are identical, and any SQL engine with
-    sha256 can re-derive the signature exactly)."""
+    sha256 can re-derive the signature exactly).
+
+    Production mode receives ``sh`` already reduced to ONE long
+    (``xxhash64(seed, shingle)``, projected once in minhash_signatures)
+    and derives draw i by re-hashing that long (``xxhash64(i, h1)`` —
+    fixed 12-byte input): the classic one-hash MinHash family. The
+    former form hashed the full shingle string K times — K x the
+    string-scan cost for the same collision behavior. (A true affine
+    ``a_i*h+b_i`` family needs wrapping 64-bit multiply, which ANSI mode
+    — Spark 4 default — rejects on overflow; the long-rehash form costs
+    one extra hash round per draw but stays plan-portable. Recorded in
+    PLANS.md.)"""
     if hash_fn == "xxhash64":
-        return F.xxhash64(F.lit(i + seed), sh)
+        return F.xxhash64(F.lit(i), sh)
     if hash_fn == "sha256":
         return F.substring(F.sha2(F.concat(F.lit(f"{i + seed}:"), sh), 256), 1, 16)
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -104,18 +115,25 @@ def minhash_signatures(
     is a nested higher-order function — interpreted (no whole-stage
     codegen) AND re-inlined per reference by Catalyst's projection
     collapse, which made it ~1000x slower than this form in practice.
-    Here we explode to (id, shingle) rows and run K min-aggregates over
-    ``xxhash64(lit(i+seed), shingle)`` — plain codegen'd expressions with
-    map-side partial aggregation, so the shuffle carries K longs per
-    document regardless of document size, and skew is bounded by the
-    longest single document.
+    Here we explode to (id, shingle) rows and run K min-aggregates —
+    plain codegen'd expressions with map-side partial aggregation, so
+    the shuffle carries K longs per document regardless of document
+    size, and skew is bounded by the longest single document. In
+    production (xxhash64) mode the shingle STRING is hashed exactly
+    once per row (``_h1``); the K draws re-hash that long (see
+    _shingle_hash), cutting the dominant string-hash cost K-fold.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(col, shingle_k, distinct=False)).alias("_sh"),
     )
+    if hash_fn == "xxhash64":
+        sh = sh.select("_id", F.xxhash64(F.lit(seed), F.col("_sh")).alias("_h1"))
+        draw = F.col("_h1")
+    else:
+        draw = F.col("_sh")
     mins = [
-        F.min(_shingle_hash(i, F.col("_sh"), seed, hash_fn)).alias(f"_h{i}")
+        F.min(_shingle_hash(i, draw, seed, hash_fn)).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("_id").agg(*mins)

@@ -166,6 +166,31 @@ def global_distinct(spark: SparkSession, sketches_dir: str, suite_sid: str | Non
     return hll_union_estimate(deduped)
 
 
+def global_quantiles(
+    spark: SparkSession,
+    quantile_sketches_dir: str,
+    qs: list[float] = (0.5, 0.99),
+    suite_sid: str | None = None,
+):
+    """Global quantile estimates over every committed run's t-digest
+    sketch rows — the quantile twin of global_distinct: cross-run p50/p99
+    WITHOUT rescanning history (SURVEY §4.2's mergeable-quantile
+    backend). Same at-least-once story and the same (suite_id,
+    partition_key) dedupe as the HLL rows. Returns one row
+    (q_0_5, q_0_99, ..., n_rows)."""
+    from ..checks.quantiles import quantiles_from_sketches
+
+    df = spark.read.parquet(quantile_sketches_dir)
+    if suite_sid is not None:
+        df = df.filter(F.col("suite_id") == suite_sid)
+    deduped = df.groupBy("suite_id", "partition_key").agg(
+        F.max_by("means", "run_id").alias("means"),
+        F.max_by("weights", "run_id").alias("weights"),
+        F.max_by("n_rows", "run_id").alias("n_rows"),
+    )
+    return quantiles_from_sketches(deduped, list(qs))
+
+
 def run_with_manifest(
     df: DataFrame,
     manifest_dir: str,
@@ -177,6 +202,8 @@ def run_with_manifest(
     count_skipped_rows: bool = False,
     collect_verdict_counts: bool = False,
     sketches_dir: str | None = None,
+    quantile_sketches_dir: str | None = None,
+    cache_pending: bool = False,
 ) -> ManifestRun:
     """Run the suite on not-yet-committed partitions; commit once at the end.
 
@@ -199,6 +226,19 @@ def run_with_manifest(
     freezes the pooled content-length histogram next to the manifest and
     injects it as every later run's drift baseline (instead of each run
     self-baselining against its own pooled distribution).
+
+    ``cache_pending=False`` (default): the pending frame is NOT cached.
+    Every consumer re-scans the source with column pruning + the
+    broadcast anti-join re-applied — the partition-key-only consumers
+    (n_keys, rows_per_part) read one tiny column, and the suite's scans
+    cost the same as the bare suite. Caching the full-width pending
+    table (content included) measured 328s vs 86s end-to-end at 32M
+    rows/local[8]: the first action serializes ~14 GB into storage
+    memory and every later scan rereads the spill — and at the target
+    10^12-row scale a full-table cache is not even possible. Set
+    ``cache_pending=True`` only when the pending slice is known small
+    (e.g. an incremental tail) and the source scan is expensive (slow
+    object store).
     """
     spark = df.sparkSession
     suite = suite or default_suite(partition_col=partition_col)
@@ -207,14 +247,17 @@ def run_with_manifest(
 
     manifest = read_manifest(spark, manifest_dir)
     done = committed_partitions(manifest, sid, n_checks=len(suite))
-    pending = pending_input(df, done, partition_col).cache()
+    pending = pending_input(df, done, partition_col)
+    if cache_pending:
+        pending = pending.cache()
 
     n_keys = pending.select(partition_col).distinct().count()
     skipped = None
     if count_skipped_rows:
         skipped = df.count() - pending.count()
     if n_keys == 0:
-        pending.unpersist()
+        if cache_pending:
+            pending.unpersist()
         return ManifestRun(rid, sid, 0, None, skipped_rows=skipped)
 
     if freeze_drift_baseline:
@@ -262,6 +305,23 @@ def run_with_manifest(
             .parquet(sketches_dir)
         )
 
+    if quantile_sketches_dir is not None:
+        # Per-partition t-digest sketches — the mergeable-quantile twin
+        # of the HLL rows above: cross-run p50/p99 via global_quantiles
+        # without rescanning committed history. Same at-least-once
+        # semantics (written before the manifest commit; readers dedupe).
+        from ..checks.quantiles import tdigest_sketches
+
+        stats_specs = [s for s in suite if s.name == "stats"]
+        q_col = stats_specs[0].config.get("column", "content") if stats_specs else "content"
+        (
+            tdigest_sketches(pending, partition_col, q_col)
+            .withColumn("run_id", F.lit(rid))
+            .withColumn("suite_id", F.lit(sid))
+            .write.mode("append")
+            .parquet(quantile_sketches_dir)
+        )
+
     rows_per_part = pending.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -304,5 +364,6 @@ def run_with_manifest(
             for r in res.verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
         }
     res.unpersist()
-    pending.unpersist()
+    if cache_pending:
+        pending.unpersist()
     return ManifestRun(rid, sid, n_keys, res, skipped_rows=skipped, verdict_counts=verdict_counts)

@@ -235,3 +235,52 @@ def test_count_drift_null_partition_single_row(spark):
     res2 = run_count_drift(df, spec2)
     keys2 = [r["partition_key"] for r in res2.verdicts.collect()]
     assert len(keys2) == 4 and len(set(map(str, keys2))) == 4
+
+
+def test_tdigest_compress_and_quantile_oracle():
+    # pure-math check: digest quantiles of a known distribution track the
+    # exact quantiles within t-digest error (delta=200)
+    import numpy as np
+
+    from anomaly_detector_spark.checks.quantiles import td_compress, td_quantile
+
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(4.0, 1.0, 50000)
+    m, w = td_compress(v, np.ones_like(v), delta=200.0)
+    assert len(m) < 500  # compressed
+    assert float(w.sum()) == pytest.approx(50000.0)
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(v, q))
+        est = td_quantile(m, w, q)
+        assert abs(est - exact) / exact < 0.02, (q, est, exact)
+
+
+def test_tdigest_sketches_mergeable(spark):
+    # per-partition sketches merge to the same global quantiles as a
+    # one-shot digest, and both track exact percentiles; two disjoint
+    # halves' sketches union to the full-scan answer (incremental form)
+    from anomaly_detector_spark.checks.quantiles import (
+        quantiles_from_sketches,
+        tdigest_sketches,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.repeat(F.lit("x"), ((F.col("id") * 37) % 400 + 10).cast("int")).alias("content"),
+    )
+    sk = tdigest_sketches(df, "lang", "content")
+    assert sk.count() == 5
+    est = quantiles_from_sketches(sk, [0.5, 0.99]).collect()[0]
+    exact = df.selectExpr(
+        "percentile(length(content), 0.5) AS p50",
+        "percentile(length(content), 0.99) AS p99",
+    ).collect()[0]
+    assert est["n_rows"] == 20000
+    assert abs(est["q_0_5"] - exact["p50"]) / exact["p50"] < 0.02
+    assert abs(est["q_0_99"] - exact["p99"]) / exact["p99"] < 0.02
+
+    a = tdigest_sketches(df.filter(F.col("id") < 10000), "lang", "content")
+    b = tdigest_sketches(df.filter(F.col("id") >= 10000), "lang", "content")
+    est2 = quantiles_from_sketches(a.unionByName(b), [0.5, 0.99]).collect()[0]
+    assert abs(est2["q_0_5"] - exact["p50"]) / exact["p50"] < 0.02
+    assert abs(est2["q_0_99"] - exact["p99"]) / exact["p99"] < 0.02

@@ -206,3 +206,33 @@ def test_sketch_retry_does_not_overcount_rows(spark, manifest_dir, tmp_path):
     after = global_distinct(spark, sk_dir).collect()[0]
     assert after["n_rows"] == before["n_rows"] == files.count()
     assert after["distinct_estimate"] == before["distinct_estimate"]
+
+
+def test_incremental_quantile_sketches(spark, manifest_dir, tmp_path):
+    # the quantile twin of the HLL sketch test: two incremental runs each
+    # write their pending partitions' t-digest rows; global_quantiles over
+    # the sketch table tracks the exact full-scan percentiles without
+    # rescanning committed history, and a duplicate (retry) append does
+    # not shift the estimate (at-least-once dedupe)
+    from anomaly_detector_spark.plans.manifest import global_quantiles
+
+    files = files_view(spark, SF).drop("doc_id")
+    langs = sorted(r[0] for r in files.select("lang").distinct().collect())
+    first = files.filter(F.col("lang").isin(langs[:2]))
+    q_dir = str(tmp_path / "qsketches")
+    run_with_manifest(first, manifest_dir, quantile_sketches_dir=q_dir)
+    run_with_manifest(files, manifest_dir, quantile_sketches_dir=q_dir)
+    est = global_quantiles(spark, q_dir, qs=[0.5, 0.99]).collect()[0]
+    exact = files.selectExpr(
+        "percentile(length(content), 0.5) AS p50",
+        "percentile(length(content), 0.99) AS p99",
+    ).collect()[0]
+    assert est["n_rows"] == files.filter(F.col("content").isNotNull()).count()
+    assert abs(est["q_0_5"] - exact["p50"]) / max(exact["p50"], 1) < 0.05
+    assert abs(est["q_0_99"] - exact["p99"]) / max(exact["p99"], 1) < 0.05
+
+    # simulated crash-retry: re-append one run's rows under a new run_id
+    dup = spark.read.parquet(q_dir).withColumn("run_id", F.lit("retry_run"))
+    dup.write.mode("append").parquet(q_dir)
+    again = global_quantiles(spark, q_dir, qs=[0.5, 0.99]).collect()[0]
+    assert again["n_rows"] == est["n_rows"]
