@@ -42,6 +42,31 @@ class SuiteResult:
                     pass
             r.caches = []
 
+    def materialize(self, parallel: bool = True) -> tuple[int, int]:
+        """Count both result frames; returns (n_verdicts, n_violations).
+
+        ``parallel=True`` submits the two actions from two driver
+        threads. The verdicts job and the violations job have disjoint
+        bottleneck phases (the verdicts action is aggregate/shuffle
+        bound, the violations action is scan/filter bound), so even
+        under the default FIFO scheduler their stages interleave and
+        the cluster stays saturated — measured 6.0s → 4.5s (2M rows,
+        local[32], warm; BASELINE.md round-3 table) for the full fused
+        suite versus sequential counts. Spark job submission is
+        thread-safe by design (one SparkContext, many scheduler
+        clients); this is the standard multi-action overlap pattern,
+        not a local[*] artifact — on a multi-executor cluster the win
+        is the same idle-stage backfill. Exceptions from either thread
+        re-raise here."""
+        if not parallel:
+            return self.verdicts.count(), self.violations.count()
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            fv = ex.submit(self.verdicts.count)
+            fw = ex.submit(self.violations.count)
+            return fv.result(), fw.result()
+
     def summary(self) -> DataFrame:
         """Per-check verdict counts + per-check violation counts in one
         small frame — a convenience for reporting. NOTE: materializing

@@ -61,12 +61,20 @@ def main() -> int:
     # measure the queries, not first-query JVM ramp-up.
     from anomaly_detector_spark.sources.registry import TABLES, files_view, load_table
 
-    warm = files_view(spark, SF_DIR).limit(2000)
     from anomaly_detector_spark.plans.suite import run_suite
+    from anomaly_detector_spark.synth import synth_files
 
-    wr = run_suite(warm, cache=False)
-    wr.verdicts.count()
-    wr.violations.count()
+    # Plan-shape warmup: run the fused suite over a tiny PARQUET table —
+    # scan-rooted plans with the exact operator shapes of the timed runs,
+    # so whole-stage-codegen classes are JIT'd before the clock starts.
+    # (A limit() warm produced different plan shapes and left the first
+    # timed suite paying ~3s of one-time codegen/ramp — measured.)
+    warm_path = "/tmp/bench_warm_2k"
+    if not os.path.isdir(warm_path):
+        synth_files(spark, 2000, seed=43).write.mode("overwrite").parquet(warm_path)
+    wr = run_suite(spark.read.parquet(warm_path), cache=False)
+    wr.materialize()
+    wr.unpersist()
     # Read-through every input file once (raw bytes — a Spark count()
     # only touches parquet footers): timings should measure the engine,
     # not the page-cache state another benchmark left behind (a cold
@@ -128,8 +136,6 @@ def main() -> int:
     # overhead (the sf files view is ~5k rows — job-scheduling latency, not
     # compute, dominates there). Deterministic synth, same shape/seed as
     # the scaling bench.
-    from anomaly_detector_spark.synth import synth_files
-
     big = synth_files(spark, 2_000_000, seed=42)
     big_path = "/tmp/bench_files_2m"
     if not os.path.isdir(big_path):
@@ -139,8 +145,7 @@ def main() -> int:
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     res = run_suite(bigdf, cache=False)
-    res.verdicts.count()
-    res.violations.count()
+    res.materialize()  # verdicts + violations actions overlapped (two driver threads)
     sustained_sec = time.perf_counter() - t0
     timings["suite_2m_rows"] = round(sustained_sec, 3)
 
