@@ -141,9 +141,30 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     # broadcast(dup) as the join side (slower — the broadcast build runs
     # as a separate job and forfeits the exchange reuse). The plain join
     # is the measured winner, not just the cleaner-looking plan.
-    counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
-        F.count(F.lit(1)).alias("n_kp")
-    )
+    # config {"salt_buckets": B>1} inserts a salted pre-aggregation level:
+    # (key, part, salt) counts first, then (key, part). The default path
+    # already map-side combines — a hot key costs one partial row per map
+    # task, so the final reducer sees O(n_map_tasks) rows, fine up to
+    # ~10^5 tasks — but at extreme task counts (or with partial-agg
+    # fallback disabled) the salt caps the reducer fan-in at B rows per
+    # (key, part) regardless of cluster size. Salting only restructures
+    # the sum, so counts are bit-identical (pinned by
+    # test_fused_pathological_hot_key).
+    salt_buckets = int(spec.config.get("salt_buckets", 0) or 0)
+    if salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        )
+        counts_kp = (
+            salted.groupBy(*key, F.col(part).alias("_part"), "_salt")
+            .agg(F.count(F.lit(1)).alias("_pn"))
+            .groupBy(*key, "_part")
+            .agg(F.sum("_pn").alias("n_kp"))
+        )
+    else:
+        counts_kp = df.groupBy(*key, F.col(part).alias("_part")).agg(
+            F.count(F.lit(1)).alias("n_kp")
+        )
     # The per-key aggregate stays a pure vectorized HashAggregate: sum +
     # min over LONGS. Two slower formulations are banned by measurement:
     # (a) min(_part) as a STRING demotes to ObjectHashAggregate, which

@@ -38,6 +38,7 @@ def drift_stream(
     col: str = "content",
     bucket_width: int = 100,
     abs_thresh: float = 0.25,
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-partition running PSI/KS vs a frozen baseline histogram.
 
@@ -48,15 +49,29 @@ def drift_stream(
     absolute-threshold decision (the relative z/IQR gates need the
     cross-partition population, which a per-key stateful op cannot see —
     run the batch flagger over the emitted scores for those).
+
+    ``idle_ttl_ms``: state-hygiene layer for adversarial/unbounded key
+    spaces — a partition that receives no data for this long
+    (processing time) has its histogram EVICTED at the next trigger
+    (ProcessingTimeTimeout; the deadline rides the checkpointed state,
+    so it survives query restarts). Data arriving for an evicted key
+    later starts a fresh histogram — pick a TTL comfortably above the
+    slowest partition's arrival cadence. Default None keeps state
+    forever (bounded by distinct-keys x occupied-buckets, fine for
+    bounded key spaces like langs).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     base_items = sorted(baseline.items())
     bw = bucket_width
+    ttl = idle_ttl_ms
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             buckets, counts = state.get
             hist = dict(zip(buckets, counts))
@@ -76,6 +91,8 @@ def drift_stream(
         psi = float(np.sum((p - q) * np.log(p / q)))
         ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
         state.update((sorted(hist), [hist[b] for b in sorted(hist)]))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
         yield pd.DataFrame(
             {
                 "partition_key": [key[0]],
@@ -96,5 +113,9 @@ def drift_stream(
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -78,3 +78,62 @@ def test_fused_empty_input(spark):
     res = run_suite(df, fused=True)
     assert res.verdicts.count() == 0
     assert res.violations.count() == 0
+
+
+def test_fused_pathological_hot_key(spark):
+    # SURVEY §7 hard part 1, worst case: ONE (repo, path, commit) key
+    # holding ~30% of all rows (a mega-repo where every row collapses to
+    # one file shape). The fused path must complete and agree across all
+    # three join/agg strategies: default (broadcast dup side), the
+    # {"broadcast_dup": False} shuffle-join escape hatch, and the salted
+    # pre-aggregation ({"salt_buckets": 16}). Violation multisets are
+    # compared without check_id (config changes the content-addressed id
+    # by design, P4).
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.uniqueness import run_uniqueness
+    from anomaly_detector_spark.plans.fused import fused_uniqueness
+
+    n = 60000
+    base = synth_files(spark, n, skew=False)
+    hot = (F.col("_rid") % 10 < 3)  # deterministic 30% slice
+    df = (
+        base.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("repo", F.when(hot, F.lit("org0/megarepo")).otherwise(F.col("repo")))
+        .withColumn("path", F.when(hot, F.lit("src/hot.py")).otherwise(F.col("path")))
+        .withColumn("commit", F.when(hot, F.lit("deadbeef")).otherwise(F.col("commit")))
+        .drop("_rid")
+    )
+
+    def run(config):
+        spec = CheckSpec("uniqueness", run_uniqueness, config, "lang", 25)
+        return fused_uniqueness(df, spec)
+
+    results = {
+        name: run(cfg)
+        for name, cfg in {
+            "default": {},
+            "no_broadcast": {"broadcast_dup": False},
+            "salted": {"salt_buckets": 16},
+        }.items()
+    }
+    verd = {
+        name: sorted(
+            (r["partition_key"], r["verdict"], r["metrics"]) for r in cr.verdicts.collect()
+        )
+        for name, cr in results.items()
+    }
+    viol = {
+        name: Counter(
+            (r["repo"], r["path"], r["commit"], r["partition_key"], r["observed"])
+            for r in cr.violations.collect()
+        )
+        for name, cr in results.items()
+    }
+    assert verd["default"] == verd["no_broadcast"] == verd["salted"]
+    assert viol["default"] == viol["no_broadcast"] == viol["salted"]
+    # the hot key emits exactly (n_hot - 1) violation envelopes
+    n_hot = df.filter(F.col("path") == "src/hot.py").count()
+    hot_viol = sum(
+        c for (repo, path, _c, _pk, _o), c in viol["default"].items() if path == "src/hot.py"
+    )
+    assert n_hot > 0.25 * n and hot_viol == n_hot - 1

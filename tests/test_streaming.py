@@ -252,3 +252,123 @@ def test_drift_stream_accumulates_state_and_flags(spark, tmp_path):
             latest[k] = r
     assert latest["b"]["is_drifted"] and latest["b"]["n_obs"] == 240  # 40 + 200: state carried
     assert not latest["a"]["is_drifted"]
+
+
+def test_kafka_shape_text_stream_end_to_end(spark, tmp_path):
+    # S1 in its native message shape WITHOUT a broker: a text-file stream
+    # whose lines are JSON documents (exactly what rides a Kafka `value`)
+    # decoded by parse_kafka_envelope and validated micro-batch by
+    # micro-batch. maxFilesPerTrigger=1 forces >=2 batches; each file
+    # carries a complete partition so every batch commits its langs to
+    # the manifest (no split-partition skips).
+    import json
+
+    from anomaly_detector_spark.plans.suite import default_suite
+    from anomaly_detector_spark.sources.registry import parse_kafka_envelope
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i, lang in enumerate(["python", "go"]):
+        lines = [
+            json.dumps(
+                {
+                    "repo": f"org{i}/r",
+                    "path": f"src/f{j}.{lang[:2]}",
+                    "commit": "c" * 40,
+                    "lang": lang,
+                    "content": f"def f{j}(): pass",
+                }
+            )
+            for j in range(40)
+        ]
+        (ind / f"batch_{lang}.jsonl").write_text("\n".join(lines))
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(ind))
+    )
+    rows = parse_kafka_envelope(raw)
+    seen = []
+    q = validate_stream(
+        rows,
+        str(tmp_path / "manifest"),
+        str(tmp_path / "ckpt"),
+        suite=default_suite(min_rows=5),
+        on_batch=lambda run, bid: seen.append((bid, run)),
+    )
+    q.awaitTermination(300)
+
+    assert len(seen) >= 2, "maxFilesPerTrigger=1 must yield one batch per file"
+    committed = {(bid, run.pending_partitions) for bid, run in seen}
+    assert all(n == 1 for _b, n in committed), committed
+    assert not any(run.skipped_rows for _b, run in seen)
+
+    manifest = read_manifest(spark, str(tmp_path / "manifest"))
+    got = {
+        (r["partition_key"], r["verdict"])
+        for r in manifest.select("partition_key", "verdict").collect()
+    }
+    assert {pk for pk, _v in got} == {"python", "go"}
+    assert all(v == "PASS" for _pk, v in got), got
+    # per-batch run ids prove >=2 independent manifest commits
+    run_ids = {r["run_id"] for r in manifest.select("run_id").collect()}
+    assert len(run_ids) >= 2
+
+
+def test_drift_stream_idle_state_evicted(spark, tmp_path):
+    # idle_ttl_ms: a key that stays idle past the TTL has its histogram
+    # EVICTED when its processing-time timeout fires; data arriving after
+    # eviction starts a FRESH histogram — n_obs resets instead of
+    # accumulating (contrast test_drift_stream_accumulates_state_and_flags).
+    # One continuous query: an availableNow query with armed
+    # processing-time timeouts never terminates (the engine keeps
+    # scheduling batches to fire them), so we poll a memory sink and stop
+    # manually.
+    import time as _time
+
+    from anomaly_detector_spark.streaming.drift import drift_stream
+
+    inp = str(tmp_path / "in")
+    baseline = {1: 100.0, 2: 100.0}
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, "lang string, content string")
+
+    batch = [("b", "x" * 150)] * 40
+    rows_df(batch).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema("lang string, content string").parquet(inp)
+    out = drift_stream(stream, baseline, bucket_width=100, idle_ttl_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def b_rows(min_n, deadline=120):
+            t0 = _time.time()
+            while _time.time() - t0 < deadline:
+                rows = [
+                    r["n_obs"]
+                    for r in spark.sql(
+                        "SELECT n_obs FROM drift_evict WHERE partition_key = 'b'"
+                    ).collect()
+                ]
+                if len(rows) >= min_n:
+                    return rows
+                _time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {min_n} b-rows")
+
+        first = b_rows(1)
+        assert first == [40], first
+        _time.sleep(4)  # b idle >> 1.5s TTL; timeout batches fire and evict it
+        rows_df(batch).write.mode("append").parquet(inp)
+        after = b_rows(2)
+        # fresh histogram after eviction: the new emission is 40, NOT 80
+        assert sorted(after) == [40, 40], after
+    finally:
+        q.stop()
