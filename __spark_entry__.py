@@ -589,6 +589,44 @@ def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     return run_suite(files).verdicts.select("partition_key", "check_id", "verdict")
 
 
+def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data prep pipeline: language-ID -> quality
+    gate -> exact dedup on the normalized-content fingerprint ->
+    per-language corpus accounting. One declarative plan: the feature
+    columns are narrow maps fused into the scan, dedup is one hash
+    groupBy on a uniform 64-bit key, and the final per-language rollup
+    aggregates the already-tiny survivor frame — two shuffles total at
+    any scale. Oracle: same pipeline in SQL with dedup keyed on the
+    normalized text itself (an independent mechanism: agreement also
+    certifies the fingerprint is collision-free on this corpus). The
+    quality gate and micro conversion use the UNROUNDED score: the raw
+    double is IEEE-identical across engines (same operand order), while
+    scale-4 rounding diverges at half boundaries (measured: 11 docs/sf0.01
+    off by 1e-4, JVM BigDecimal HALF_UP vs DuckDB scaled-double round);
+    a single scale-0 round of an identical double is engine-exact."""
+    from anomaly_detector_spark.operators.text import quality_score, with_fingerprint, with_lang_id
+
+    d = load_table(spark, sf, "documents")
+    feat = quality_score(with_lang_id(d, "text"), "text", round_digits=None)
+    kept = feat.filter((F.col("lang_id") != "und") & (F.col("quality_score") >= 0.6))
+    surv = (
+        with_fingerprint(kept, "text")
+        .groupBy("fingerprint")
+        .agg(
+            F.min_by("lang_id", "doc_id").alias("lang_id"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.min_by("quality_score", "doc_id").alias("quality_score"),
+        )
+    )
+    return surv.groupBy(
+        "lang_id", F.floor(F.col("n_tokens") / 50).cast("long").alias("tok_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.round(F.col("quality_score") * 10000).cast("long")).alias("quality_micro_sum"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
 
@@ -626,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ts_parse": q_events_ts_parse,
         "emb_exact_near_dups": q_emb_exact_near_dups,
         "suite_verdicts": q_suite_verdicts,  # full-suite verdict oracle (all 4 checks in SQL)
+        "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -1174,6 +1213,74 @@ def _langid_oracle() -> str:
     """
 
 
+def _clean_corpus_oracle() -> str:
+    """The full prep pipeline re-derived in SQL: marker-word language-ID
+    (same lists, argmax + lexicographic tie-break), the text-stats ->
+    quality formula byte-matched to operators/text.py, the same gate,
+    then dedup grouped on the NORMALIZED TEXT (not the hash) with
+    arg_min survivor attribution — an independent dedup mechanism whose
+    agreement also certifies xxhash64 collision-freedom here."""
+    from anomaly_detector_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n".join(
+        "len(list_distinct(list_intersect(toks, ["
+        + ", ".join("'" + w + "'" for w in LANG_MARKERS[lang])
+        + f"]))) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                x -> lower(x)) AS toks
+          FROM documents
+        ),
+        scored AS (SELECT doc_id, text, {hit_cols} FROM t),
+        lang AS (
+          SELECT doc_id, text,
+                 CASE WHEN best = 0 THEN 'und' {pick} END AS lang_id
+          FROM (SELECT *, {best} AS best FROM scored)
+        ),
+        s AS (
+          SELECT doc_id, lang_id, text,
+                 length(coalesce(text, '')) AS n_chars,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
+                 CASE WHEN length(coalesce(text, '')) > 0
+                      THEN round(CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4)
+                      ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN length(coalesce(text, '')) > 0
+                      THEN round(CAST(length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 4)
+                      ELSE 0.0 END AS punct_ratio
+          FROM lang
+        ),
+        q AS (
+          SELECT doc_id, lang_id, text, n_tokens,
+                 CASE WHEN n_tokens >= 5 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END
+                       + alpha_ratio * 0.3
+                       + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3 AS quality_score
+          FROM s
+        ),
+        kept AS (SELECT * FROM q WHERE lang_id <> 'und' AND quality_score >= 0.6),
+        surv AS (
+          SELECT lower(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
+                 arg_min(lang_id, doc_id) AS lang_id,
+                 arg_min(n_tokens, doc_id) AS n_tokens,
+                 arg_min(quality_score, doc_id) AS quality_score
+          FROM kept GROUP BY 1
+        )
+        SELECT lang_id,
+               CAST(floor(n_tokens / 50.0) AS BIGINT) AS tok_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(round(quality_score * 10000)) AS BIGINT) AS quality_micro_sum
+        FROM surv GROUP BY 1, 2
+    """
+
+
 def _suite_verdicts_oracle() -> str:
     """Full-suite verdict oracle: re-derives every verdict rule in SQL.
 
@@ -1665,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
     out["suite_verdicts"] = _suite_verdicts_oracle()
     out["docs_langid"] = _langid_oracle()
+    out["docs_clean_corpus"] = _clean_corpus_oracle()
     out["minhash_pairs"] = _minhash_oracle()
     out["simhash_pairs"] = _simhash_oracle()
     out["emb_near_dups_lsh"] = _emb_near_dups_lsh_oracle()

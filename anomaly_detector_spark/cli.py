@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--sketches", default=None,
         help="per-run HLL sketch table (parquet dir) for incremental global distincts",
     )
+    p.add_argument(
+        "--quantile-sketches", default=None,
+        help="per-run t-digest sketch table (parquet dir) for cross-run p50/p99 without rescan",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id, freeze_drift_baseline=args.freeze_baseline,
         violations_sink=args.violations, collect_verdict_counts=True,
         sketches_dir=args.sketches,
+        quantile_sketches_dir=args.quantile_sketches,
     )
 
     summary = {

@@ -75,6 +75,50 @@ def word_shingles(col: Column | str, k: int = 3, distinct: bool = True) -> Colum
     return F.array_distinct(arr) if distinct else arr
 
 
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _splitmix64(x: int) -> int:
+    """Driver-side splitmix64 — derives the affine family's (a_i, b_i)
+    constants deterministically from (seed, i); plan-folded literals."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _affine_draw(i: int, h: Column, seed: int) -> Column:
+    """Draw i as ``(a_i * h mod 2^64) xor b_i`` — a bijection over the
+    64-bit space (a_i odd), i.e. the classic affine MinHash permutation,
+    in pure primitive codegen ops (no hash-function rounds per draw).
+
+    ANSI mode (Spark 4 default) throws on 64-bit multiply/add overflow,
+    so the wrapping multiply is built from 32-bit lanes where no
+    intermediate exceeds 2^63: with a_i < 2^31 and h split into unsigned
+    halves (hh, hl), ``a*h mod 2^64 = ((a*hl) & m32) | (((a*hl >>> 32) +
+    (a*hh & m32)) & m32) << 32``. Shifts and bitwise ops never
+    ANSI-check; both products are < 2^63; the one addition sums two
+    sub-2^32 values. The offset is XOR rather than +, sidestepping
+    wrapping addition entirely (equally uniform for a bijective family).
+    """
+    a = (_splitmix64(seed * 0x10001 + 2 * i) & 0x7FFFFFFF) | 1
+    b = _signed64(_splitmix64(seed * 0x10001 + 2 * i + 1))
+    hl = h.bitwiseAND(F.lit(_M32))
+    hh = F.shiftrightunsigned(h, 32)
+    p0 = F.lit(a) * hl
+    up = (F.shiftrightunsigned(p0, 32) + (F.lit(a) * hh).bitwiseAND(F.lit(_M32))).bitwiseAND(
+        F.lit(_M32)
+    )
+    return F.shiftleft(up, 32).bitwiseOR(p0.bitwiseAND(F.lit(_M32))).bitwiseXOR(F.lit(b))
+
+
 def _shingle_hash(i: int, sh: Column, seed: int, hash_fn: str) -> Column:
     """Hash draw i of a shingle. ``xxhash64`` (production: cheapest JVM
     hash) or ``sha256`` (oracle mode: first 16 hex chars as a STRING —
@@ -87,13 +131,18 @@ def _shingle_hash(i: int, sh: Column, seed: int, hash_fn: str) -> Column:
     and derives draw i by re-hashing that long (``xxhash64(i, h1)`` —
     fixed 12-byte input): the classic one-hash MinHash family. The
     former form hashed the full shingle string K times — K x the
-    string-scan cost for the same collision behavior. (A true affine
-    ``a_i*h+b_i`` family needs wrapping 64-bit multiply, which ANSI mode
-    — Spark 4 default — rejects on overflow; the long-rehash form costs
-    one extra hash round per draw but stays plan-portable. Recorded in
-    PLANS.md.)"""
+    string-scan cost for the same collision behavior. A true affine
+    ``a_i*h ^ b_i`` family (``hash_fn="affine"``, ANSI-safe 32-bit-lane
+    wrapping multiply) was built and MEASURED SLOWER (4.1s vs 3.2s,
+    sf0.1 signatures, local[32]): its ~10 primitive expression nodes per
+    draw x 64 draws bloat the generated aggregate-projection code past
+    what JIT digests, while xxhash64 is one tight codegen'd call.
+    Recorded in PLANS.md losing variants; the mode stays available and
+    test-pinned for engines where hash calls are pricier."""
     if hash_fn == "xxhash64":
         return F.xxhash64(F.lit(i), sh)
+    if hash_fn == "affine":
+        return _affine_draw(i, sh, seed)
     if hash_fn == "sha256":
         return F.substring(F.sha2(F.concat(F.lit(f"{i + seed}:"), sh), 256), 1, 16)
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -127,7 +176,7 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(col, shingle_k, distinct=False)).alias("_sh"),
     )
-    if hash_fn == "xxhash64":
+    if hash_fn in ("xxhash64", "affine"):
         sh = sh.select("_id", F.xxhash64(F.lit(seed), F.col("_sh")).alias("_h1"))
         draw = F.col("_h1")
     else:

@@ -72,8 +72,15 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
-    """Composite [0,1] quality score from the stats columns (adds them if absent)."""
+def quality_score(df: DataFrame, col: str = "text", round_digits: int | None = 4) -> DataFrame:
+    """Composite [0,1] quality score from the stats columns (adds them if absent).
+
+    ``round_digits=None`` keeps the raw double: scale-N rounding of a
+    double is engine-dependent at half boundaries (JVM BigDecimal
+    HALF_UP on the exact expansion vs scaled-double rounding), so
+    cross-engine-exact consumers should gate/convert on the raw value
+    with a single scale-0 round, which IS engine-identical.
+    """
     if "n_tokens" not in df.columns:
         df = with_text_stats(df, col)
     length_ok = (F.col("n_tokens") >= 5) & (F.col("n_chars") <= 100000)
@@ -82,7 +89,9 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
         + F.col("alpha_ratio") * 0.3
         + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
     )
-    return df.withColumn("quality_score", F.round(score, 4))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return df.withColumn("quality_score", score)
 
 
 def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:

@@ -251,11 +251,23 @@ def run_with_manifest(
     if cache_pending:
         pending = pending.cache()
 
-    n_keys = pending.select(partition_col).distinct().count()
+    # One pruned scan feeds all the driver-side accounting: the per-key
+    # row counts (O(#partitions) rows, cached) answer n_keys, the pending
+    # row total, AND the manifest's n_rows column — previously three
+    # separate scans of the partition column (distinct().count(),
+    # pending.count(), and the late rows_per_part aggregate).
+    rows_per_part = (
+        pending.groupBy(F.col(partition_col).cast("string").alias("partition_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .cache()
+    )
+    n_keys = rows_per_part.count()
     skipped = None
     if count_skipped_rows:
-        skipped = df.count() - pending.count()
+        pending_rows = rows_per_part.agg(F.sum("n_rows")).collect()[0][0] or 0
+        skipped = df.count() - pending_rows
     if n_keys == 0:
+        rows_per_part.unpersist()
         if cache_pending:
             pending.unpersist()
         return ManifestRun(rid, sid, 0, None, skipped_rows=skipped)
@@ -322,9 +334,6 @@ def run_with_manifest(
             .parquet(quantile_sketches_dir)
         )
 
-    rows_per_part = pending.groupBy(F.col(partition_col).cast("string").alias("partition_key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
     # Violation accounting is a plain groupBy on the envelope's own
     # partition_key (carried at emission, checks/base.py as_violations) —
     # no join back to the pending table, no extra wide shuffle.
@@ -364,6 +373,7 @@ def run_with_manifest(
             for r in res.verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
         }
     res.unpersist()
+    rows_per_part.unpersist()
     if cache_pending:
         pending.unpersist()
     return ManifestRun(rid, sid, n_keys, res, skipped_rows=skipped, verdict_counts=verdict_counts)

@@ -38,3 +38,17 @@ def test_cli_run_and_resume(spark, dirs, capsys):
     assert rc == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["noop_resume"] is True and out2["pending_partitions"] == 0
+
+
+def test_cli_quantile_sketches(spark, dirs, tmp_path, capsys):
+    qdir = str(tmp_path / "q")
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--quantile-sketches", qdir, "--run-id", "tq",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    from anomaly_detector_spark.plans.manifest import global_quantiles
+
+    row = global_quantiles(spark, qdir).collect()[0]
+    assert row["n_rows"] > 0 and row["q_0_5"] > 0 and row["q_0_99"] >= row["q_0_5"]

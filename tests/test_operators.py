@@ -77,6 +77,44 @@ def test_minhash_finds_near_dup(spark):
     assert 0.5 < jac < 1.0
 
 
+def test_affine_draw_matches_python_wrapping_multiply(spark):
+    """The 32-bit-lane ANSI-safe multiply must equal (a*h mod 2^64) xor b."""
+    from anomaly_detector_spark.operators.dedup import (
+        _M64,
+        _affine_draw,
+        _signed64,
+        _splitmix64,
+    )
+
+    def py_affine(i, h, seed):
+        a = (_splitmix64(seed * 0x10001 + 2 * i) & 0x7FFFFFFF) | 1
+        b = _splitmix64(seed * 0x10001 + 2 * i + 1)
+        return _signed64(((a * (h & _M64)) & _M64) ^ b)
+
+    vals = [0, 1, -1, 7, -7, 2**63 - 1, -(2**63), 123456789012345, -98765432109876]
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    for i in (0, 3, 63):
+        got = [r[0] for r in df.select(_affine_draw(i, F.col("h"), seed=1)).collect()]
+        want = [py_affine(i, v, 1) for v in vals]
+        assert got == want, f"draw {i}: {got} != {want}"
+    # bijectivity on a block: distinct inputs -> distinct outputs
+    big = spark.range(0, 10_000).select((F.col("id") * 7919 - 5000).alias("h"))
+    assert big.select(_affine_draw(5, F.col("h"), seed=1).alias("d")).distinct().count() == 10_000
+
+
+def test_minhash_affine_mode_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark and distributed joins " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    cand = minhash_lsh_candidates(df, num_hashes=64, bands=16, hash_fn="affine")
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_jaccard_exact_value(spark):
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
     cand = spark.createDataFrame([(1, 2, 1)], "id_a long, id_b long, n_bands int")
