@@ -653,6 +653,65 @@ def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SAMPLE_MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75, "zh": 1.0}
+SHARD_BUDGET = 2000
+SHARD_GROUP = 64
+
+
+def q_docs_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pairs into clusters:
+    one dedup decision per CLUSTER, not per pair (sha256 hash mode so
+    the pair list is re-derivable in the recursive-CTE oracle)."""
+    from anomaly_detector_spark.operators.corpus import dup_clusters
+    from anomaly_detector_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    d = load_table(spark, sf, "documents")
+    cand = minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3, hash_fn="sha256"
+    )
+    pairs = jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
+    return dup_clusters(pairs)
+
+
+def q_docs_sample_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language training-mix sample (hash-threshold
+    Bernoulli; reproducible across retries/partitionings)."""
+    from anomaly_detector_spark.operators.corpus import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    return stratified_sample(d, "lang", SAMPLE_MIX_RATES, "doc_id", salt="mix1").select(
+        "doc_id", "lang"
+    )
+
+
+def q_docs_token_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard assignment via the two-phase prefix sum, rolled
+    up per shard (exercises offsets + within-group cumsum + final agg)."""
+    from anomaly_detector_spark.operators.corpus import token_budget_shards
+    from anomaly_detector_spark.operators.text import token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("w")
+    )
+    sh = token_budget_shards(d, "w", "doc_id", budget=SHARD_BUDGET, group_size=SHARD_GROUP)
+    return sh.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_tokens"),
+    )
+
+
+def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document trigram repetition score (boilerplate gate).
+    round_digits=None: both engines emit the identical IEEE double, so
+    no cross-engine round-at-half divergence is possible."""
+    from anomaly_detector_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats(d, "text", k=3, round_digits=None).select(
+        "doc_id", "n_grams", "n_unique", "rep_ratio"
+    )
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
 
@@ -703,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_sample_mix": q_docs_sample_mix,
+        "docs_token_shards": q_docs_token_shards,
+        "docs_repetition": q_docs_repetition,
     }
 
 
@@ -1793,6 +1856,86 @@ def _stopword_sql_list() -> str:
 _raw_oracle_sql = oracle_sql
 
 
+def _dup_clusters_oracle() -> str:
+    """Connected components over the MinHash pair list via a recursive
+    CTE: reach(node, lab) enumerates every (node, ancestor) pair along
+    undirected edges; min(lab) per node is the component minimum —
+    exactly connected_components' fixed point."""
+    pairs_sql = _minhash_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, lab) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY 1)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_survivor
+        FROM cc c JOIN sizes s USING (cluster_id)
+    """
+
+
+def _sample_mix_oracle() -> str:
+    from anomaly_detector_spark.operators.corpus import rate_to_hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{rate_to_hex_threshold(rate)}'"
+        for lang, rate in sorted(SAMPLE_MIX_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(sha256('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < (CASE lang {cases} ELSE '00000000' END)
+    """
+
+
+def _token_shards_oracle() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS w FROM documents
+        ),
+        c AS (
+          SELECT doc_id, w,
+                 sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - w AS pre
+          FROM t
+        )
+        SELECT CAST(pre // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS total_tokens
+        FROM c GROUP BY 1
+    """
+
+
+def _repetition_oracle(k: int = 3) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                                i -> {gram}) AS g
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_unique,
+               CASE WHEN len(g) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                    ELSE 0.0 END AS rep_ratio
+        FROM sh
+    """
+
+
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
@@ -1806,6 +1949,10 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["ivf_topk"] = _ivf_topk_oracle()
     out["events_savgol"] = _savgol_oracle()
     out["events_resample"] = _resample_oracle()
+    out["docs_dup_clusters"] = _dup_clusters_oracle()
+    out["docs_sample_mix"] = _sample_mix_oracle()
+    out["docs_token_shards"] = _token_shards_oracle()
+    out["docs_repetition"] = _repetition_oracle()
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp

@@ -1,0 +1,213 @@
+"""Corpus-preparation operators a web-scale training-data pipeline needs
+beyond per-pair dedup: transitive duplicate CLUSTERING, deterministic
+stratified SAMPLING, and token-budget SHARDING.
+
+These extend the reference's dedup semantics (keep-first on duplicated
+keys, /root/reference/algo/operator.py:92) from pairwise to corpus level:
+
+* connected_components / dup_clusters — a near-dup pair list (MinHash /
+  SimHash / embedding LSH output) is not a dedup decision until pairs
+  are closed transitively; one representative per CLUSTER survives.
+  Implemented as distributed min-label propagation: each iteration is a
+  join + partial-aggregated groupBy-min (both map-side combinable), and
+  the frame is localCheckpoint-ed per round so lineage stays O(1) deep.
+  Rounds needed = graph diameter; near-dup clusters are star-like
+  (diameter ~2-4), so this converges in a handful of rounds even at
+  10^12 edges. (The large-star/small-star halving trick would cut the
+  worst-case round count for pathological chain graphs; not needed for
+  dup graphs, noted for the 100 TB runbook.) Convergence is detected
+  from the per-round (sum(label), count) aggregate — labels only ever
+  decrease, so an unchanged sum means a fixed point; this rides the
+  same action that materializes the round, no extra job.
+
+* stratified_sample — deterministic hash-threshold sampling: a row
+  survives iff the first 8 hex chars of sha256(salt || key) compare
+  below the stratum's threshold. No RNG state, no shuffle, pure narrow
+  codegen'd filter — and the SAME rows survive on retry, re-run, or a
+  different partitioning, which is what makes sampling safe to compose
+  with exactly-once sinks at 100 TB. Thresholds fold into the plan as
+  string literals (fixed-width hex compares like the integer it encodes).
+
+* token_budget_shards — assign each document to a training shard so
+  every shard carries ~budget tokens, in a deterministic global order.
+  A naive `sum() OVER (ORDER BY ..)` is a single-partition window — the
+  classic scale-killer. This is the two-phase prefix-sum instead:
+  group rows by a coarse deterministic key (floor(order/group_size)),
+  aggregate per-group totals (tiny frame: n_groups rows), compute group
+  prefix offsets with a window over THAT frame only, broadcast-join the
+  offsets back, and finish with a within-group cumulative window whose
+  partitions are bounded by group_size. The only global-order structure
+  ever shuffled is the O(n_groups) offsets frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ CC
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list.
+
+    Returns (node, cluster_id) for every node that appears in an edge;
+    cluster_id is the component's minimum node id (deterministic).
+    Nodes must be a numeric/orderable type.
+
+    Min-label propagation: labels[v] starts at v; each round every node
+    takes the min of its own label and its neighbors' labels. Fixed
+    point = every node holds its component minimum. Each round is one
+    shuffle (groupBy-min with map-side partial agg); the propagation
+    join broadcasts nothing and co-partitions on the node id, so AQE
+    reuses the exchange across rounds where sizes allow.
+    """
+    bi = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    # cache the static edge relation: it feeds every round
+    bi = bi.distinct().persist()
+
+    labels = bi.groupBy("node").agg(F.min("nbr").alias("lab"))
+    labels = labels.select("node", F.least("node", "lab").alias("lab")).localCheckpoint()
+    prev_sig = labels.agg(
+        F.sum("lab").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()[0]
+
+    for _ in range(max_iter):
+        # neighbor messages: each edge forwards the src's current label
+        msgs = bi.join(labels, "node").select(
+            F.col("nbr").alias("node"), F.col("lab")
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()  # truncate lineage; also materializes the round
+        )
+        sig = new_labels.agg(
+            F.sum("lab").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()[0]
+        labels = new_labels
+        # labels are bounded below and strictly decrease until fixed point:
+        # an unchanged (sum, count) IS convergence, not a hash collision risk
+        if sig["s"] == prev_sig["s"] and sig["c"] == prev_sig["c"]:
+            break
+        prev_sig = sig
+    bi.unpersist()
+    return labels.select("node", F.col("lab").alias("cluster_id"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Close a near-dup pair list into clusters with sizes.
+
+    Output: (doc_id, cluster_id, cluster_size, is_survivor) — one row per
+    clustered document, cluster_id = min doc_id in the component, the
+    survivor being the canonical representative a dedup pass would keep
+    (min id, mirroring the reference's keep-first rule,
+    /root/reference/algo/operator.py:92). Singleton documents (no pair)
+    are absent: they need no decision.
+    """
+    cc = connected_components(pairs, src, dst, max_iter)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # sizes is O(clusters) — broadcast it back onto members
+    return cc.join(F.broadcast(sizes), "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+# ------------------------------------------------------------ sampling
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Map a keep-rate in [0, 1] to the 8-hex-char threshold such that
+    `hex8 < threshold` keeps ~rate of uniformly-hashed keys. Fixed-width
+    lowercase hex compares exactly like its integer value, so both Spark
+    and any ANSI oracle can evaluate the SAME string literal."""
+    if rate >= 1.0:
+        return "g"  # > every hex char: keeps all rows
+    return format(max(int(rate * 16**8), 0), "08x")
+
+
+def sample_hash(key: Column, salt: str) -> Column:
+    """First 8 hex chars of sha256(salt || key) — the uniform draw."""
+    return F.substring(F.sha2(F.concat(F.lit(salt), key.cast("string")), 256), 1, 8)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (training-mix weights).
+
+    `rates` maps stratum value -> keep probability. Selection depends
+    only on (salt, key) — never on partitioning, task retries, or row
+    order — so the sample is reproducible and safe under speculative
+    execution. The whole predicate is codegen'd string ops; zero shuffle.
+    """
+    draw = sample_hash(F.col(key_col), salt)
+    thr = F.lit(rate_to_hex_threshold(default_rate))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == val, F.lit(rate_to_hex_threshold(rate))).otherwise(thr)
+    return df.filter(draw < thr)
+
+
+# ------------------------------------------------------------ sharding
+
+def token_budget_shards(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str = "doc_id",
+    budget: int = 100_000,
+    group_size: int = 10_000,
+) -> DataFrame:
+    """Assign rows to ~budget-weight shards in deterministic order.
+
+    shard_id = (prefix_sum_exclusive(weight) over rows ordered by
+    order_col) div budget — the shard into which the row's first token
+    falls. Equivalent to `(sum(w) OVER (ORDER BY o) - w) // budget` but
+    WITHOUT the single-partition global window: see module docstring
+    (two-phase prefix sum; the global structure is an O(n/group_size)
+    offsets frame computed once and broadcast).
+
+    `order_col` must be numeric and unique (a doc id); `group_size`
+    bounds the within-group window partitions.
+    """
+    base = df.withColumn("_grp", F.floor(F.col(order_col) / F.lit(group_size)))
+    grp_tot = base.groupBy("_grp").agg(F.sum(weight_col).alias("_gsum"))
+    # n_groups rows only — a single-partition window here is O(n_groups),
+    # not O(n): this is the deliberate, bounded global-order step
+    w_off = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = grp_tot.select(
+        "_grp", F.coalesce(F.sum("_gsum").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_grp")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        base.join(F.broadcast(offsets), "_grp")
+        .withColumn(
+            "_pre",
+            F.col("_off") + F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)),
+        )
+        .withColumn("shard_id", F.expr(f"_pre div {int(budget)}"))
+    )
+    return out.drop("_grp", "_gsum", "_off", "_pre")

@@ -203,3 +203,33 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col), F.explode(selected).alias("fingerprint")
     )
+
+
+def repetition_stats(
+    df: DataFrame, col: str = "text", k: int = 3, round_digits: int | None = 6
+) -> DataFrame:
+    """Within-document repetition score: the fraction of word k-grams
+    that are repeats of an earlier k-gram in the same document.
+
+    Boilerplate / degenerate generations repeat themselves; corpus-prep
+    pipelines gate on this the same way they gate on quality_score. All
+    JVM array expressions over one narrow pass — the k-gram multiset is
+    never shuffled, only its two counts survive the projection.
+
+    Adds: n_grams (total k-grams), n_unique, rep_ratio = 1 - unique/total
+    (0.0 for docs shorter than k tokens).
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(col, k, distinct=False)
+    n = F.size(sh)
+    d = F.size(F.array_distinct(sh))
+    ratio = F.lit(1.0) - d / n
+    if round_digits is not None:
+        ratio = F.round(ratio, round_digits)
+    return df.select(
+        "*",
+        n.cast("long").alias("n_grams"),
+        d.cast("long").alias("n_unique"),
+        F.when(n > 0, ratio).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )

@@ -1,0 +1,146 @@
+"""Corpus-prep operator tests: connected components / dup clustering,
+deterministic stratified sampling, token-budget sharding, repetition."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.operators.corpus import (
+    connected_components,
+    dup_clusters,
+    rate_to_hex_threshold,
+    stratified_sample,
+    token_budget_shards,
+)
+from anomaly_detector_spark.operators.text import repetition_stats
+
+
+# ------------------------------------------------------ connected comps
+
+def _cc_map(rows):
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_cc_star_and_chain(spark):
+    # star {1..4}, chain {10..14} (diameter 4 — needs >1 round), pair {20,21}
+    edges = [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (12, 13), (13, 14), (21, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _cc_map(connected_components(df).collect())
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_cc_merging_components(spark):
+    # two stars bridged by one late edge — labels must propagate across
+    edges = [(2, 1), (3, 1), (12, 11), (13, 11), (3, 13)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _cc_map(connected_components(df).collect())
+    assert set(got.values()) == {1}
+    assert set(got) == {1, 2, 3, 11, 12, 13}
+
+
+def test_dup_clusters_sizes_and_survivors(spark):
+    edges = [(1, 2), (2, 3), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dup_clusters(df).collect()}
+    assert rows[1]["cluster_size"] == 3 and rows[1]["is_survivor"]
+    assert rows[2]["cluster_id"] == 1 and not rows[2]["is_survivor"]
+    assert rows[7]["cluster_size"] == 2 and rows[7]["is_survivor"]
+    assert not rows[8]["is_survivor"]
+    assert set(rows) == {1, 2, 3, 7, 8}  # singletons absent by contract
+
+
+# ------------------------------------------------------------- sampling
+
+def test_rate_to_hex_threshold_bounds():
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(1.0) == "g"  # above every hex digit
+    assert rate_to_hex_threshold(0.5) == "80000000"
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = {r["doc_id"] for r in stratified_sample(df, "lang", rates).collect()}
+    # repartitioning must not change the surviving set
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), "lang", rates).collect()
+    }
+    assert a == b
+    en = sum(1 for i in a if i % 2 == 0) / 2000
+    de = sum(1 for i in a if i % 2 == 1) / 2000
+    assert 0.44 < en < 0.56
+    assert 0.06 < de < 0.14
+
+
+def test_stratified_sample_default_rate_drops_unknown(spark):
+    df = spark.createDataFrame([(1, "xx"), (2, "en")], "doc_id long, lang string")
+    kept = stratified_sample(df, "lang", {"en": 1.0}).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+
+# ------------------------------------------------------------- sharding
+
+def test_token_budget_shards_matches_global_window(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("w")
+    )
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in token_budget_shards(df, "w", "doc_id", budget=100, group_size=8).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["doc_id"]: r["s"]
+        for r in df.withColumn(
+            "s", (F.coalesce(F.sum("w").over(w), F.lit(0)) / 100).cast("long")
+        ).collect()
+    }
+    assert got == ref
+    # every shard except possibly the last stays near the budget
+    tot = (
+        token_budget_shards(df, "w", "doc_id", budget=100, group_size=8)
+        .groupBy("shard_id")
+        .agg(F.sum("w").alias("t"))
+        .collect()
+    )
+    last = max(r["shard_id"] for r in tot)
+    assert all(r["t"] >= 64 for r in tot if r["shard_id"] != last)  # 37 = max w
+
+
+def test_token_budget_shards_no_global_sort_shuffle(spark):
+    """The scale contract: no window over the full frame. The only Sort
+    without a partition key must sit on the O(n_groups) offsets frame."""
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(5).alias("w"))
+    plan = token_budget_shards(df, "w", "doc_id", budget=50, group_size=10)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    # exactly two Window operators: the O(n_groups) offsets window (fed
+    # by the groupBy(_grp) Aggregate, so its input is tiny) and the
+    # within-group window partitioned by _grp (bounded by group_size).
+    assert plan.count("Window [") == 2
+    assert "Aggregate [_grp" in plan            # offsets window input is aggregated
+    assert ", [_grp" in plan                     # per-row window partitions by _grp
+
+
+# ----------------------------------------------------------- repetition
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # trigrams heavily repeated
+            (2, "one two three four"),  # all unique
+            (3, "x y"),                 # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "text", k=3).collect()}
+    assert rows[1]["n_grams"] == 7 and rows[1]["n_unique"] == 3
+    assert abs(rows[1]["rep_ratio"] - (1 - 3 / 7)) < 1e-6
+    assert rows[2]["rep_ratio"] == 0.0 and rows[2]["n_unique"] == 2
+    assert rows[3]["n_grams"] == 0 and rows[3]["rep_ratio"] == 0.0
