@@ -176,8 +176,13 @@ def token_budget_shards(
     order_col: str = "doc_id",
     budget: int = 100_000,
     group_size: int = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Assign rows to ~budget-weight shards in deterministic order.
+
+    Returns the narrow assignment frame (order_col, weight_col,
+    shard_id); join it back on order_col to carry other columns — the
+    shard pass itself never ships the wide row.
 
     shard_id = (prefix_sum_exclusive(weight) over rows ordered by
     order_col) div budget — the shard into which the row's first token
@@ -188,8 +193,24 @@ def token_budget_shards(
 
     `order_col` must be numeric and unique (a doc id); `group_size`
     bounds the within-group window partitions.
+
+    `materialize=True` (default) localCheckpoints the narrow
+    (order, weight, group) projection before branching. The plan has
+    two consumers (group-totals aggregate + within-group window) and
+    column pruning gives each a different scan schema, so Catalyst
+    cannot reuse one exchange between them — without materialization
+    the SOURCE is scanned twice and any upstream weight derivation
+    (tokenizing a 100 TB text column) recomputed twice. The
+    materialized frame is ~16 bytes/row on executor-local storage;
+    two passes over that beat two passes over the source. Set False
+    only when the input is already a cheap cached/narrow frame.
     """
-    base = df.withColumn("_grp", F.floor(F.col(order_col) / F.lit(group_size)))
+    base = df.select(
+        order_col, weight_col,
+        F.floor(F.col(order_col) / F.lit(group_size)).alias("_grp"),
+    )
+    if materialize:
+        base = base.localCheckpoint()
     grp_tot = base.groupBy("_grp").agg(F.sum(weight_col).alias("_gsum"))
     # n_groups rows only — a single-partition window here is O(n_groups),
     # not O(n): this is the deliberate, bounded global-order step
