@@ -712,6 +712,18 @@ def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document stands in for the
+    eval set; the rest of the corpus is scored for distinct word-trigram
+    overlap against the eval inventory (broadcast)."""
+    from anomaly_detector_spark.operators.corpus import decontaminate
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "text", "doc_id", k=3, min_hits=1)
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
 
@@ -766,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_mix": q_docs_sample_mix,
         "docs_token_shards": q_docs_token_shards,
         "docs_repetition": q_docs_repetition,
+        "docs_decontam": q_docs_decontam,
     }
 
 
@@ -1936,6 +1949,32 @@ def _repetition_oracle(k: int = 3) -> str:
     """
 
 
+def _decontam_oracle(k: int = 3) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                                  i -> {gram})) AS g
+          FROM t
+        ),
+        bg AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+        bl AS (SELECT list(gram) AS l FROM bg)
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_grams,
+               CAST(len(list_intersect(g, bl.l)) AS BIGINT) AS matched,
+               CASE WHEN len(g) > 0
+                    THEN CAST(len(list_intersect(g, bl.l)) AS DOUBLE) / len(g)
+                    ELSE 0.0 END AS contam_frac,
+               len(list_intersect(g, bl.l)) >= 1 AS contaminated
+        FROM sh, bl WHERE doc_id % 97 <> 0
+    """
+
+
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
@@ -1953,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_sample_mix"] = _sample_mix_oracle()
     out["docs_token_shards"] = _token_shards_oracle()
     out["docs_repetition"] = _repetition_oracle()
+    out["docs_decontam"] = _decontam_oracle()
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp

@@ -232,3 +232,62 @@ def token_budget_shards(
         .withColumn("shard_id", F.expr(f"_pre div {int(budget)}"))
     )
     return out.drop("_grp", "_gsum", "_off", "_pre")
+
+
+# ------------------------------------------------------ decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with an eval
+    set's word k-gram inventory (the standard train/test-leak gate a
+    training-data pipeline runs before every export).
+
+    Returns one row per docs row: (id_col, n_grams, matched,
+    contam_frac, contaminated) where n_grams counts the document's
+    DISTINCT k-grams, matched counts those also present anywhere in
+    `bench`, and contaminated = matched >= min_hits.
+
+    Scale shape: the bench inventory is exploded + distinct'd once and
+    BROADCAST (eval sets are MBs against a 100 TB corpus; the distinct
+    is a shuffle over bench only). The corpus side is one narrow
+    explode; a document's grams stay inside its task, so the per-doc
+    count partial-aggregates to exactly one row per document before the
+    only corpus-side shuffle (O(n_docs) count rows). Documents shorter
+    than k tokens survive via explode_outer with matched = 0.
+    """
+    from .dedup import word_shingles
+
+    grams = F.coalesce(word_shingles(text_col, k), F.array().cast("array<string>"))
+    bgrams = (
+        bench.select(F.explode(word_shingles(text_col, k)).alias("_gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.explode_outer(grams).alias("_gram"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(bgrams), "_gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("matched"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "matched",
+        F.when(F.col("n_grams") > 0, F.col("matched") / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+        (F.col("matched") >= F.lit(min_hits)).alias("contaminated"),
+    )

@@ -144,3 +144,36 @@ def test_repetition_stats(spark):
     assert abs(rows[1]["rep_ratio"] - (1 - 3 / 7)) < 1e-6
     assert rows[2]["rep_ratio"] == 0.0 and rows[2]["n_unique"] == 2
     assert rows[3]["n_grams"] == 0 and rows[3]["rep_ratio"] == 0.0
+
+
+# -------------------------------------------------------- decontaminate
+
+def test_decontaminate_counts_and_short_docs(spark):
+    from anomaly_detector_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs"),   # shares 'the quick brown', 'quick brown fox'
+            (2, "totally unrelated words here maybe"),
+            (3, "fox"),                        # shorter than k: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench, k=3, min_hits=2).collect()}
+    assert rows[1]["matched"] == 2 and rows[1]["contaminated"]
+    assert rows[1]["n_grams"] == 3
+    assert abs(rows[1]["contam_frac"] - 2 / 3) < 1e-9
+    assert rows[2]["matched"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_grams"] == 0 and rows[3]["contam_frac"] == 0.0
+    assert len(rows) == 3  # zero-gram docs retained
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    from anomaly_detector_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    docs = spark.createDataFrame([(2, "a b c e")], "doc_id long, text string")
+    plan = decontaminate(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
