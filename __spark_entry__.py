@@ -724,6 +724,14 @@ def q_docs_decontam(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(corpus, bench, "text", "doc_id", k=3, min_hits=1)
 
 
+def q_docs_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token heavy hitters — the vocab/tokenizer-training pass."""
+    from anomaly_detector_spark.operators.text import vocab_topk
+
+    d = load_table(spark, sf, "documents").select("text")
+    return vocab_topk(d, "text", k=50)
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
 
@@ -779,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_shards": q_docs_token_shards,
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
+        "docs_vocab_topk": q_docs_vocab_topk,
     }
 
 
@@ -1993,6 +2002,11 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_token_shards"] = _token_shards_oracle()
     out["docs_repetition"] = _repetition_oracle()
     out["docs_decontam"] = _decontam_oracle()
+    out["docs_vocab_topk"] = f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp

@@ -11,14 +11,14 @@ keys, /root/reference/algo/operator.py:92) from pairwise to corpus level:
   Implemented as distributed min-label propagation: each iteration is a
   join + partial-aggregated groupBy-min (both map-side combinable), and
   the frame is localCheckpoint-ed per round so lineage stays O(1) deep.
-  Rounds needed = graph diameter; near-dup clusters are star-like
-  (diameter ~2-4), so this converges in a handful of rounds even at
-  10^12 edges. (The large-star/small-star halving trick would cut the
-  worst-case round count for pathological chain graphs; not needed for
-  dup graphs, noted for the 100 TB runbook.) Convergence is detected
-  from the per-round (sum(label), count) aggregate — labels only ever
-  decrease, so an unchanged sum means a fixed point; this rides the
-  same action that materializes the round, no extra job.
+  Each round combines neighbor-min with a pointer jump (adopt the
+  label's own label), so rounds = O(log diameter) — star-like dup
+  graphs finish in 2-3 rounds and even a pathological 10^6-long chain
+  in ~20, at 10^12 edges. Convergence is detected from the per-round
+  (sum(label), count) aggregate — labels only ever decrease, so an
+  unchanged sum means a fixed point; this rides the same action that
+  materializes the round, no extra job — and non-convergence at
+  max_iter raises instead of returning partial labels.
 
 * stratified_sample — deterministic hash-threshold sampling: a row
   survives iff the first 8 hex chars of sha256(salt || key) compare
@@ -60,12 +60,14 @@ def connected_components(
     cluster_id is the component's minimum node id (deterministic).
     Nodes must be a numeric/orderable type.
 
-    Min-label propagation: labels[v] starts at v; each round every node
-    takes the min of its own label and its neighbors' labels. Fixed
-    point = every node holds its component minimum. Each round is one
-    shuffle (groupBy-min with map-side partial agg); the propagation
-    join broadcasts nothing and co-partitions on the node id, so AQE
-    reuses the exchange across rounds where sizes allow.
+    Min-label propagation with pointer jumping: labels[v] starts at v;
+    each round every node takes the min of its own label, its
+    neighbors' labels, and its label's label (the jump — doubling the
+    effective propagation distance, so rounds = O(log diameter)).
+    Fixed point = every node holds its component minimum. Each round
+    is one groupBy-min shuffle (map-side partial agg) plus one O(n)
+    label-to-label join on the aggregated frame; raises if max_iter
+    rounds pass without a fixed point.
     """
     bi = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
@@ -79,15 +81,29 @@ def connected_components(
         F.sum("lab").alias("s"), F.count(F.lit(1)).alias("c")
     ).collect()[0]
 
+    converged = False
     for _ in range(max_iter):
         # neighbor messages: each edge forwards the src's current label
         msgs = bi.join(labels, "node").select(
             F.col("nbr").alias("node"), F.col("lab")
         )
-        new_labels = (
+        mins = (
             msgs.unionByName(labels)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
+        )
+        # pointer jump: also adopt the label's OWN label (every label
+        # value is a node id, so the lookup always hits). Neighbor-min
+        # alone moves a chain's minimum one hop per round (rounds =
+        # diameter); the jump doubles the effective hop distance, so
+        # rounds = O(log diameter) — a 10^6-long path converges in ~20
+        # rounds instead of 10^6, and star-like dup graphs still finish
+        # in 2-3. Cost: one extra O(n) self-join per round on the
+        # already-aggregated labels frame.
+        lut = mins.select(F.col("node").alias("lab"), F.col("lab").alias("_lab2"))
+        new_labels = (
+            mins.join(lut, "lab", "left")
+            .select("node", F.least("lab", "_lab2").alias("lab"))
             .localCheckpoint()  # truncate lineage; also materializes the round
         )
         sig = new_labels.agg(
@@ -97,9 +113,15 @@ def connected_components(
         # labels are bounded below and strictly decrease until fixed point:
         # an unchanged (sum, count) IS convergence, not a hash collision risk
         if sig["s"] == prev_sig["s"] and sig["c"] == prev_sig["c"]:
+            converged = True
             break
         prev_sig = sig
     bi.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed = O(log graph diameter))"
+        )
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
 

@@ -233,3 +233,27 @@ def repetition_stats(
         d.cast("long").alias("n_unique"),
         F.when(n > 0, ratio).otherwise(F.lit(0.0)).alias("rep_ratio"),
     )
+
+
+def vocab_topk(
+    df: DataFrame, col: str = "text", k: int = 100, min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide token heavy hitters (the tokenizer-training /
+    vocab-building pass): (token, n) for the k most frequent tokens,
+    ties broken lexicographically (deterministic output).
+
+    Scale shape: explode is narrow; the groupBy partial-aggregates
+    map-side, so the shuffle carries one row per (token, partition) —
+    O(|vocab| × tasks), not O(total tokens). The final ordered limit
+    runs on the |vocab|-sized aggregate via Spark's TakeOrdered
+    (per-partition top-k then a k-row merge at the driver — no global
+    sort materializes).
+    """
+    return (
+        df.select(F.explode(tokens(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

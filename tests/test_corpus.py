@@ -177,3 +177,71 @@ def test_decontaminate_broadcasts_bench(spark):
     plan = decontaminate(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------- vocab top-k
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from anomaly_detector_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b  c"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(df, "text", k=2).collect()
+    assert [(r["token"], r["n"]) for r in rows] == [("b", 3), ("a", 2)]
+    rows3 = vocab_topk(df, "text", k=3).collect()
+    assert [(r["token"], r["n"]) for r in rows3] == [("b", 3), ("a", 2), ("c", 2)]
+
+
+def _uf_components(edges):
+    """Pure-python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to component minimum
+    return {n: find(n) for n in parent}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        nodes = list(range(200))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = _cc_map(connected_components(df).collect())
+        assert got == _uf_components(edges), f"seed {seed}"
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    # a 200-node path has diameter 199; pointer jumping must close it
+    # well inside the default 25-round budget (plain min-propagation
+    # would need 199 rounds and previously returned WRONG labels).
+    edges = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _cc_map(connected_components(df, max_iter=25).collect())
+    assert set(got.values()) == {0} and len(got) == 200
+
+
+def test_cc_raises_on_non_convergence(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
