@@ -732,6 +732,85 @@ def q_docs_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     return vocab_topk(d, "text", k=50)
 
 
+def q_docs_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL training-data prep pipeline, one declarative plan:
+    language-ID -> quality gate -> repetition (boilerplate) gate ->
+    benchmark decontamination -> exact dedup on the normalized-text
+    fingerprint -> deterministic stratified training-mix sample ->
+    token-budget shard assignment -> per-(lang, shard) accounting.
+
+    Scale shape: the gates are narrow column expressions fused into the
+    scan; decontamination broadcasts the eval inventory and re-joins on
+    doc_id (co-partitioned long keys); dedup is one hash groupBy on a
+    64-bit key with all aggregates primitive longs (lang as an index —
+    string min demotes to SortAggregate, measured round 2); sampling is
+    a codegen'd filter; sharding materializes only the narrow
+    (doc, tokens, lang_idx) survivor frame. The wide text column never
+    rides any shuffle past the dedup groupBy's key hash.
+    """
+    from anomaly_detector_spark.operators.corpus import (
+        decontaminate,
+        stratified_sample,
+        token_budget_shards,
+    )
+    from anomaly_detector_spark.operators.text import (
+        LANG_MARKERS,
+        quality_score,
+        repetition_stats,
+        with_fingerprint,
+        with_lang_id,
+    )
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    feat = quality_score(with_lang_id(d, "text"), "text", round_digits=None)
+    kept = feat.filter(
+        (F.col("lang_id") != "und")
+        & (F.col("quality_score") >= 0.6)
+        & (F.col("doc_id") % 97 != 0)
+    )
+    kept = repetition_stats(kept, "text", k=3, round_digits=None).filter(
+        F.col("rep_ratio") <= 0.2
+    )
+    dec = decontaminate(kept.select("doc_id", "text"), bench, k=3, min_hits=2)
+    clean = kept.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+
+    lang_arr = F.array(*[F.lit(l) for l in sorted(LANG_MARKERS)])
+    surv = (
+        with_fingerprint(clean, "text")
+        .select(
+            "fingerprint",
+            F.array_position(lang_arr, F.col("lang_id")).alias("lang_idx"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("lang_idx").alias("lang_idx"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("doc_id"),
+        )
+    )
+    idx_rates = {
+        i + 1: SAMPLE_MIX_RATES[lang] for i, lang in enumerate(sorted(LANG_MARKERS))
+    }
+    samp = stratified_sample(surv, "lang_idx", idx_rates, "doc_id", salt="mix1")
+    sh = token_budget_shards(
+        samp, "n_tokens", "doc_id",
+        budget=SHARD_BUDGET, group_size=SHARD_GROUP, carry_cols=["lang_idx"],
+    )
+    return sh.groupBy(
+        F.element_at(lang_arr, F.col("lang_idx").cast("int")).alias("lang_id"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
 
@@ -788,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_vocab_topk": q_docs_vocab_topk,
+        "docs_corpus_pipeline": q_docs_corpus_pipeline,
     }
 
 
@@ -1324,13 +1404,11 @@ def _langid_oracle() -> str:
     """
 
 
-def _clean_corpus_oracle() -> str:
-    """The full prep pipeline re-derived in SQL: marker-word language-ID
-    (same lists, argmax + lexicographic tie-break), the text-stats ->
-    quality formula byte-matched to operators/text.py, the same gate,
-    then dedup grouped on the NORMALIZED TEXT (not the hash) with
-    arg_min survivor attribution — an independent dedup mechanism whose
-    agreement also certifies xxhash64 collision-freedom here."""
+def _lang_quality_ctes() -> str:
+    """Shared SQL fragment: marker-word language-ID (same lists, argmax
+    + lexicographic tie-break) and the text-stats -> quality formula
+    byte-matched to operators/text.py. Yields CTEs t/scored/lang/s/q;
+    q has (doc_id, lang_id, text, n_tokens, quality_score)."""
     from anomaly_detector_spark.operators.text import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1342,8 +1420,7 @@ def _clean_corpus_oracle() -> str:
     )
     best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
     pick = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
-    return rf"""
-        WITH t AS (
+    return rf"""t AS (
           SELECT doc_id, text,
                  list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
                                 x -> lower(x)) AS toks
@@ -1374,7 +1451,17 @@ def _clean_corpus_oracle() -> str:
                        + alpha_ratio * 0.3
                        + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3 AS quality_score
           FROM s
-        ),
+        )"""
+
+
+def _clean_corpus_oracle() -> str:
+    """The prep pipeline re-derived in SQL: lang-ID + quality gate
+    (shared fragment), then dedup grouped on the NORMALIZED TEXT (not
+    the hash) with arg_min survivor attribution — an independent dedup
+    mechanism whose agreement also certifies xxhash64 collision-freedom
+    here."""
+    return rf"""
+        WITH {_lang_quality_ctes()},
         kept AS (SELECT * FROM q WHERE lang_id <> 'und' AND quality_score >= 0.6),
         surv AS (
           SELECT lower(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
@@ -1984,6 +2071,71 @@ def _decontam_oracle(k: int = 3) -> str:
     """
 
 
+def _corpus_pipeline_oracle(k: int = 3) -> str:
+    """The full pipeline in one DuckDB statement: shared lang/quality
+    CTEs, raw-token trigram repetition gate, eval-set overlap gate,
+    normalized-text dedup (independent of the fingerprint hash), the
+    hash-threshold sample, a single global prefix-sum window (the
+    oracle can afford it; the engine can't — see token_budget_shards),
+    and the per-(lang, shard) rollup."""
+    from anomaly_detector_spark.operators.corpus import rate_to_hex_threshold
+
+    gram = " || ' ' || ".join(f"rtoks[i+{j}]" for j in range(k))
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{rate_to_hex_threshold(rate)}'"
+        for lang, rate in sorted(SAMPLE_MIX_RATES.items())
+    )
+    return rf"""
+        WITH {_lang_quality_ctes()},
+        rt AS (SELECT doc_id, {_TOKS_SQL} AS rtoks FROM documents),
+        gm AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(rtoks) - {k - 1}, 0) + 1),
+                                i -> {gram}) AS g
+          FROM rt
+        ),
+        rep AS (
+          SELECT doc_id FROM gm
+          WHERE len(g) = 0
+             OR 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) <= 0.2
+        ),
+        bg AS (SELECT DISTINCT unnest(list_distinct(g)) AS gram FROM gm WHERE doc_id % 97 = 0),
+        bl AS (SELECT list(gram) AS l FROM bg),
+        dec AS (
+          SELECT doc_id FROM gm, bl
+          WHERE doc_id % 97 <> 0 AND len(list_intersect(list_distinct(g), bl.l)) < 2
+        ),
+        kept AS (
+          SELECT q.* FROM q
+          JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+          WHERE lang_id <> 'und' AND quality_score >= 0.6 AND doc_id % 97 <> 0
+        ),
+        surv AS (
+          SELECT lower(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
+                 min(doc_id) AS doc_id,
+                 arg_min(lang_id, doc_id) AS lang_id,
+                 arg_min(n_tokens, doc_id) AS n_tokens
+          FROM kept GROUP BY 1
+        ),
+        samp AS (
+          SELECT * FROM surv
+          WHERE substr(sha256('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                < (CASE lang_id {cases} ELSE '00000000' END)
+        ),
+        c AS (
+          SELECT lang_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens AS pre
+          FROM samp
+        )
+        SELECT lang_id,
+               CAST(pre // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM c GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
@@ -2002,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_token_shards"] = _token_shards_oracle()
     out["docs_repetition"] = _repetition_oracle()
     out["docs_decontam"] = _decontam_oracle()
+    out["docs_corpus_pipeline"] = _corpus_pipeline_oracle()
     out["docs_vocab_topk"] = f"""
         SELECT token, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)

@@ -199,12 +199,16 @@ def token_budget_shards(
     budget: int = 100_000,
     group_size: int = 10_000,
     materialize: bool = True,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign rows to ~budget-weight shards in deterministic order.
 
     Returns the narrow assignment frame (order_col, weight_col,
-    shard_id); join it back on order_col to carry other columns — the
-    shard pass itself never ships the wide row.
+    [carry_cols...,] shard_id); join it back on order_col to carry wide
+    columns — the shard pass itself never ships the wide row.
+    `carry_cols` is for cheap fixed-width columns a downstream rollup
+    needs (a lang index, a source id): they ride the materialized
+    narrow frame instead of forcing the caller into a post-hoc join.
 
     shard_id = (prefix_sum_exclusive(weight) over rows ordered by
     order_col) div budget — the shard into which the row's first token
@@ -228,7 +232,7 @@ def token_budget_shards(
     only when the input is already a cheap cached/narrow frame.
     """
     base = df.select(
-        order_col, weight_col,
+        order_col, weight_col, *(carry_cols or []),
         F.floor(F.col(order_col) / F.lit(group_size)).alias("_grp"),
     )
     if materialize:

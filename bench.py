@@ -61,6 +61,7 @@ def main() -> int:
         "docs_dup_clusters",   # MinHash pairs -> transitive closure (iterative CC)
         "docs_vocab_topk",     # corpus token heavy hitters
         "docs_token_shards",   # two-phase prefix-sum shard assignment
+        "docs_corpus_pipeline",  # FULL prep pipeline: gates+decontam+dedup+sample+shards
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

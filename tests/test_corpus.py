@@ -245,3 +245,13 @@ def test_cc_raises_on_non_convergence(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_token_budget_shards_carry_cols(spark):
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("w"), (F.col("id") % 2).alias("tag")
+    )
+    out = token_budget_shards(df, "w", "doc_id", budget=50, group_size=5, carry_cols=["tag"])
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "w", "tag", "shard_id"}
+    assert all(r["tag"] == r["doc_id"] % 2 for r in rows)
