@@ -773,9 +773,15 @@ def q_docs_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     kept = repetition_stats(kept, "text", k=3, round_digits=None).filter(
         F.col("rep_ratio") <= 0.2
     )
+    # Invert the re-join: contaminated ids are the SMALL set (the
+    # violations), so broadcast-anti-join them away — the wide text
+    # column never rides a shuffle (a plain inner join on doc_id would
+    # hash-exchange the whole gate-surviving corpus).
     dec = decontaminate(kept.select("doc_id", "text"), bench, k=3, min_hits=2)
     clean = kept.join(
-        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        F.broadcast(dec.filter(F.col("contaminated")).select("doc_id")),
+        "doc_id",
+        "left_anti",
     )
 
     lang_arr = F.array(*[F.lit(l) for l in sorted(LANG_MARKERS)])
