@@ -372,3 +372,59 @@ def test_drift_stream_idle_state_evicted(spark, tmp_path):
         assert sorted(after) == [40, 40], after
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    """Streaming exact-dedup: duplicates across micro-batches within the
+    watermark are dropped by engine state; distinct contents pass."""
+    from anomaly_detector_spark.streaming.dedup import dedup_stream
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, "ts string, doc_id long, text string").select(
+            F.col("ts").cast("timestamp").alias("event_ts"), "doc_id", "text"
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_ts timestamp, doc_id long, text string"
+        ).parquet(inp)
+        out = dedup_stream(stream, "text", "event_ts", watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    base = "2026-01-01 12:0{m}:00"
+    # batch 1: two copies of A in ONE batch + one B
+    rows_df(
+        [
+            (base.format(m=0), 1, "content A"),
+            (base.format(m=1), 2, "content A"),
+            (base.format(m=1), 3, "content B"),
+        ]
+    ).write.mode("append").parquet(inp)
+    run_once()
+    # batch 2 (same checkpoint -> state persists): another copy of A
+    # within the watermark window + a new C
+    rows_df(
+        [
+            (base.format(m=2), 4, "content A"),
+            (base.format(m=3), 5, "content C"),
+        ]
+    ).write.mode("append").parquet(inp)
+    run_once()
+
+    got = spark.read.parquet(sink).select("doc_id", "text").collect()
+    by_content = {}
+    for r in got:
+        by_content.setdefault(r["text"], []).append(r["doc_id"])
+    assert sorted(by_content) == ["content A", "content B", "content C"]
+    assert len(by_content["content A"]) == 1  # 2 in-batch + 1 cross-batch dups dropped
+    assert by_content["content B"] == [3]
+    assert by_content["content C"] == [5]

@@ -40,7 +40,34 @@ def audit(plan: str) -> dict:
     return interesting
 
 
+def audit_queries(names: list[str]) -> int:
+    """Audit arbitrary __spark_entry__.queries() entries by name at
+    sf0.01: `python tools/plan_audit.py docs_corpus_pipeline ...`.
+    Counts come from the AQE-final plan after one materialization."""
+    import __spark_entry__ as e
+    from anomaly_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit", cores=8)
+    qs = e.queries()
+    for name in names:
+        df = qs[name](spark, "/root/testdata/sf0.01")
+        df.count()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        print(f"== {name} ==")
+        for k, v in audit(plan).items():
+            if k == "ReadSchema":
+                for s in v:
+                    print(f"  scan {s}")
+            else:
+                print(f"  {k}: {v}")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+        return audit_queries(sys.argv[1:])
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     from anomaly_detector_spark.plans.suite import run_suite
     from anomaly_detector_spark.session import get_spark
