@@ -817,6 +817,71 @@ def q_docs_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_error_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketized interval join (the scale-safe non-equi range join):
+    every 'error' event opens a 10-minute incident window for its user;
+    count, per event, the windows it falls inside. The plan is an
+    EQUI-join on (user_id, time_bucket) + an exact BETWEEN re-check —
+    never a BroadcastNestedLoopJoin / cartesian product."""
+    from anomaly_detector_spark.operators.ranges import bucketized_interval_join
+
+    ev = load_table(spark, sf, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = bucketized_interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        windows,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        on=["user_id"],
+        bucket_width=600.0,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("w_start").alias("first_window"),
+    )
+
+
+def q_docs_seg_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide segment dedup: repeated 16-token segments keep
+    only their first (doc_id, seg_idx) occurrence; docs reassembled from
+    surviving segments."""
+    from anomaly_detector_spark.operators.dedup import segment_dedup
+
+    d = load_table(spark, sf, "documents")
+    return segment_dedup(d, "text", "doc_id", seg_tokens=16)
+
+
+def q_docs_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (map-only JVM regex pass). The synthetic corpus
+    carries no PII, so the query PLANTS a deterministic header (an email,
+    an IP, a phone derived from doc_id) in front of each text — both
+    engines construct the identical string — then redacts and counts."""
+    from anomaly_detector_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id"), F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1 or +49151"),
+            (F.col("doc_id") % 10000000).cast("string"), F.lit(" :: "), F.col("text"),
+        ).alias("text"),
+    )
+    red = redact_pii(planted, "text", out="redacted")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
 
@@ -874,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontam": q_docs_decontam,
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_corpus_pipeline": q_docs_corpus_pipeline,
+        "events_error_windows": q_events_error_windows,
+        "docs_seg_dedup": q_docs_seg_dedup,
+        "docs_pii_redact": q_docs_pii_redact,
     }
 
 
@@ -2165,6 +2233,78 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         SELECT token, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """
+    out["events_error_windows"] = """
+        SELECT e.event_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               min(er.ts) AS first_window
+        FROM events e
+        JOIN events er
+          ON e.user_id = er.user_id
+         AND er.event_type = 'error'
+         AND e.ts >= er.ts
+         AND e.ts <= er.ts + INTERVAL 10 MINUTE
+        GROUP BY e.event_id
+    """
+    out["docs_seg_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS t
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+                 array_to_string(t[(u.i*16+1):(u.i*16+16)], ' ') AS seg
+          FROM toks, UNNEST(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS u(i)
+        ),
+        keep AS (
+          SELECT doc_id, seg_idx, seg,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+          FROM segs
+        ),
+        agg AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+                   AS clean_text,
+                 CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+                 CAST(count(*) AS BIGINT) AS n_segments
+          FROM keep GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.n_segments, 0) AS n_segments
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    out["docs_pii_redact"] = r"""
+        WITH planted AS (
+          SELECT doc_id,
+                 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.1 or +49151'
+                   || CAST(doc_id % 10000000 AS VARCHAR) || ' :: ' || text AS text
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+          FROM planted
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                 regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_email, n_ipv4,
+                 CAST(len(regexp_extract_all(text, '\+\d{7,15}\b')) AS BIGINT) AS n_phone,
+                 regexp_replace(text, '\+\d{7,15}\b', '<PHONE>', 'g') AS text
+          FROM s2
+        )
+        SELECT doc_id, n_email, n_ipv4, n_phone, sha256(text) AS redacted_sha
+        FROM s3
     """
     fp = _fingerprint_oracle()
     if fp is not None:

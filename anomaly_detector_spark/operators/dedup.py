@@ -441,3 +441,73 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def doc_segments(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", seg_tokens: int = 16
+) -> DataFrame:
+    """(id, seg_idx, seg) rows: fixed-width ``seg_tokens``-token segments.
+
+    Fixed-width token windows rather than newline paragraphs so the
+    operator is content-agnostic (code, prose, single-line docs all
+    segment); a delimiter-based splitter is a one-line swap of the
+    segment array expression. All JVM array ops — the explode fans out
+    map-side, no Python.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    nseg = F.ceil(n / F.lit(seg_tokens)).cast("int")
+    segs_arr = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+        )
+    )
+    return df.select(F.col(id_col), F.posexplode(segs_arr).alias("seg_idx", "seg"))
+
+
+def segment_dedup(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", seg_tokens: int = 16
+) -> DataFrame:
+    """C4-style corpus-wide segment dedup: every repeated segment keeps
+    only its first occurrence (min (id, seg_idx)); docs are reassembled
+    from their surviving segments in order.
+
+    Output: (id, clean_text, n_kept, n_segments) — one row per input
+    doc, docs whose every segment was deduped away (or that were empty)
+    survive with clean_text = '' / n_kept = 0.
+
+    Scale: one shuffle keyed by the segment STRING (uniform hash
+    distribution; boilerplate mega-segments are single keys whose
+    row_number scan is linear), one reassembly shuffle keyed by doc id.
+    Segment text rides both shuffles — unavoidable for reassembly, and
+    bounded by the input size; the dedup DECISION itself could run on
+    xxhash64(seg) alone, but keying on the string keeps the semantics
+    collision-free and engine-reproducible.
+    """
+    segs = doc_segments(df, col, id_col, seg_tokens)
+    w = Window.partitionBy("seg").orderBy(F.col(id_col).asc(), F.col("seg_idx").asc())
+    flagged = segs.withColumn("_keep", F.row_number().over(w) == 1)
+    per_doc = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"), F.struct("seg_idx", "seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        )
+    )

@@ -257,3 +257,39 @@ def vocab_topk(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+# PII patterns chosen from the regex subset with IDENTICAL semantics in
+# Java (Spark) and RE2 (DuckDB/Go scrubbers): character classes, bounded
+# repetition, \b word boundaries — no lookarounds, no backrefs. Order
+# matters: emails are redacted before IPs so the digits of a host part
+# are never re-matched.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    col: str = "text",
+    out: str = "redacted",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII spans and count them per kind: adds ``out`` (the
+    scrubbed text) and one ``n_<kind>`` long per pattern.
+
+    Pure JVM ``regexp_replace``/``regexp_count`` chain — zero shuffle,
+    zero Python, applied in pattern order on the progressively scrubbed
+    string (counts are computed on the text as each pattern sees it, so
+    overlapping kinds never double-count). At 100 TB this is a map-only
+    pass that pipelines into whatever scan feeds it.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    cur = F.coalesce(F.col(col), F.lit(""))
+    counts = []
+    for kind, rx, token in pats:
+        counts.append(F.regexp_count(cur, F.lit(rx)).cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, rx, token)
+    return df.select("*", *counts, cur.alias(out))

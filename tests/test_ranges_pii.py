@@ -1,0 +1,163 @@
+"""Tests: bucketized interval join, segment-level dedup, PII redaction."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.operators.dedup import segment_dedup
+from anomaly_detector_spark.operators.ranges import bucketized_interval_join
+from anomaly_detector_spark.operators.text import redact_pii
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture()
+def points_intervals(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "u1", _ts(0)),      # == start of iv A (inclusive)
+            (2, "u1", _ts(300)),    # inside iv A
+            (3, "u1", _ts(600)),    # == end of iv A (inclusive), inside iv B
+            (4, "u1", _ts(601)),    # outside iv A, inside iv B
+            (5, "u1", _ts(5000)),   # matches nothing
+            (6, "u2", _ts(300)),    # same time as p2 but other key
+            (7, "u1", _ts(1800)),   # inside the long iv C (spans many buckets)
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", "u1", _ts(0), _ts(600)),
+            ("B", "u1", _ts(550), _ts(700)),
+            ("C", "u1", _ts(100), _ts(2500)),   # spans 5 buckets at width=600
+            ("D", "u2", _ts(250), _ts(350)),
+            ("R", "u1", _ts(900), _ts(800)),    # reversed -> dropped
+            ("N", "u1", None, _ts(100)),        # NULL start -> dropped
+        ],
+        "iv_id string, user_id string, w_start timestamp, w_end timestamp",
+    )
+    return points, intervals
+
+
+def _expected_pairs(points, intervals):
+    """Brute-force oracle: plain non-equi join."""
+    p = points.alias("p")
+    i = intervals.alias("i")
+    rows = (
+        p.join(i, on="user_id", how="inner")
+        .filter(F.col("p.ts").between(F.col("i.w_start"), F.col("i.w_end")))
+        .select("event_id", "iv_id")
+        .collect()
+    )
+    return {(r["event_id"], r["iv_id"]) for r in rows}
+
+
+def test_interval_join_matches_bruteforce(spark, points_intervals):
+    points, intervals = points_intervals
+    got = bucketized_interval_join(
+        points, intervals, "ts", "w_start", "w_end", on=["user_id"], bucket_width=600
+    )
+    pairs = {(r["event_id"], r["iv_id"]) for r in got.collect()}
+    assert pairs == _expected_pairs(points, intervals)
+    # spot-check semantics: inclusive bounds, key isolation, span coverage
+    assert (1, "A") in pairs and (3, "A") in pairs      # boundary inclusive
+    assert (3, "B") in pairs and (4, "B") in pairs
+    assert (7, "C") in pairs                             # multi-bucket interval
+    assert (6, "D") in pairs and (2, "D") not in pairs   # per-key
+    assert not any(iv == "R" or iv == "N" for _, iv in pairs)
+
+
+@pytest.mark.parametrize("width", [1, 50, 600, 100000])
+def test_interval_join_invariant_to_bucket_width(spark, points_intervals, width):
+    points, intervals = points_intervals
+    got = bucketized_interval_join(
+        points, intervals, "ts", "w_start", "w_end", on=["user_id"], bucket_width=width
+    )
+    pairs = {(r["event_id"], r["iv_id"]) for r in got.collect()}
+    assert pairs == _expected_pairs(points, intervals)
+    # each pair appears exactly once (a point lives in exactly one bucket)
+    assert got.count() == len(pairs)
+
+
+def test_interval_join_numeric_axis_and_no_nested_loop(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 17.5), (4, 100.0)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 9.0, 20.0)], "iv string, lo double, hi double"
+    )
+    got = bucketized_interval_join(points, intervals, "x", "lo", "hi", on=None, bucket_width=10)
+    pairs = {(r["pid"], r["iv"]) for r in got.collect()}
+    assert pairs == {(1, "a"), (2, "a"), (2, "b"), (3, "b")}
+    # the whole point of the operator: the physical plan is an equi-join,
+    # never BroadcastNestedLoopJoin / CartesianProduct
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "a long, lo double, hi double")
+    with pytest.raises(ValueError, match="disjoint"):
+        bucketized_interval_join(df, df, "a", "lo", "hi", on=None, bucket_width=1)
+
+
+def test_segment_dedup(spark):
+    seg_a = " ".join(f"a{i}" for i in range(4))
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),          # owns first copy of a and b
+            (2, f"{seg_b} {seg_c}"),          # b deduped away, c kept
+            (3, f"{seg_a} {seg_a}"),          # within-doc repeat: both deduped
+            (4, ""),                            # empty doc survives
+            (5, "tail only three"),             # short last segment (<seg_tokens)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, "text", "doc_id", seg_tokens=4).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["clean_text"] == f"{seg_a} {seg_b}" and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == seg_c and out[2]["n_kept"] == 1
+    assert out[2]["n_segments"] == 2
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_segments"] == 2
+    assert out[4]["clean_text"] == "" and out[4]["n_segments"] == 0
+    assert out[5]["clean_text"] == "tail only three" and out[5]["n_kept"] == 1
+
+
+def test_segment_dedup_preserves_segment_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x x"), (2, "q q q q x x x x z z z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=4).collect()}
+    # doc 2 keeps segments 0 and 2 in order; segment 1 ('x x x x') lost to doc 1
+    assert out[2]["clean_text"] == "q q q q z z z z"
+    assert out[1]["clean_text"] == "x x x x"
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.example.org then 192.168.0.1 and +4915112345678 done"),
+            (2, "no pii here 1234"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["redacted"] == "mail <EMAIL> then <IP> and <PHONE> done"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "no pii here 1234"
+    assert out[3]["redacted"] == ""  # NULL-safe
