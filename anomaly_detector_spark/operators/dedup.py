@@ -198,6 +198,7 @@ def minhash_lsh_candidates(
     seed: int = 1,
     max_bucket: int = 10_000,
     hash_fn: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -233,6 +234,17 @@ def minhash_lsh_candidates(
     banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
         "_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
     )
+    if materialize:
+        # banded is consumed THREE times (bucket-size census + both sides
+        # of the self-join); without materialization each consumer embeds
+        # its own copy of the shingle-explode + K-min-agg subtree and only
+        # runtime exchange reuse partially deduplicates the work (measured:
+        # the full signature derivation ran ~2x). An eager localCheckpoint
+        # computes signatures exactly once into executor-local storage —
+        # (docs x bands) rows of three longs, far smaller than the corpus —
+        # and is GC'd with the frame. Disable for recompute-over-storage
+        # tradeoffs at extreme scale.
+        banded = banded.localCheckpoint()
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
     oversized = bucket_sizes.filter(F.col("_n") > max_bucket).select("band_idx", "band_hash")
     banded = banded.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
@@ -254,13 +266,19 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs (JVM set ops).
 
     Only candidate members get shingled (semi-join first), so the heavy
     array materialization is proportional to the candidate set, not the
-    corpus.
+    corpus. ``candidates`` is consumed three times (two id projections +
+    the verification join), so it is eagerly localCheckpoint-ed by
+    default — when it arrives as an unmaterialized LSH plan, each
+    consumer would otherwise re-derive the whole signature pipeline.
     """
+    if materialize:
+        candidates = candidates.localCheckpoint()
     cand_ids = (
         candidates.select(F.col("id_a").alias("_id"))
         .unionByName(candidates.select(F.col("id_b").alias("_id")))

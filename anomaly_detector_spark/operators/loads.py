@@ -69,9 +69,15 @@ def extract_loads_series(
     end_count: int = 10,
     lookback: int = 10,
     trim: int = 10,
+    start_cursor: int = 0,
 ) -> list[tuple[int, int, int, list[int]]]:
     """Pure per-series load extraction: list of (s0, t0, e0, members),
     all 0-based indices into ``v``.
+
+    ``start_cursor``: first index eligible to TRIGGER a load (earlier
+    indices can still be lookback members). Used by the streaming
+    variant, whose retained buffer holds a lookback tail of
+    already-processed values that must not re-trigger.
 
     Vectorized replay of the sequential semantics: iterate per LOAD (not
     per row) — the trigger is the next above-threshold index after the
@@ -104,7 +110,7 @@ def extract_loads_series(
     cum_lows = np.cumsum(v < end_thresh)  # inclusive count of lows up to i
     trig_idx = np.flatnonzero(v > start_thresh)
     loads: list[tuple[int, int, int, list[int]]] = []
-    cursor = 0  # 0-based: first index eligible to trigger
+    cursor = start_cursor  # 0-based: first index eligible to trigger
     while True:
         pos = np.searchsorted(trig_idx, cursor)
         if pos >= len(trig_idx):

@@ -428,3 +428,83 @@ def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
     assert len(by_content["content A"]) == 1  # 2 in-batch + 1 cross-batch dups dropped
     assert by_content["content B"] == [3]
     assert by_content["content C"] == [5]
+
+
+def test_streaming_load_extraction_matches_batch(spark, tmp_path):
+    # W4 online: loads that complete across micro-batch boundaries must
+    # equal the batch extract_loads over the static union — including a
+    # load whose trigger is in batch 1 and end in batch 3, and an
+    # incomplete load at stream end (emitted by neither).
+    import datetime as dt
+
+    from anomaly_detector_spark.operators.loads import extract_loads
+    from anomaly_detector_spark.streaming.loads import extract_loads_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def series(seed: int) -> list[float]:
+        # deterministic: idle tail, a clean load, a load spanning the
+        # batch split, a re-trigger soon after, and an unfinished load
+        import random
+
+        rng = random.Random(seed)
+        v: list[float] = [rng.uniform(0.0, 1.0) for _ in range(8)]
+        v += [20.0, 5.0, 5.0] + [0.5] * 6          # load 1 (ends via lows)
+        v += [rng.uniform(2.0, 9.0) for _ in range(10)]
+        v += [30.0] + [3.0, 0.4] * 8                # load 2, lows interleaved
+        v += [0.2] * 4
+        v += [15.0, 4.0]                             # incomplete at end
+        return v
+
+    rows = []
+    for key in ("devA", "devB"):
+        vals = series(len(key) * 7)
+        for i, v in enumerate(vals):
+            rows.append((key, t0 + dt.timedelta(minutes=i), float(v)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    kw = dict(start_thresh=10.0, end_thresh=1.5, end_count=4, lookback=3, trim=2)
+
+    expected = sorted(
+        (
+            (r["user_id"], r["load_id"], r["start_rn"], r["trigger_rn"], r["end_rn"],
+             r["n_points"], tuple(r["values"]))
+            for r in extract_loads(df, "user_id", "ts", "value", **kw).collect()
+        )
+    )
+    assert len(expected) >= 4  # both keys complete 2 loads each
+
+    # three time-ordered files -> three micro-batches (maxFilesPerTrigger=1)
+    inp = tmp_path / "loads_in"
+    inp.mkdir()
+    splits = [(0, 12), (12, 30), (30, 10**6)]
+    for bi, (lo, hi) in enumerate(splits):
+        part = df.filter(
+            (F.col("ts") >= t0 + dt.timedelta(minutes=lo))
+            & (F.col("ts") < t0 + dt.timedelta(minutes=hi))
+        )
+        pdir = str(inp / f"b{bi}")
+        part.coalesce(1).write.parquet(pdir)
+        for p in __import__("pathlib").Path(pdir).rglob("*"):
+            __import__("os").utime(p, (1700000000 + bi, 1700000000 + bi))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp) + "/*")
+    )
+    out = extract_loads_stream(stream, "user_id", "ts", "value", **kw)
+    sink = str(tmp_path / "loads_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "loads_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["key"], r["load_id"], r["start_rn"], r["trigger_rn"], r["end_rn"],
+         r["n_points"], tuple(r["values"]))
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == expected
