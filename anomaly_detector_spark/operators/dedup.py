@@ -43,13 +43,24 @@ def exact_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Character k-shingles of normalized text, JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.lower(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
-    n = F.length(norm) - (k - 1)
-    # sequence(1, n) descends for n < 1 — short strings yield no shingles
-    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+
+    # normalized string bound as a lambda variable — an inline reference
+    # inside the per-shingle lambda would re-run the regexp per element
+    # (see word_shingles)
+    def mk(norm: Column) -> Column:
+        n = F.length(norm) - (k - 1)
+        # sequence(1, n) descends for n < 1 — short strings yield no shingles
+        return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+            )
         )
+
+    return F.element_at(
+        F.transform(
+            F.array(F.lower(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))), mk
+        ),
+        1,
     )
 
 
@@ -60,18 +71,29 @@ def word_shingles(col: Column | str, k: int = 3, distinct: bool = True) -> Colum
     shingles are harmless (MinHash: the min over a multiset equals the min
     over its set). (Measured: slice+concat_ws beats k element_at lookups —
     fewer interpreted expression nodes per shingle.)
+
+    The token array is BOUND as a lambda variable (transform over a
+    1-element array) before the per-shingle lambda consumes it: HOF
+    lambda bodies are interpreted per element, so an inline ``tokens``
+    expression inside the slice would re-run the whole split for EVERY
+    shingle — O(n_tokens²) per document (measured 6x on 300-token docs:
+    3.2s → 0.5s for the k-gram distinct count at sf0.1). A bound
+    variable is a slot read.
     """
-    toks = tokens(col)
-    n = F.size(toks) - (k - 1)
-    # guard: Spark sequence(1, n) DESCENDS for n < 1 ([1, 0], and
-    # slice(_, 0, _) throws) — docs with fewer than k tokens must yield
-    # an empty shingle set
-    arr = F.when(n < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+
+    def mk(tk: Column) -> Column:
+        n = F.size(tk) - (k - 1)
+        # guard: Spark sequence(1, n) DESCENDS for n < 1 ([1, 0], and
+        # slice(_, 0, _) throws) — docs with fewer than k tokens must
+        # yield an empty shingle set
+        return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+            )
         )
-    )
+
+    arr = F.element_at(F.transform(F.array(tokens(col)), mk), 1)
     return F.array_distinct(arr) if distinct else arr
 
 
@@ -472,15 +494,20 @@ def doc_segments(
     segment array expression. All JVM array ops — the explode fans out
     map-side, no Python.
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    nseg = F.ceil(n / F.lit(seg_tokens)).cast("int")
-    segs_arr = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    # Token array bound as a lambda variable (see word_shingles): an
+    # inline tokens() inside the slice would re-split the text per
+    # SEGMENT — O(n²) per doc in interpreted HOF evaluation.
+    def mk(tk: Column) -> Column:
+        n = F.size(tk)
+        nseg = F.ceil(n / F.lit(seg_tokens)).cast("int")
+        return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i * seg_tokens + 1, seg_tokens)),
+            )
         )
-    )
+
+    segs_arr = F.element_at(F.transform(F.array(tokens(col)), mk), 1)
     return df.select(F.col(id_col), F.posexplode(segs_arr).alias("seg_idx", "seg"))
 
 

@@ -56,10 +56,19 @@ def normalize_by_max(arr: Column | str) -> Column:
     preprocessing.normalize_data, /root/reference/algo/preprocessing.py:4-5).
     Max of 0 (or an empty array) leaves values unchanged."""
     c = F.col(arr) if isinstance(arr, str) else arr
-    mx = F.array_max(c)
-    return F.when(
-        mx.isNotNull() & (mx != 0), F.transform(c, lambda v: v / mx)
-    ).otherwise(c)
+
+    # (array, max) bound as a struct lambda variable: an inline
+    # array_max(c) captured in the per-element lambda would re-scan the
+    # array per element — O(n²) (see dedup.word_shingles)
+    def mk(s: Column) -> Column:
+        a, m = s["a"], s["m"]
+        return F.when(
+            m.isNotNull() & (m != 0), F.transform(a, lambda v: v / m)
+        ).otherwise(a)
+
+    return F.element_at(
+        F.transform(F.array(F.struct(c.alias("a"), F.array_max(c).alias("m"))), mk), 1
+    )
 
 
 def extract_loads_series(

@@ -119,15 +119,22 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
 
     Single-pass form: ONE ``aggregate`` traversal ORs each token's
     marker bit (distinctness free — OR is idempotent) into a 50-bit
-    mask; the argmax/tie-break decision happens in the ``finish``
-    lambda, where the mask is a BOUND VARIABLE — referencing it per
-    language costs nothing. The previous per-language
-    ``array_intersect(transform(split(...)))`` form re-expanded the
-    tokenization inside every consumer (higher-order functions are
-    interpreted, no common-subexpression elimination): ~12 traversals
-    per evaluation, and each downstream Filter/Project inlines the
-    alias and pays again — measured 3.3s to filter 5,000 300-char docs
-    vs ~0.2s for this form.
+    mask, materialized as its OWN projection; ``lang_id`` and
+    ``lang_id_hits`` are cheap bit ops over that mask column. Two
+    earlier forms lost:
+
+    * per-language ``array_intersect(transform(split(...)))`` —
+      re-expanded the tokenization inside every consumer (~12
+      traversals/row; HOFs are interpreted, no codegen CSE): 3.3s to
+      filter 5,000 300-char docs vs ~0.2s for the mask form;
+    * fold returning a ``struct(lang, hits)`` with both outputs
+      extracted from it — each GetStructField carried its OWN copy of
+      the whole fold (struct subscripting copies the expression tree;
+      interpreted projection has no subexpression elimination), so the
+      dominant token traversal ran TWICE per row. Folding to the raw
+      mask first halves it: CollapseProject keeps the mask as a
+      separate projection because it is non-cheap and referenced ~11
+      times downstream.
     """
     tok_bits, lang_mask = _marker_masks()
     entries: list = []
@@ -136,27 +143,26 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     mmap = F.create_map(*entries)  # literal map, constant-folded
     langs = sorted(LANG_MARKERS)
 
-    def finish(m):
-        hits = {l: F.bit_count(m.bitwiseAND(F.lit(lang_mask[l]))) for l in langs}
-        best = F.greatest(*hits.values()) if len(langs) > 1 else hits[langs[0]]
-        pick = F.lit("und")
-        # iterate reversed so the FIRST (lex-min) max lang wins the chain
-        for l in reversed(langs):
-            pick = F.when(hits[l] == best, F.lit(l)).otherwise(pick)
-        return F.struct(
-            F.when(best > 0, pick).otherwise(F.lit("und")).alias("lang"),
-            best.cast("long").alias("hits"),
-        )
-
-    res = F.aggregate(
+    mask = F.aggregate(
         tokens(col),
         F.lit(0).cast("long"),
         lambda acc, t: acc.bitwiseOR(
             F.coalesce(F.element_at(mmap, F.lower(t)), F.lit(0).cast("long"))
         ),
-        finish,
     )
-    return df.withColumn("lang_id", res["lang"]).withColumn("lang_id_hits", res["hits"])
+    df = df.withColumn("_lang_mask", mask)
+    m = F.col("_lang_mask")
+    hits = {l: F.bit_count(m.bitwiseAND(F.lit(lang_mask[l]))) for l in langs}
+    best = F.greatest(*hits.values()) if len(langs) > 1 else hits[langs[0]]
+    pick = F.lit("und")
+    # iterate reversed so the FIRST (lex-min) max lang wins the chain
+    for l in reversed(langs):
+        pick = F.when(hits[l] == best, F.lit(l)).otherwise(pick)
+    return (
+        df.withColumn("lang_id", F.when(best > 0, pick).otherwise(F.lit("und")))
+        .withColumn("lang_id_hits", best.cast("long"))
+        .drop("_lang_mask")
+    )
 
 
 def with_fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
@@ -189,17 +195,25 @@ def winnow_fingerprints(
 
     sh = word_shingles(col, shingle_k, distinct=False)
     hashes = F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))
-    n_windows = F.size(hashes) - (window - 1)
-    # guard: Spark sequence(1, n) DESCENDS when n < 1 — an empty doc must
-    # yield an empty fingerprint set, not sequence(1, 0) == [1, 0]
-    selected = F.when(n_windows < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
+
+    # Bind the hash array as a lambda variable before the sliding-window
+    # lambda consumes it: an inline reference would re-derive the whole
+    # shingle+sha256 pipeline per WINDOW (interpreted HOF bodies evaluate
+    # per element) — O(n²) per doc. A bound variable is a slot read.
+    def mk(hs):
+        n_windows = F.size(hs) - (window - 1)
+        # guard: Spark sequence(1, n) DESCENDS when n < 1 — an empty doc
+        # must yield an empty fingerprint set, not sequence(1, 0) == [1, 0]
+        return F.when(n_windows < 1, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(hs, i, window)),
+                )
             )
         )
-    )
+
+    selected = F.element_at(F.transform(F.array(hashes), mk), 1)
     return df.select(
         F.col(id_col), F.explode(selected).alias("fingerprint")
     )
@@ -221,9 +235,15 @@ def repetition_stats(
     """
     from .dedup import word_shingles
 
-    sh = word_shingles(col, k, distinct=False)
-    n = F.size(sh)
-    d = F.size(F.array_distinct(sh))
+    # Materialize the shingle array as its OWN projection: n_grams and
+    # n_unique both consume it, and within a single interpreted Project
+    # each reference would carry its own copy of the whole k-gram
+    # construction (HOFs get no codegen CSE) — measured 2x the stage.
+    # CollapseProject keeps the split because the producing expression
+    # is non-cheap and referenced twice.
+    df = df.withColumn("_sh", word_shingles(col, k, distinct=False))
+    n = F.size(F.col("_sh"))
+    d = F.size(F.array_distinct(F.col("_sh")))
     ratio = F.lit(1.0) - d / n
     if round_digits is not None:
         ratio = F.round(ratio, round_digits)
@@ -232,7 +252,7 @@ def repetition_stats(
         n.cast("long").alias("n_grams"),
         d.cast("long").alias("n_unique"),
         F.when(n > 0, ratio).otherwise(F.lit(0.0)).alias("rep_ratio"),
-    )
+    ).drop("_sh")
 
 
 def vocab_topk(
