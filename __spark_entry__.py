@@ -656,6 +656,9 @@ def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
 SAMPLE_MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75, "zh": 1.0}
 SHARD_BUDGET = 2000
 SHARD_GROUP = 64
+TEMP_ALPHA = 0.5
+PACK_SEQ_LEN = 512
+TOPFRAC = 0.75
 
 
 def q_docs_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -698,6 +701,48 @@ def q_docs_token_shards(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("w").cast("long").alias("total_tokens"),
     )
+
+
+def q_docs_temp_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (alpha=0.5): per-lang
+    keep-rates derived IN-PLAN from observed counts (no driver action),
+    realized by the deterministic hash-threshold Bernoulli. Rolled up
+    to per-lang kept counts."""
+    from anomaly_detector_spark.operators.corpus import temperature_resample
+
+    d = load_table(spark, sf, "documents")
+    kept = temperature_resample(d, "lang", alpha=TEMP_ALPHA, key_col="doc_id", salt="temp1")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+
+
+def q_docs_pack_seqs(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset-based sequence packing: documents laid head-to-tail in
+    doc_id order, cut into PACK_SEQ_LEN-token training sequences via
+    the two-phase prefix sum (no global-order window)."""
+    from anomaly_detector_spark.operators.corpus import pack_sequences
+    from anomaly_detector_spark.operators.text import token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "n_tokens", "doc_id", seq_len=PACK_SEQ_LEN, group_size=SHARD_GROUP
+    ).select("doc_id", "n_tokens", "seq_id", "seq_offset", "n_seqs_spanned")
+
+
+def q_docs_quality_topfrac(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive per-language quality gate: keep the top 75% of each
+    language's docs by quality_score (exact rank cut, deterministic
+    tie-break on doc_id). round_digits=None: the composite score's
+    terms are 4-decimal quantized, so a final scale-4 round lands ON
+    half boundaries constantly — emit the raw IEEE double, which both
+    engines derive identically."""
+    from anomaly_detector_spark.operators.corpus import top_fraction_by_group
+    from anomaly_detector_spark.operators.text import quality_score
+
+    d = quality_score(load_table(spark, sf, "documents"), "text", round_digits=None)
+    kept = top_fraction_by_group(d, "lang", "quality_score", frac=TOPFRAC, tiebreak_col="doc_id")
+    return kept.select("doc_id", "lang", "quality_score")
 
 
 def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
@@ -943,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_sample_mix": q_docs_sample_mix,
         "docs_token_shards": q_docs_token_shards,
+        "docs_temp_mix": q_docs_temp_mix,
+        "docs_pack_seqs": q_docs_pack_seqs,
+        "docs_quality_topfrac": q_docs_quality_topfrac,
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_vocab_topk": q_docs_vocab_topk,
@@ -2234,6 +2282,68 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_dup_clusters"] = _dup_clusters_oracle()
     out["docs_sample_mix"] = _sample_mix_oracle()
     out["docs_token_shards"] = _token_shards_oracle()
+    out["docs_temp_mix"] = f"""
+        WITH c AS (SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY 1),
+        m AS (SELECT min(n) AS nmin FROM c),
+        r AS (SELECT stratum,
+                     pow(CAST(nmin AS DOUBLE) / n, {1.0 - TEMP_ALPHA}) AS rate
+              FROM c, m),
+        t AS (SELECT stratum,
+                     CASE WHEN rate >= 1.0 THEN 'g'
+                          ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+                     END AS thr
+              FROM r)
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.stratum
+        WHERE substr(sha256('temp1' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        GROUP BY 1
+    """
+    out["docs_pack_seqs"] = f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(pre // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(pre % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+               CAST(CASE WHEN n_tokens <= 0 THEN 1
+                         ELSE (pre + n_tokens - 1) // {PACK_SEQ_LEN} - pre // {PACK_SEQ_LEN} + 1
+                    END AS BIGINT) AS n_seqs_spanned
+        FROM c
+    """
+    out["docs_quality_topfrac"] = rf"""
+        WITH s AS (
+          SELECT doc_id, lang, length(text) AS n_chars,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                 CASE WHEN length(text) > 0
+                      THEN round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4)
+                      ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN length(text) > 0
+                      THEN round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 4)
+                      ELSE 0.0 END AS punct_ratio
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, lang,
+                 CASE WHEN n_tokens >= 5 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END
+                 + alpha_ratio * 0.3
+                 + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3 AS quality_score
+          FROM s
+        ),
+        r AS (
+          SELECT doc_id, lang, quality_score,
+                 row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM q
+        )
+        SELECT doc_id, lang, quality_score
+        FROM r WHERE rk <= ceil(n * {TOPFRAC})
+    """
     out["docs_repetition"] = _repetition_oracle()
     out["docs_decontam"] = _decontam_oracle()
     out["docs_corpus_pipeline"] = _corpus_pipeline_oracle()

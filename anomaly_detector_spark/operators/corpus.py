@@ -197,6 +197,90 @@ def stratified_sample(
     return df.filter(draw < thr)
 
 
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "temp1",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual /
+    multi-source training-mix downsampler): keep-rate per stratum
+    ``r_g = (n_min / n_g) ** (1 - alpha)``, so expected kept counts are
+    proportional to ``n_g ** alpha`` — ``alpha=1`` keeps everything,
+    ``alpha=0`` downsamples every stratum to the smallest one
+    (uniform mix). Downsample-only (all rates <= 1), realized by the
+    same deterministic hash-threshold Bernoulli as stratified_sample,
+    so the selection is reproducible under retries and repartitioning.
+
+    Unlike stratified_sample the rates are DERIVED IN-PLAN from the
+    observed stratum counts: a groupBy(strata).count() aggregate
+    (O(strata) rows), a 1-row global-min frame, both broadcast back —
+    no driver action, no collect. The threshold is re-encoded to the
+    8-hex-char string form in-plan (floor(rate * 2^32) as zero-padded
+    lower hex), identical in any engine with hex()/lpad(). NULL strata
+    participate as their own group (null-safe join).
+    """
+    counts = df.groupBy(F.col(strata_col).alias("_stratum")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "_stratum",
+        F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha)).alias("_rate"),
+    )
+    thr = F.when(F.col("_rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("_rate") * F.lit(float(16**8))).cast("long"))),
+            8,
+            "0",
+        )
+    )
+    rates = rates.withColumn("_thr", thr)
+    draw = sample_hash(F.col(key_col), salt)
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("_stratum")),
+            "left",
+        )
+        .filter(draw < F.col("_thr"))
+        .drop("_stratum", "_n", "_rate", "_thr")
+    )
+
+
+def top_fraction_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    frac: float = 0.75,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Adaptive per-group quality gate: keep the top ``frac`` of each
+    group's rows by ``score_col`` (ties broken by ``tiebreak_col`` so
+    the cut is deterministic). The per-lang analog of a fixed quality
+    threshold — each language's own score distribution sets its bar.
+
+    Exact rank semantics: keep iff rank <= ceil(frac * group_count).
+    One shuffle (the group window); parallel across groups, so the
+    bound is the LARGEST group's sort, not the corpus. For a corpus
+    where one group dominates, swap in the approximate two-phase form:
+    percentile_approx(score, 1-frac) per group (a pre-aggregated
+    broadcast frame) and a narrow filter — same shape as
+    checks/stats.py quantiles — at the cost of an approximate cut.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .drop("_rk", "_n")
+    )
+
+
 # ------------------------------------------------------------ sharding
 
 def token_budget_shards(
@@ -263,6 +347,68 @@ def token_budget_shards(
             F.col("_off") + F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)),
         )
         .withColumn("shard_id", F.expr(f"_pre div {int(budget)}"))
+    )
+    return out.drop("_grp", "_gsum", "_off", "_pre")
+
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str = "doc_id",
+    seq_len: int = 2048,
+    group_size: int = 10_000,
+    materialize: bool = True,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Offset-based sequence packing: lay documents head-to-tail in
+    deterministic ``order_col`` order and cut the token stream into
+    fixed ``seq_len`` training sequences (the standard pre-training
+    packing step — no padding between documents).
+
+    Adds to the narrow (order, weight[, carry...]) frame:
+
+    * ``seq_id``      — the sequence holding the document's FIRST token
+      (``pre div seq_len``);
+    * ``seq_offset``  — the document's start position within it;
+    * ``n_seqs_spanned`` — how many sequences the document crosses
+      (``(pre+w-1) div seq_len - pre div seq_len + 1``; long documents
+      straddle boundaries rather than being padded around).
+
+    Same two-phase prefix sum as token_budget_shards (its module-
+    docstring scale argument applies verbatim): per-group totals →
+    O(n_groups) offsets window → broadcast back → bounded within-group
+    window. No single-partition global window ever exists; join the
+    result back on ``order_col`` to carry the text into the writer.
+    """
+    base = df.select(
+        order_col, weight_col, *(carry_cols or []),
+        F.floor(F.col(order_col) / F.lit(group_size)).alias("_grp"),
+    )
+    if materialize:
+        base = base.localCheckpoint()
+    grp_tot = base.groupBy("_grp").agg(F.sum(weight_col).alias("_gsum"))
+    w_off = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = grp_tot.select(
+        "_grp", F.coalesce(F.sum("_gsum").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_grp")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.col("_off") + F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
+    w = F.col(weight_col)
+    out = (
+        base.join(F.broadcast(offsets), "_grp")
+        .withColumn("_pre", pre)
+        .withColumn("seq_id", F.expr(f"_pre div {int(seq_len)}"))
+        .withColumn("seq_offset", F.col("_pre") % F.lit(int(seq_len)))
+        .withColumn(
+            "n_seqs_spanned",
+            F.when(w <= 0, F.lit(1)).otherwise(
+                F.expr(f"(_pre + {weight_col} - 1) div {int(seq_len)}") - F.col("seq_id") + 1
+            ).cast("long"),
+        )
     )
     return out.drop("_grp", "_gsum", "_off", "_pre")
 

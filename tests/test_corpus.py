@@ -255,3 +255,80 @@ def test_token_budget_shards_carry_cols(spark):
     rows = out.collect()
     assert set(out.columns) == {"doc_id", "w", "tag", "shard_id"}
     assert all(r["tag"] == r["doc_id"] % 2 for r in rows)
+
+
+# ------------------------------------------- temperature / pack / topfrac
+
+def test_temperature_resample_rates_and_determinism(spark):
+    from anomaly_detector_spark.operators.corpus import temperature_resample
+
+    # en 400 docs, fr 100, zh 25 -> alpha=0.5 rates (25/n)^0.5:
+    # en 0.25, fr 0.5, zh 1.0 (smallest stratum keeps everything)
+    rows = [(i, "en") for i in range(400)]
+    rows += [(1000 + i, "fr") for i in range(100)]
+    rows += [(2000 + i, "zh") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_resample(df, "lang", alpha=0.5, key_col="doc_id", salt="t")
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] == 25  # rate 1.0 -> all kept
+    # hash-threshold Bernoulli: expect ~rate*n within a loose binomial bound
+    assert 60 <= got["en"] <= 140   # ~100
+    assert 30 <= got["fr"] <= 70    # ~50
+    # deterministic: identical selection on re-run and under repartitioning
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df.repartition(7), "lang", alpha=0.5, key_col="doc_id", salt="t"
+        ).collect()
+    )
+    assert a == b
+    # alpha=1 keeps everything
+    assert temperature_resample(df, "lang", alpha=1.0, key_col="doc_id").count() == 525
+
+
+def test_temperature_resample_null_stratum(spark):
+    from anomaly_detector_spark.operators.corpus import temperature_resample
+
+    rows = [(i, "en") for i in range(64)] + [(100 + i, None) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_resample(df, "lang", alpha=0.0, key_col="doc_id", salt="t")
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # NULL is its own (smallest) stratum: rate 1.0, all 4 survive
+    assert got.get(None) == 4
+    assert 0 < got.get("en", 0) < 64  # en downsampled toward 4
+
+
+def test_pack_sequences_matches_global_prefix_sum(spark):
+    from anomaly_detector_spark.operators.corpus import pack_sequences
+
+    rows = [(i, (i * 37) % 97 + 1) for i in range(500)]
+    rows[50] = (50, 0)  # zero-weight doc: spans exactly 1 sequence
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs_spanned"])
+        for r in pack_sequences(df, "w", "doc_id", seq_len=128, group_size=64).collect()
+    }
+    pre = 0
+    for i, w in sorted(rows):
+        first = pre // 128
+        spans = 1 if w <= 0 else (pre + w - 1) // 128 - first + 1
+        assert got[i] == (first, pre % 128, spans), i
+        pre += w
+
+
+def test_top_fraction_by_group(spark):
+    from anomaly_detector_spark.operators.corpus import top_fraction_by_group
+
+    # group a: 4 rows -> ceil(4*0.5)=2 kept; group b: 3 rows -> 2 kept;
+    # ties broken by doc_id (1 beats 2 at score 9)
+    rows = [
+        (1, "a", 9.0), (2, "a", 9.0), (3, "a", 5.0), (4, "a", 1.0),
+        (5, "b", 3.0), (6, "b", 2.0), (7, "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, score double")
+    kept = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_group(df, "g", "score", frac=0.5, tiebreak_col="doc_id").collect()
+    )
+    assert kept == [1, 2, 5, 6]
