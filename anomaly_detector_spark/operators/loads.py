@@ -147,6 +147,7 @@ def extract_loads(
     trim: int = 10,
     tiebreak_col: str | None = None,
     include_order: bool = False,
+    packed: bool = True,
 ) -> DataFrame:
     """One row per completed load:
     (key, load_id, start_rn, trigger_rn, end_rn, n_points, values).
@@ -164,11 +165,24 @@ def extract_loads(
 
     Constraints / failure modes:
     * ``trim <= end_count`` (validated — see extract_loads_series).
-    * One Arrow task replays one key's WHOLE series (the sequential
-      semantics are inherent: each load's end gates the next trigger).
-      Scale is across keys (10^6 devices x bounded history); a single
-      key with an unbounded (10^9-row) history pins one task — pre-slice
-      such histories by a coarse time range if that shape ever appears.
+    * One key's WHOLE series is replayed by one Python kernel call (the
+      sequential semantics are inherent: each load's end gates the next
+      trigger). Scale is across keys (10^6 devices x bounded history);
+      a single key with an unbounded (10^9-row) history pins one task —
+      pre-slice such histories by a coarse time range if that shape
+      ever appears.
+
+    Execution (``packed=True``, default): repartition by key + sort
+    within partitions + ``mapInPandas`` with a cross-batch carry buffer
+    — MANY keys share one Arrow batch, so the per-group Python/Arrow
+    overhead (a pandas frame + kernel dispatch per group) is amortized.
+    ``applyInPandas`` pays that overhead per KEY, which dominates when
+    groups are small: measured 7.0s -> 1.0s on 100k rows / 1500 keys at
+    local[32], where the pure kernel work is 0.5s single-threaded.
+    ``packed=False`` keeps the grouped-map form (simpler plan; fine
+    when groups are large enough to fill Arrow batches). Both paths
+    emit identical rows — pinned by the events_loads oracle and the
+    grouped-vs-packed equivalence test.
     """
     if trim > end_count:
         raise ValueError(f"trim ({trim}) must be <= end_count ({end_count})")
@@ -183,37 +197,103 @@ def extract_loads(
     inc_b = include_order
     st_b, et_b, ec_b, lb_b, tr_b = start_thresh, end_thresh, end_count, lookback, trim
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[key_b].iloc[0]
-        srt = pdf.sort_values(sort_b, kind="mergesort")
-        v = srt[val_b].to_numpy(dtype="float64")
-        ords = srt[ord_b].tolist() if inc_b else None
-        cols_ = ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points", "values", "member_ord")
-        out = {c: [] for c in cols_}
+    out_fixed = ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points")
+
+    def scan_into(key, v, ords, sink: dict) -> None:
+        """Run the state machine over one key's value array, appending
+        output rows to the shared ``sink`` dict-of-lists (no per-key
+        DataFrame construction — the packed path builds ONE frame per
+        Arrow batch for all its keys)."""
         for load_id, (s0, t0, e0, members) in enumerate(
             extract_loads_series(v, st_b, et_b, ec_b, lb_b, tr_b), start=1
         ):
-            out["load_id"].append(load_id)
-            out["start_rn"].append(s0 + 1)
-            out["trigger_rn"].append(t0 + 1)
-            out["end_rn"].append(e0 + 1)
-            out["n_points"].append(len(members))
-            out["values"].append([float(v[m]) for m in members])
+            sink[key_b].append(key)
+            sink["load_id"].append(load_id)
+            sink["start_rn"].append(s0 + 1)
+            sink["trigger_rn"].append(t0 + 1)
+            sink["end_rn"].append(e0 + 1)
+            sink["n_points"].append(len(members))
+            sink["values"].append([float(v[m]) for m in members])
             if inc_b:
-                out["member_ord"].append([ords[m] for m in members])
-        n = len(out["load_id"])
-        # object dtype for the list column: an empty float64 column (the
-        # pandas default for []) cannot be Arrow-cast to list<double>
+                sink["member_ord"].append([ords[m] for m in members])
+
+    def new_sink() -> dict:
+        return {c: [] for c in (key_b, *out_fixed, "values", "member_ord")}
+
+    def build(sink: dict) -> pd.DataFrame:
+        # object dtype for key/list columns: an empty float64 column (the
+        # pandas default for []) cannot be Arrow-cast to string/list<double>
         res = pd.DataFrame(
             {
-                key_b: pd.Series([key] * n, dtype="object"),
-                **{c: out[c] for c in ("load_id", "start_rn", "trigger_rn", "end_rn", "n_points")},
-                "values": pd.Series(out["values"], dtype="object"),
+                key_b: pd.Series(sink[key_b], dtype="object"),
+                **{c: sink[c] for c in out_fixed},
+                "values": pd.Series(sink["values"], dtype="object"),
             }
         )
         if inc_b:
-            res["member_ord"] = pd.Series(out["member_ord"], dtype="object")
+            res["member_ord"] = pd.Series(sink["member_ord"], dtype="object")
         return res
 
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        srt = pdf.sort_values(sort_b, kind="mergesort")
+        sink = new_sink()
+        scan_into(
+            pdf[key_b].iloc[0],
+            srt[val_b].to_numpy(dtype="float64"),
+            srt[ord_b].tolist() if inc_b else None,
+            sink,
+        )
+        return build(sink)
+
     cols = [F.col(key_col).cast("string"), *[F.col(c) for c in sort_b], F.col(value_col)]
-    return df.select(*cols).groupBy(key_col).applyInPandas(kernel, schema)
+    prepared = df.select(*cols)
+    if not packed:
+        return prepared.groupBy(key_col).applyInPandas(kernel, schema)
+
+    shuffled = prepared.repartition(F.col(key_col)).sortWithinPartitions(key_col, *sort_b)
+
+    def fn(batches):
+        import numpy as np
+
+        _UNSET = object()
+
+        def run(key, parts, ord_parts, sink):
+            v = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            ords = None
+            if inc_b:
+                ords = [o for chunk in ord_parts for o in chunk]
+            scan_into(key, v, ords, sink)
+
+        pend_key, parts, ord_parts = _UNSET, [], []
+        sink = new_sink()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_b].to_numpy()
+            vals = pdf[val_b].to_numpy(dtype="float64")
+            ords = pdf[ord_b].tolist() if inc_b else None
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            bounds = [0, *change.tolist(), len(pdf)]
+            for s0, e0 in zip(bounds[:-1], bounds[1:]):
+                k = keys[s0]
+                same = pend_key is not _UNSET and (
+                    k == pend_key or (k is None and pend_key is None)
+                )
+                if not same and pend_key is not _UNSET:
+                    run(pend_key, parts, ord_parts, sink)
+                    parts, ord_parts = [], []
+                pend_key = k
+                parts.append(vals[s0:e0])
+                if inc_b:
+                    ord_parts.append(ords[s0:e0])
+            # one output frame per input Arrow batch (keys completed so far)
+            if sink[key_b]:
+                done = sink
+                sink = new_sink()
+                yield build(done)
+        if pend_key is not _UNSET:
+            run(pend_key, parts, ord_parts, sink)
+        if sink[key_b]:
+            yield build(sink)
+
+    return shuffled.mapInPandas(fn, schema)

@@ -137,3 +137,29 @@ def test_extract_loads_member_ord_passthrough(spark):
         # member timestamps map back to the exact source rows of the values
         by_ts = {row[1]: row[2] for row in rows}
         assert [by_ts[ts] for ts in r["member_ord"]] == r["values"]
+
+
+def test_extract_loads_packed_equals_grouped(spark):
+    # the packed mapInPandas path (keys share Arrow batches, cross-batch
+    # carry buffer) must emit exactly the grouped applyInPandas rows —
+    # including member_ord passthrough and a NULL key
+    import datetime as dt
+
+    from anomaly_detector_spark.operators.loads import extract_loads
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for ki, key in enumerate(["a", "b", None, "c"]):
+        vals = [0.5, 20.0, 5.0, 0.1, 0.2, 0.3, 0.4, 12.0, 3.0, 0.1, 0.2, 0.3, 0.9, 0.2]
+        for i, v in enumerate(vals):
+            rows.append((key, t0 + dt.timedelta(minutes=i), float(v) + ki * 0.001))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double").repartition(5)
+    kw = dict(start_thresh=10.0, end_thresh=1.5, end_count=3, lookback=2, trim=1,
+              include_order=True)
+    def rows_of(packed):
+        out = extract_loads(df, "k", "ts", "value", packed=packed, **kw).collect()
+        return sorted(map(tuple, out), key=repr)
+
+    a, b = rows_of(False), rows_of(True)
+    assert len(a) >= 8  # two loads per key, all four keys
+    assert a == b
