@@ -55,13 +55,15 @@ def main() -> int:
         "docs_clean_corpus",   # end-to-end prep pipeline (langid+quality+dedup)
         "minhash_pairs",       # MinHash-LSH near-dup
         "emb_topk_cosine",     # brute-force ANN baseline
-        "events_loads",        # W4 per-key state-machine scan (applyInPandas)
+        "events_loads",        # W4 per-key state-machine scan (packed mapInPandas)
         # round-3 corpus-prep additions
         "docs_decontam",       # eval-set k-gram overlap (broadcast inventory)
         "docs_dup_clusters",   # MinHash pairs -> transitive closure (iterative CC)
         "docs_vocab_topk",     # corpus token heavy hitters
         "docs_token_shards",   # two-phase prefix-sum shard assignment
         "docs_corpus_pipeline",  # FULL prep pipeline: gates+decontam+dedup+sample+shards
+        "docs_temp_mix",       # temperature mixture rebalancing (in-plan rates)
+        "docs_pack_seqs",      # sequence packing (two-phase prefix sum)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
@@ -169,11 +171,17 @@ def main() -> int:
         big.write.mode("overwrite").parquet(big_path)
     bigdf = spark.read.parquet(big_path)
     _warm_path(big_path)
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    res = run_suite(bigdf, cache=False)
-    res.materialize()  # verdicts + violations actions overlapped (two driver threads)
-    sustained_sec = time.perf_counter() - t0
+    # min of 2 like the per-query timings: this is the one timing that
+    # was single-shot, and the host's transient co-tenancy slowdowns
+    # (documented 2-4x) hit an 8-second scan-dominated job hard
+    sustained_sec = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        res = run_suite(bigdf, cache=False)
+        res.materialize()  # verdicts + violations actions overlapped (two driver threads)
+        sec = time.perf_counter() - t0
+        sustained_sec = sec if sustained_sec is None or sec < sustained_sec else sustained_sec
     timings["suite_2m_rows"] = round(sustained_sec, 3)
 
     total = round(sum(timings.values()), 3)
