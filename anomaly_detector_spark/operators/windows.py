@@ -122,12 +122,15 @@ def savgol_smooth(
     window_length: int = 55,
     polyorder: int = 10,
     out_col: str = "smoothed",
+    packed: bool = True,
 ) -> DataFrame:
     """Per-key Savitzky-Golay smoothing (reference W7: window 55, order 10).
 
     Arrow-vectorized grouped map; edges use reflect-padding (scipy's
     'interp' mode differs at edges — interior points are identical; the
-    fixture tests pin interior values).
+    fixture tests pin interior values). ``packed=True`` (default) runs
+    via ``grouped.packed_grouped_map`` — many keys per Arrow batch,
+    amortizing per-group dispatch for small-series corpora.
     """
     coeffs = savgol_coeffs(window_length, polyorder)
     fields = ", ".join(
@@ -154,10 +157,15 @@ def savgol_smooth(
         pdf[out_col_b] = sm
         return pdf
 
-    return (
-        df.select(key_col, order_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(kernel, schema)
+    from .grouped import packed_grouped_map
+
+    return packed_grouped_map(
+        df.select(key_col, order_col, value_col),
+        key_col,
+        [order_col],
+        kernel,
+        schema,
+        packed=packed,
     )
 
 
@@ -167,6 +175,7 @@ def resample_interpolate(
     ts_col: str,
     value_col: str,
     freq: str = "1min",
+    packed: bool = True,
 ) -> DataFrame:
     """Per-key resample to a fixed grid + linear interpolation (W8).
 
@@ -174,7 +183,8 @@ def resample_interpolate(
     minute points and drops leading/trailing NaNs
     (/root/reference/algo/preprocessing.py:7-9). pandas does it verbatim
     per key inside the Arrow UDF; keys are independent → embarrassingly
-    parallel across executors.
+    parallel across executors. ``packed=True`` (default): many keys per
+    Arrow batch via ``grouped.packed_grouped_map``.
     """
     schema = f"{key_col} string, {ts_col} timestamp, {value_col} double"
     ts_b, val_b, key_b, freq_b = ts_col, value_col, key_col, freq
@@ -194,10 +204,19 @@ def resample_interpolate(
         out = s.resample("s").interpolate().resample(freq_b).asfreq().dropna()
         return pd.DataFrame({key_b: key, ts_b: out.index, val_b: out.to_numpy()})
 
-    return (
-        df.select(F.col(key_col).cast("string"), F.col(ts_col).cast("timestamp"), F.col(value_col).cast("double"))
-        .groupBy(key_col)
-        .applyInPandas(kernel, schema)
+    from .grouped import packed_grouped_map
+
+    return packed_grouped_map(
+        df.select(
+            F.col(key_col).cast("string"),
+            F.col(ts_col).cast("timestamp"),
+            F.col(value_col).cast("double"),
+        ),
+        key_col,
+        [ts_col, value_col],
+        kernel,
+        schema,
+        packed=packed,
     )
 
 

@@ -78,3 +78,37 @@ def test_pad_or_truncate(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0],), ([1.0],)], "arr array<double>")
     out = df.select(pad_or_truncate("arr", 2).alias("p")).collect()
     assert [r["p"] for r in out] == [[1.0, 2.0], [1.0, 0.0]]
+
+
+def test_savgol_and_resample_packed_equal_grouped(spark):
+    # the generic packed_grouped_map path must emit exactly the grouped
+    # rows for both per-key kernels (keys spanning Arrow batches included
+    # at driver scale via the sf0.01 oracle; here: correctness + NULL-free
+    # bounded fixture with several small keys)
+    import datetime as dt
+
+    from anomaly_detector_spark.operators.windows import (
+        resample_interpolate,
+        savgol_smooth,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for ki in range(7):
+        for i in range(30):
+            rows.append(
+                (f"k{ki}", t0 + dt.timedelta(seconds=17 * i + ki), float((i * 13 + ki) % 29))
+            )
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double").repartition(5)
+
+    a = savgol_smooth(df, "user_id", "ts", "value", 7, 3, packed=False)
+    b = savgol_smooth(df, "user_id", "ts", "value", 7, 3, packed=True)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 210
+
+    c = resample_interpolate(df, "user_id", "ts", "value", packed=False)
+    d = resample_interpolate(df, "user_id", "ts", "value", packed=True)
+    rc = sorted(map(tuple, c.collect()))
+    rd = sorted(map(tuple, d.collect()))
+    assert rc == rd and len(rc) > 0
