@@ -899,6 +899,31 @@ def q_events_error_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (J2 as a PUBLIC operator, not just inside resample):
+    each click event picks the user's latest purchase at-or-before it.
+    Single shuffle keyed by user_id + one within-key window — never a
+    non-equi join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from anomaly_detector_spark.operators.ranges import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "value",
+        "ts_asof",
+        "purchase_value",
+    )
+
+
 def q_docs_seg_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style corpus-wide segment dedup: repeated 16-token segments keep
     only their first (doc_id, seg_idx) occurrence; docs reassembled from
@@ -996,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_corpus_pipeline": q_docs_corpus_pipeline,
         "events_error_windows": q_events_error_windows,
+        "events_asof": q_events_asof,
         "docs_seg_dedup": q_docs_seg_dedup,
         "docs_pii_redact": q_docs_pii_redact,
     }
@@ -2363,6 +2389,20 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
          AND e.ts >= er.ts
          AND e.ts <= er.ts + INTERVAL 10 MINUTE
         GROUP BY e.event_id
+    """
+    out["events_asof"] = """
+        WITH l AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        r AS (
+          SELECT user_id, ts AS ts_asof, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT CAST(l.event_id AS BIGINT) AS event_id,
+               CAST(l.user_id AS BIGINT) AS user_id,
+               l.ts, l.value, r.ts_asof, r.purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts_asof
     """
     out["docs_seg_dedup"] = r"""
         WITH toks AS (

@@ -1,1 +1,1 @@
-from . import dedup, loads, multimodal, similarity, text, windows  # noqa: F401
+from . import corpus, dedup, grouped, loads, multimodal, ranges, similarity, text, windows  # noqa: F401

@@ -1,4 +1,6 @@
-"""Bucketized interval join: points-in-ranges without a nested-loop join.
+"""Temporal joins: bucketized interval join and as-of join.
+
+Bucketized interval join: points-in-ranges without a nested-loop join.
 
 The generic "point BETWEEN start AND end" join is a non-equi predicate;
 Spark's only native physical strategies for it are BroadcastNestedLoopJoin
@@ -28,7 +30,7 @@ boundary point away from the buckets its interval covers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +97,104 @@ def bucketized_interval_join(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_pb")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right.on <= left.on`` within the same ``by`` group
+    (inclusive at equality — DuckDB/pandas ``merge_asof`` semantics).
+    Unmatched left rows keep NULLs. The reference aligns an incoming
+    event against the latest persisted state by exactly this rule
+    (/root/reference/algo/operator.py:92-104 sorts the accumulated
+    series and acts on the newest row at or before the message time).
+
+    Spark-first design: NOT a join. Both sides are union-tagged
+    (right=0, left=1) and a single per-key window carries the last
+    non-null right payload forward — one shuffle keyed by ``by``, one
+    within-key sort, no non-equi join, no broadcast ceiling. This is
+    the merge-join formulation every as-of engine lowers to; Spark's
+    own range-join strategies (BNLJ/cartesian) are non-starters at
+    100 TB. Skew bound = the largest single ``by`` group (same bound as
+    any per-entity window); with ``by=[]`` everything lands in ONE task
+    — refuse to do that silently.
+
+    ``right_cols``: payload columns carried from right (default: all
+    except ``by``/``on``); names must not collide with left columns.
+    The matched right timestamp is emitted as ``f"{on}{suffix}"``.
+    If right has several rows at one (by, on) point, the greatest
+    payload struct wins (deterministic lexicographic tiebreak).
+    ``tolerance``: seconds for timestamp axes / plain units for numeric
+    axes; a match farther back than this is nulled (the match is NOT
+    replaced by an earlier in-tolerance row — merge_asof semantics).
+    """
+    by = list(by or [])
+    if not by:
+        raise ValueError(
+            "asof_join with by=[] funnels every row through one task; "
+            "add a partitioning key (or bucket the time axis and use "
+            "bucketized_interval_join)"
+        )
+    rvals = right_cols or [c for c in right.columns if c not in by + [on]]
+    overlap = set(left.columns) & set(rvals)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    matched_on = f"{on}{suffix}"
+
+    r2 = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(F.col(on).alias(matched_on), *[F.col(c) for c in rvals]).alias("_rv"),
+    )
+    rv_type = r2.schema["_rv"].dataType
+    left_dtypes = dict(left.dtypes)
+    lcols = [c for c in left.columns if c not in by]
+    l2 = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        *lcols,
+    )
+    r2 = r2.select(
+        *by, "_t", "_side", "_rv",
+        *[F.lit(None).cast(left_dtypes[c]).alias(c) for c in lcols],
+    )
+    # right rows sort BEFORE left rows at the same instant (side 0 < 1)
+    # => equality is an inclusive match; among duplicate right instants
+    # the greatest payload struct is last and wins the carry.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rv").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l2.unionByName(r2)
+        .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    valid = F.col("_m").isNotNull()
+    if tolerance is not None:
+        if left_dtypes[on].startswith("timestamp"):
+            gap = (
+                F.unix_micros(F.col("_t").cast("timestamp"))
+                - F.unix_micros(F.col("_m")[matched_on].cast("timestamp"))
+            ) / F.lit(1_000_000.0)
+        else:
+            gap = F.col("_t").cast("double") - F.col("_m")[matched_on].cast("double")
+        valid = valid & (gap <= F.lit(float(tolerance)))
+    m = F.when(valid, F.col("_m"))
+    return carried.select(
+        *by,
+        *[F.col(c) for c in lcols],
+        m[matched_on].alias(matched_on),
+        *[m[c].alias(c) for c in rvals],
+    )

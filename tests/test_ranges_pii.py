@@ -161,3 +161,103 @@ def test_redact_pii(spark):
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
     assert out[2]["redacted"] == "no pii here 1234"
     assert out[3]["redacted"] == ""  # NULL-safe
+
+
+# ---------------------------------------------------------------- asof_join
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    from anomaly_detector_spark.operators.ranges import asof_join  # noqa: F401
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(100), 10.0),   # after r@50 -> 5.0
+            (2, "u1", _ts(200), 20.0),   # == r@200 -> inclusive match 7.0
+            (3, "u1", _ts(201), 30.0),   # just after r@200 -> 7.0
+            (4, "u1", _ts(40), 40.0),    # before any right row -> NULL
+            (5, "u2", _ts(500), 50.0),   # u2 has no right rows -> NULL
+            (6, "u3", _ts(1000), 60.0),  # dup right instants -> greatest payload
+        ],
+        "event_id long, k string, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(50), 5.0),
+            ("u1", _ts(200), 7.0),
+            ("u1", _ts(300), 9.0),      # later than every left row -> never picked
+            ("u3", _ts(900), 1.0),      # duplicate instant...
+            ("u3", _ts(900), 3.0),      # ...greatest payload struct wins
+        ],
+        "k string, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(asof_frames):
+    from anomaly_detector_spark.operators.ranges import asof_join
+
+    left, right = asof_frames
+    out = asof_join(left, right, on="ts", by=["k"])
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[1]["rv"] == 5.0 and rows[1]["ts_asof"] == _ts(50)
+    assert rows[2]["rv"] == 7.0          # inclusive at equality
+    assert rows[3]["rv"] == 7.0
+    assert rows[4]["rv"] is None and rows[4]["ts_asof"] is None
+    assert rows[5]["rv"] is None
+    assert rows[6]["rv"] == 3.0          # deterministic dup-instant tiebreak
+
+
+def test_asof_join_tolerance_nulls_stale_match(asof_frames):
+    from anomaly_detector_spark.operators.ranges import asof_join
+
+    left, right = asof_frames
+    out = asof_join(left, right, on="ts", by=["k"], tolerance=50.0)
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["rv"] == 5.0          # gap 50s == tolerance -> kept
+    assert rows[2]["rv"] == 7.0          # gap 0
+    assert rows[3]["rv"] == 7.0          # gap 1s
+    assert rows[6]["rv"] is None         # gap 100s > 50s -> nulled, NOT replaced
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from anomaly_detector_spark.operators.ranges import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    got = (
+        asof_join(clicks, purch, on="ts", by=["user_id"])
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    pev = ev.toPandas()
+    lc = pev[pev.event_type == "click"][["event_id", "user_id", "ts", "value"]].sort_values("ts")
+    rp = (
+        pev[pev.event_type == "purchase"][["user_id", "ts", "value"]]
+        .rename(columns={"value": "pv"})
+        .sort_values("ts")
+    )
+    want = pd.merge_asof(lc, rp, on="ts", by="user_id", direction="backward").set_index(
+        "event_id"
+    ).sort_index()
+    a, b = got["pv"].astype(float), want["pv"].astype(float)
+    assert ((a == b) | (a.isna() & b.isna())).all()
+
+
+def test_asof_join_rejects_unkeyed_and_collisions(asof_frames):
+    from anomaly_detector_spark.operators.ranges import asof_join
+
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="one task"):
+        asof_join(left, right.withColumnRenamed("k", "k2"), on="ts")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("rv", "v"), on="ts", by=["k"])
