@@ -899,6 +899,16 @@ def q_events_error_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction): two map-side
+    combined aggregates + a term-keyed join of aggregated frames + a
+    broadcast 1-row N; the text never rides a shuffle."""
+    from anomaly_detector_spark.operators.text import tfidf_topk
+
+    d = load_table(spark, sf, "documents")
+    return tfidf_topk(d, "text", "doc_id", k=5)
+
+
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (J2 as a PUBLIC operator, not just inside resample):
     each click event picks the user's latest purchase at-or-before it.
@@ -1022,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_corpus_pipeline": q_docs_corpus_pipeline,
         "events_error_windows": q_events_error_windows,
         "events_asof": q_events_asof,
+        "docs_tfidf": q_docs_tfidf,
         "docs_seg_dedup": q_docs_seg_dedup,
         "docs_pii_redact": q_docs_pii_redact,
     }
@@ -2389,6 +2400,28 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
          AND e.ts >= er.ts
          AND e.ts <= er.ts + INTERVAL 10 MINUTE
         GROUP BY e.event_id
+    """
+    out["docs_tfidf"] = f"""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+          GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
     """
     out["events_asof"] = """
         WITH l AS (

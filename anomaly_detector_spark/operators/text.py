@@ -8,7 +8,7 @@ over the scan — zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language common-word lists for the language-ID heuristic.
@@ -313,3 +313,64 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(rx)).cast("long").alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, rx, token)
     return df.select("*", *counts, cur.alias(out))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction / doc
+    representation for corpus curation and retrieval indexing).
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1)  — raw term count times
+    smoothed idf (the sklearn smooth_idf formulation: +1 on both log
+    arguments so unseen-ish terms never divide by zero, +1 outside so
+    terms appearing in EVERY doc still score).
+
+    Scale shape (100 TB): explode -> two map-side-combined hash
+    aggregates ((doc, term) tf, then term df), a term-keyed shuffle
+    join of two aggregated frames (AQE-broadcastable when the vocab is
+    small), the corpus size N folded in as a broadcast 1-row aggregate
+    (never a driver action), and a per-doc top-k window over the
+    already-aggregated (doc, term) frame. The document text itself
+    never rides any shuffle. Ranking compares the ROUNDED score (ties
+    broken by term ascending) so results are partitioning- and
+    engine-stable.
+
+    Returns (id_col, term, tf, score, rank), rank <= k. Documents with
+    no tokens emit no rows.
+    """
+    tf_frame = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(col)).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf_frame.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf_frame.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

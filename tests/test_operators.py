@@ -336,3 +336,39 @@ def test_frame_sample_plan(spark):
     for mid, ts in by_id.items():
         assert len(ts) == max(vids[mid] // 1000, 1)
         assert sorted(ts) == [i * 1000 for i in range(len(ts))]
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from anomaly_detector_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+            (4, ""),           # tokenless -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "text", "doc_id", k=2)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    n = 4  # count(DISTINCT doc_id) includes the empty doc
+
+    def idf(df_t):
+        return math.log((n + 1.0) / (df_t + 1.0)) + 1.0
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert rows[(1, "apple")]["tf"] == 2
+    assert rows[(1, "apple")]["score"] == round(2 * idf(1), 6)
+    assert rows[(1, "apple")]["rank"] == 1
+    assert rows[(1, "banana")]["rank"] == 2
+    # doc 3: cherry tf=2 df=2 -> 2*idf(2)=3.0217.. beats durian tf=1 df=1
+    # -> 1*idf(1)=1.9163..
+    assert rows[(3, "cherry")]["rank"] == 1
+    assert rows[(3, "cherry")]["score"] == round(2 * idf(2), 6)
+    assert rows[(3, "durian")]["rank"] == 2
+    # empty doc emits nothing; every doc capped at k=2
+    assert not any(d == 4 for d, _ in rows)
+    assert len(rows) == 6
