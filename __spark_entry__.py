@@ -899,6 +899,23 @@ def q_events_error_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_emb_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed spherical k-means (2 Lloyd rounds, k=8) over the
+    embeddings corpus. Per-round shuffle is O(k x dim x tasks) — the
+    posexplode partial-aggregates map-side; centroids rounded to 6dp
+    each round so ANY engine reproduces the fixture bit-for-bit (the
+    oracle is the same algorithm unrolled as chained SQL CTEs)."""
+    from anomaly_detector_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    out = kmeans_assign(emb, k=8, n_iter=2)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "sim",
+    )
+
+
 def q_docs_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction): two map-side
     combined aggregates + a term-keyed join of aggregated frames + a
@@ -1033,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_windows": q_events_error_windows,
         "events_asof": q_events_asof,
         "docs_tfidf": q_docs_tfidf,
+        "emb_kmeans": q_emb_kmeans,
         "docs_seg_dedup": q_docs_seg_dedup,
         "docs_pii_redact": q_docs_pii_redact,
     }
@@ -1753,6 +1771,62 @@ def _suite_verdicts_oracle() -> str:
     """
 
 
+def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """The kmeans_assign algorithm unrolled as chained DuckDB CTEs:
+    same sha256-ordered init, same rounded cosine assignment (ties by
+    cell id), same rounded element-wise mean update with empty-cell
+    carry-over. Rounding both engines' centroids/sims to 6dp each round
+    makes the two float pipelines land on identical values."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {a}[i]), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform(range(1, 65), i -> {b}[i] * {b}[i]), 'sum'))), 6)"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, vec, cell_id, sim FROM (
+            SELECT vec_id, vec, cell_id, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rn
+            FROM (SELECT v.vec_id, v.vec, c.cell_id, {cos("v.vec", "c.cent")} AS sim
+                  FROM v CROSS JOIN {cents} c)
+          ) WHERE rn = 1
+        )"""
+
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"""c0 AS (
+          SELECT vec_id AS cell_id, vec AS cent FROM v
+          ORDER BY sha256(CAST(vec_id AS VARCHAR)) LIMIT {k}
+        )""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(assign(f"a{t}", f"c{t - 1}"))
+        ctes.append(
+            f"""m{t} AS (
+          SELECT cell_id, p.pos, round(avg(a.vec[p.pos]), 6) AS m
+          FROM a{t} a CROSS JOIN range(1, 65) p(pos)
+          GROUP BY cell_id, p.pos
+        )"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+          SELECT o.cell_id, coalesce(n.cent, o.cent) AS cent
+          FROM c{t - 1} o LEFT JOIN (
+            SELECT cell_id, list(m ORDER BY pos) AS cent FROM m{t} GROUP BY cell_id
+          ) n USING (cell_id)
+        )"""
+        )
+    ctes.append(assign("afinal", f"c{n_iter}"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell_id AS BIGINT) AS cluster, sim FROM afinal"
+    )
+
+
 _TOKS_SQL = (
     "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END"
@@ -2401,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
          AND e.ts <= er.ts + INTERVAL 10 MINUTE
         GROUP BY e.event_id
     """
+    out["emb_kmeans"] = _kmeans_oracle(k=8, n_iter=2)
     out["docs_tfidf"] = f"""
         WITH tf AS (
           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -223,3 +223,87 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd): cluster an embedding
+    corpus into k cells — the refinement step IVF indexing wants on top
+    of ``ivf_topk``'s sampled centroids, and the standard corpus-level
+    grouping for topic balancing / dedup blocking.
+
+    Init: the k corpus vectors with the smallest sha256(id) (the same
+    deterministic uniform sample ivf_topk uses, reproducible outside
+    the JVM for oracles). Each Lloyd round then
+      1. assigns every vector to its max-cosine centroid — broadcast
+         centroid crossJoin + ``max_by`` aggregation (map-side partial
+         agg, no per-vector sort window), ties broken by cell id;
+      2. recomputes centroids as the element-wise mean — posexplode to
+         (cell, pos, val) and hash-aggregate: the explode is map-side
+         and partial aggregation collapses it to k x dim rows per task,
+         so the shuffle carries O(k x dim x tasks) rows, never
+         O(N x dim). Cells that lose all members keep their previous
+         centroid (left-join coalesce).
+    Centroids and similarities are rounded to ``round_digits`` each
+    round, which makes the fixture exactly reproducible by any engine
+    (aggregation-order float drift ~1e-15 vanishes at 1e-6) and the
+    result partitioning-invariant. The centroid frame (k rows) is
+    localCheckpoint-ed per round — O(1) lineage, broadcast each pass.
+
+    Returns (vec_id, cluster, sim): final assignment against the last
+    round's centroids; ``cluster`` is the init vector's id (stable
+    labels). Zero vectors would yield NaN cosine — filter them first.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = (
+        v.withColumn("_h", F.sha2(F.col("vec_id").cast("string"), 256))
+        .orderBy("_h")
+        .limit(k)
+        .select(F.col("vec_id").alias("cell_id"), F.col("vec").alias("cent"))
+        .localCheckpoint()
+    )
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            v.crossJoin(F.broadcast(cents_df))
+            .withColumn("_sim", F.round(cosine(F.col("vec"), F.col("cent")), round_digits))
+            .groupBy("vec_id")
+            .agg(
+                F.first("vec").alias("vec"),
+                F.max_by(
+                    F.struct(F.col("cell_id"), F.col("_sim")),
+                    F.struct(F.col("_sim").alias("s"), (-F.col("cell_id")).alias("t")),
+                ).alias("best"),
+            )
+            .select(
+                "vec_id",
+                "vec",
+                F.col("best.cell_id").alias("cell_id"),
+                F.col("best._sim").alias("sim"),
+            )
+        )
+
+    for _ in range(n_iter):
+        assigned = _assign(cents)
+        means = (
+            assigned.select("cell_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell_id", F.transform("pm", lambda s: s["m"]).alias("new_cent"))
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("new_cent", "cent").alias("cent"))
+            .localCheckpoint()
+        )
+    return _assign(cents).select("vec_id", F.col("cell_id").alias("cluster"), "sim")

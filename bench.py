@@ -64,6 +64,9 @@ def main() -> int:
         "docs_corpus_pipeline",  # FULL prep pipeline: gates+decontam+dedup+sample+shards
         "docs_temp_mix",       # temperature mixture rebalancing (in-plan rates)
         "docs_pack_seqs",      # sequence packing (two-phase prefix sum)
+        "events_asof",         # as-of join (union-tag window, no non-equi join)
+        "docs_tfidf",          # TF-IDF top-k terms per doc
+        "emb_kmeans",          # 2-round Lloyd k-means over embeddings
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

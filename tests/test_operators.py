@@ -372,3 +372,47 @@ def test_tfidf_topk_hand_computed(spark):
     # empty doc emits nothing; every doc capped at k=2
     assert not any(d == 4 for d, _ in rows)
     assert len(rows) == 6
+
+
+def test_kmeans_assign_separable_clusters(spark):
+    from anomaly_detector_spark.operators.similarity import kmeans_assign
+
+    # three well-separated directions in 4-d; cosine k-means must put
+    # each group in one cluster regardless of vector magnitude
+    import itertools
+
+    groups = {
+        0: [1.0, 0.05, 0.0, 0.0],
+        1: [0.0, 1.0, 0.05, 0.0],
+        2: [0.0, 0.0, 0.05, 1.0],
+    }
+    rows = []
+    for g, base in groups.items():
+        for i in range(10):
+            scale = 0.5 + 0.3 * i
+            jit = 0.01 * (i % 3)
+            rows.append((g * 10 + i, [scale * (b + jit) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=3, n_iter=3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["vec_id"] // 10, set()).add(r["cluster"])
+    # each source group lands in exactly one cluster, and the three
+    # clusters are distinct
+    assert all(len(cl) == 1 for cl in by_group.values()), by_group
+    assert len(set(itertools.chain(*by_group.values()))) == 3
+
+
+def test_kmeans_assign_partitioning_invariant(spark):
+    from anomaly_detector_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["sim"])
+        for r in kmeans_assign(emb.repartition(1), k=8, n_iter=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["sim"])
+        for r in kmeans_assign(emb.repartition(7), k=8, n_iter=2).collect()
+    )
+    assert a == b
