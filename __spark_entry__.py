@@ -916,6 +916,34 @@ def q_emb_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (ADC scoring + exact re-rank): 8 subspaces
+    x 16-entry codebook, one in-plan Lloyd training round per subspace,
+    top-20 ADC candidates re-ranked to exact-cosine top-5. The stored
+    index is 8 codes/vector (~16x smaller than float64[64]); both top-k
+    stages are two-phase (per-partition first), so no N x Q window
+    funnel. Oracle: the identical algorithm unrolled in SQL."""
+    from anomaly_detector_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        emb, queries, k=5, n_sub=8, ksub=16, refine=4, train_iters=1,
+        query_id_col="vec_id",
+    )
+
+
+def q_docs_ppl(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity per document (CCNet-style quality filter),
+    model trained in-plan on the corpus itself: two map-side-combined
+    model aggregates + a bigram-keyed join of aggregated frames; the
+    text never rides a shuffle."""
+    from anomaly_detector_spark.operators.text import bigram_perplexity
+
+    d = load_table(spark, sf, "documents")
+    return bigram_perplexity(d, alpha=0.1)
+
+
 def q_docs_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction): two map-side
     combined aggregates + a term-keyed join of aggregated frames + a
@@ -1051,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "docs_tfidf": q_docs_tfidf,
         "emb_kmeans": q_emb_kmeans,
+        "emb_pq_topk": q_emb_pq_topk,
+        "docs_ppl": q_docs_ppl,
         "docs_seg_dedup": q_docs_seg_dedup,
         "docs_pii_redact": q_docs_pii_redact,
     }
@@ -1771,6 +1801,117 @@ def _suite_verdicts_oracle() -> str:
     """
 
 
+def _pq_topk_oracle(
+    k: int = 5, n_sub: int = 8, ksub: int = 16, refine: int = 4
+) -> str:
+    """PQ-ANN oracle: the identical index build + ADC + re-rank unrolled
+    in SQL (one Lloyd training round, matching q_emb_pq_topk). Subspace
+    L2 distances round to 6dp before every comparison, the ADC sum runs
+    in subspace order (list ORDER BY m, left-fold sum) exactly like the
+    Spark aggregate, and ties break on code / vec_id — so the fixture is
+    engine-exact."""
+    sub = 64 // n_sub
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"round(list_aggregate(list_transform(range(1, {sub + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum'), 6)"
+        )
+
+    cos = _COS64.format(a="cc.vec", b="qq.q_vec")
+    return f"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        ms AS (SELECT range AS m FROM range({n_sub})),
+        samp AS (
+          SELECT vec, row_number() OVER (ORDER BY h) AS code
+          FROM (SELECT CAST(embedding AS DOUBLE[]) AS vec,
+                       sha256(CAST(vec_id AS VARCHAR)) AS h
+                FROM embeddings ORDER BY h LIMIT {ksub})
+        ),
+        flat0 AS (
+          SELECT ms.m, s.code,
+                 list_slice(s.vec, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS cent
+          FROM samp s CROSS JOIN ms
+        ),
+        svs AS (
+          SELECT c.vec_id, ms.m,
+                 list_slice(c.vec, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS sv
+          FROM c CROSS JOIN ms
+        ),
+        enc0 AS (
+          SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, f.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY {l2("s.sv", "f.cent")} ASC, f.code ASC) AS rn
+            FROM svs s JOIN flat0 f ON f.m = s.m
+          ) WHERE rn = 1
+        ),
+        means0 AS (
+          SELECT e.m, e.code, p.pos, round(avg(s.sv[p.pos]), 6) AS v
+          FROM enc0 e
+          JOIN svs s ON s.vec_id = e.vec_id AND s.m = e.m
+          CROSS JOIN (SELECT CAST(range + 1 AS INT) AS pos FROM range({sub})) p
+          GROUP BY e.m, e.code, p.pos
+        ),
+        flat1 AS (
+          SELECT f.m, f.code, coalesce(mn.cent, f.cent) AS cent
+          FROM flat0 f LEFT JOIN (
+            SELECT m, code, list(v ORDER BY pos) AS cent
+            FROM means0 GROUP BY m, code
+          ) mn ON mn.m = f.m AND mn.code = f.code
+        ),
+        enc1 AS (
+          SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, f.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY {l2("s.sv", "f.cent")} ASC, f.code ASC) AS rn
+            FROM svs s JOIN flat1 f ON f.m = s.m
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+              FROM embeddings WHERE vec_id < 5),
+        qsv AS (
+          SELECT q.query_id, ms.m,
+                 list_slice(q.q_vec, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS sv
+          FROM q CROSS JOIN ms
+        ),
+        qd AS (
+          SELECT qs.query_id, f.m, f.code, {l2("qs.sv", "f.cent")} AS d
+          FROM qsv qs JOIN flat1 f ON f.m = qs.m
+        ),
+        adcs AS (
+          SELECT qd.query_id, e.vec_id,
+                 round(list_aggregate(list(qd.d ORDER BY qd.m), 'sum'), 6) AS adc
+          FROM enc1 e JOIN qd ON qd.m = e.m AND qd.code = e.code
+          GROUP BY qd.query_id, e.vec_id
+        ),
+        cands AS (
+          SELECT query_id, vec_id, adc FROM (
+            SELECT query_id, vec_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc ASC, vec_id ASC) AS crn
+            FROM adcs
+          ) WHERE crn <= {k * refine}
+        ),
+        rer AS (
+          SELECT ca.query_id, ca.vec_id, ca.adc, round({cos}, 6) AS score
+          FROM cands ca
+          JOIN c cc ON cc.vec_id = ca.vec_id
+          JOIN q qq ON qq.query_id = ca.query_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, adc, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC) AS rank
+          FROM rer
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               adc, score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
     """The kmeans_assign algorithm unrolled as chained DuckDB CTEs:
     same sha256-ordered init, same rounded cosine assignment (ties by
@@ -2476,6 +2617,42 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         GROUP BY e.event_id
     """
     out["emb_kmeans"] = _kmeans_oracle(k=8, n_iter=2)
+    out["emb_pq_topk"] = _pq_topk_oracle(k=5, n_sub=8, ksub=16, refine=4)
+    out["docs_ppl"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        bgf AS (
+          SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+            FROM t
+          )
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+        uni AS (SELECT w, count(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        voc AS (SELECT count(DISTINCT w) AS v
+                FROM (SELECT unnest(toks) AS w FROM t)),
+        dbg AS (SELECT doc_id, w1, w2, count(*) AS n
+                FROM bgf GROUP BY doc_id, w1, w2),
+        sc AS (
+          SELECT d.doc_id, d.n,
+                 CAST(round(ln((coalesce(c.c12, 0) + 0.1)
+                               / (coalesce(u.c1, 0) + 0.1 * voc.v))
+                            * 1000000.0) AS BIGINT) AS llm
+          FROM dbg d
+          LEFT JOIN c12 c ON c.w1 = d.w1 AND c.w2 = d.w2
+          LEFT JOIN uni u ON u.w = d.w1
+          CROSS JOIN voc
+        ),
+        agg AS (SELECT doc_id, sum(n) AS n_bigrams,
+                       round(-CAST(sum(n * llm) AS DOUBLE)
+                             / (sum(n) * 1000000.0), 6) AS nll
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               nll, round(exp(nll), 4) AS ppl
+        FROM agg
+    """
     out["docs_tfidf"] = f"""
         WITH tf AS (
           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

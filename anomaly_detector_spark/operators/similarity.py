@@ -225,6 +225,237 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def two_phase_topk(
+    scored: DataFrame,
+    k: int,
+    group_col: str = "query_id",
+    order_desc: str = "score",
+    tie_col: str = "vec_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Distributed top-k per group without the single-reducer funnel.
+
+    A plain ``row_number().over(partitionBy(group))`` ships EVERY scored
+    row to the group's one reducer — N x Q rows through Q tasks. This
+    two-phase form first takes the top-k within each *physical* input
+    partition (cheap local sort over whatever rows a task already holds),
+    so the global window only sees ``n_partitions x k`` rows per group.
+    The final result is partitioning-INVARIANT: every true global top-k
+    row is by definition in its own partition's local top-k, so phase 1
+    never drops a winner; ties are broken on ``tie_col`` in both phases.
+    """
+    order = [
+        F.col(order_desc).desc() if descending else F.col(order_desc).asc(),
+        F.col(tie_col).asc(),
+    ]
+    w_local = Window.partitionBy(group_col, "_pid").orderBy(*order)
+    w_global = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_pid", "_lrn")
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_sub: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    and exact cosine re-rank (IVF-PQ's scoring half; compose with
+    ``ivf_topk``'s cell restriction for the full index).
+
+    Index build — all in-plan, no driver collect:
+      * codebook init: the ``ksub`` corpus vectors with the smallest
+        sha256(id) (the family's deterministic uniform sample), each
+        split into ``n_sub`` subvectors of dim/n_sub.
+      * codebook train: ``train_iters`` Lloyd rounds PER SUBSPACE —
+        assign every corpus subvector to its nearest entry (L2, 6dp,
+        tie -> lowest code), recompute entries as the element-wise mean.
+        The mean update posexplodes to (m, code, pos, val) and
+        hash-aggregates: partial aggregation collapses each task to
+        n_sub x ksub x subdim rows, so the shuffle carries
+        O(codebook x tasks), never O(N x dim). Empty cells keep their
+        previous entry (left-join coalesce); the ~128-row flat codebook
+        is localCheckpoint-ed per round (O(1) lineage).
+      * the trained codebook folds into ONE broadcast row
+        ``codebook[m][code]`` via two tiny aggregations; encoding is
+        pure nested higher-order functions against that row — a narrow
+        map, zero shuffle. At 10^12 vectors the stored index is n_sub
+        small ints per vector (~16x smaller than the raw float64[64]),
+        which is the actual point of PQ: the scan side of ANN becomes
+        memory-bandwidth-cheap.
+      * query: per-query distance table ``qtab[m][code]`` (same HOFs).
+
+    Scoring: adc = sum_m qtab[m][codes[m]] — ``n_sub`` array lookups per
+    (vector, query) instead of ``dim`` multiplies. Candidates = top
+    ``k*refine`` by ADC (ascending; approximate), then exact cosine
+    re-rank to the final k. Both top-k stages run through
+    ``two_phase_topk`` — local per-partition top-k first, so no stage
+    ships all N x Q scored rows to Q reducers.
+
+    Output: (query_id, vec_id, adc, score, rank) — ``adc`` kept so the
+    quantized distance is auditable against the exact score.
+    """
+    sub = dim // n_sub
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    samp = (
+        c.withColumn("_h", F.sha2(F.col("vec_id").cast("string"), 256))
+        .orderBy("_h")
+        .limit(ksub)
+    )
+    # code = 1..ksub in hash order (16-row frame: the window is trivial)
+    samp = samp.withColumn("code", F.row_number().over(Window.orderBy("_h")))
+    # flat codebook: (m, code, cent) — n_sub x ksub rows
+    flat = samp.select(
+        "code",
+        F.posexplode(
+            F.array(*[F.slice("vec", m * sub + 1, sub) for m in range(n_sub)])
+        ).alias("m", "cent"),
+    ).select("m", "code", "cent")
+
+    def _nest(flat_df: DataFrame) -> DataFrame:
+        """Fold the flat codebook into one broadcastable row
+        codebook[m][code] (1-based code -> array index)."""
+        return (
+            flat_df.groupBy("m")
+            .agg(F.array_sort(F.collect_list(F.struct("code", "cent"))).alias("cc"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("m", "cc"))).alias("mm"))
+            .select(
+                F.transform(
+                    "mm", lambda s: F.transform(s["cc"], lambda t: t["cent"])
+                ).alias("codebook")
+            )
+        )
+
+    def _l2(a: Column, b: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    ms = F.sequence(F.lit(0), F.lit(n_sub - 1))
+
+    def _subvec(vec: Column, m: Column) -> Column:
+        return F.slice(vec, m * sub + 1, sub)
+
+    def _code(vec: Column, m: Column) -> Column:
+        """1-based nearest-codebook-entry index for subspace m (L2 at
+        6dp, first/lowest code on ties — array_position returns the
+        first index holding the exact min element)."""
+        dists = F.transform(
+            F.element_at(F.col("codebook"), (m + 1).cast("int")),
+            lambda cent: _l2(_subvec(vec, m), cent),
+        )
+        return F.array_position(dists, F.array_min(dists))
+
+    for _ in range(train_iters):
+        book1 = _nest(flat)
+        assigned = (
+            c.crossJoin(F.broadcast(book1))
+            .select(
+                F.explode(
+                    F.transform(
+                        ms,
+                        lambda m: F.struct(
+                            m.cast("int").alias("m"),
+                            _code(F.col("vec"), m).cast("int").alias("code"),
+                            _subvec(F.col("vec"), m).alias("sv"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.m", "e.code", F.posexplode("e.sv").alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("m", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("v"))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(
+                "m", "code", F.transform("pv", lambda s: s["v"]).alias("new_cent")
+            )
+        )
+        flat = (
+            flat.join(means, ["m", "code"], "left")
+            .select("m", "code", F.coalesce("new_cent", "cent").alias("cent"))
+            .localCheckpoint()
+        )
+    book1 = _nest(flat)
+
+    enc = (
+        c.crossJoin(F.broadcast(book1))
+        .withColumn(
+            "codes", F.transform(ms, lambda m: _code(F.col("vec"), m))
+        )
+        .select("vec_id", "vec", "codes")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    qt = (
+        q.crossJoin(F.broadcast(book1))
+        .withColumn(
+            "qtab",
+            F.transform(
+                ms,
+                lambda m: F.transform(
+                    F.element_at(F.col("codebook"), (m + 1).cast("int")),
+                    lambda cent: _l2(_subvec(F.col("q_vec"), m), cent),
+                ),
+            ),
+        )
+        .select("query_id", "q_vec", "qtab")
+    )
+    scored = enc.crossJoin(F.broadcast(qt)).select(
+        "query_id",
+        "vec_id",
+        "vec",
+        "q_vec",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    "qtab",
+                    lambda code, row: F.element_at(row, code.cast("int")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc"),
+    )
+    cands = two_phase_topk(
+        scored, k * refine, order_desc="adc", descending=False
+    ).drop("rank")
+    reranked = cands.withColumn(
+        "score", F.round(cosine(F.col("q_vec"), F.col("vec")), 6)
+    )
+    return two_phase_topk(reranked, k).select(
+        "query_id", "vec_id", "adc", "score", "rank"
+    )
+
+
 def kmeans_assign(
     vectors: DataFrame,
     k: int = 8,

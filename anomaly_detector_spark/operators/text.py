@@ -315,6 +315,98 @@ def redact_pii(
     return df.select("*", *counts, cur.alias(out))
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    model_df: DataFrame | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet-style quality
+    signal LLM data pipelines filter on (high perplexity under a
+    reference model ≈ boilerplate/garbled text).
+
+    Model: add-k-smoothed bigram MLE trained in-plan on ``model_df``
+    (default: the scored corpus itself) —
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V). Score:
+    nll = -sum(n * ln P) / n_bigrams over the doc's bigram counts,
+    ppl = exp(nll).
+
+    Scale shape (100 TB): bigrams come from one zip_with over the token
+    array (narrow); both model tables are map-side-combined hash
+    aggregates; scoring joins the per-doc AGGREGATED (doc, w1, w2)
+    counts against the model on the bigram key (AQE-broadcastable for
+    bounded vocabularies) — the text itself never rides a shuffle, and
+    nothing is per-row Python. V and the model are data, not driver
+    state: no collect anywhere.
+
+    Determinism across engines AND partitionings: each bigram's
+    log-prob is quantized to integer MICRO-NATS (round(ln P * 1e6) as
+    long), so the per-doc sum is exact integer arithmetic — immune to
+    the float-summation-order drift that a double sum has at the 6th
+    decimal (measured: a plain double sum hash-mismatched DuckDB at
+    1e-6 on sf0.01). nll = -sll / (n_bigrams * 1e6) is then one IEEE
+    division of exact operands, and ppl = round(exp(nll_6dp), 4) only
+    needs libm-exp parity at 4dp.
+
+    Returns (id_col, n_bigrams, nll, ppl); docs with < 2 tokens (no
+    bigrams) emit no rows.
+    """
+    train = model_df if model_df is not None else df
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        toks = tokens(col)
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return frame.select(
+            F.col(id_col).alias("_id"), F.explode(pairs).alias("bg")
+        ).select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    big_counts = _bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_counts = (
+        train.select(F.explode(tokens(col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = train.select(F.explode(tokens(col)).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    doc_bg = _bigrams(df).groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        doc_bg.join(big_counts, ["w1", "w2"], "left")
+        .join(uni_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_ll_micro",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("_ll_micro")).alias("_sll"),
+    )
+    nll = F.round(
+        -F.col("_sll").cast("double") / (F.col("n_bigrams") * F.lit(1000000.0)), 6
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        nll.alias("nll"),
+        F.round(F.exp(nll), round_digits).alias("ppl"),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     col: str = "text",

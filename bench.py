@@ -67,6 +67,8 @@ def main() -> int:
         "events_asof",         # as-of join (union-tag window, no non-equi join)
         "docs_tfidf",          # TF-IDF top-k terms per doc
         "emb_kmeans",          # 2-round Lloyd k-means over embeddings
+        "emb_pq_topk",         # PQ-ANN: trained codebook, ADC + exact re-rank
+        "docs_ppl",            # bigram-LM perplexity quality filter
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -338,6 +338,50 @@ def test_frame_sample_plan(spark):
         assert sorted(ts) == [i * 1000 for i in range(len(ts))]
 
 
+def test_bigram_perplexity_hand_computed(spark):
+    """Self-trained add-k bigram LM on a 3-doc corpus, checked against
+    the formula evaluated independently in plain Python."""
+    import math
+
+    from anomaly_detector_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],  # doc 3: no bigrams
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_perplexity(df, alpha=0.1).collect()}
+    # model over both docs: c12 = {(a,b):3, (b,a):1, (b,c):1};
+    # c1 = {a:3, b:3, c:1, x:1}; V = 4
+    c12 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    c1 = {"a": 3, "b": 3, "c": 1, "x": 1}
+    v = 4
+
+    def llm(w1, w2, _c12=None, _c1=None, _v=None):
+        # integer micro-nats, exactly the operator's quantization
+        from decimal import ROUND_HALF_UP, Decimal
+
+        p = ((_c12 or c12).get((w1, w2), 0) + 0.1) / ((_c1 or c1).get(w1, 0) + 0.1 * (_v or v))
+        return int(Decimal(math.log(p) * 1e6).quantize(0, ROUND_HALF_UP))
+
+    for doc_id, bgs in ((1, [("a", "b"), ("b", "a"), ("a", "b")]), (2, [("a", "b"), ("b", "c")])):
+        nll = round(-sum(llm(*b) for b in bgs) / (len(bgs) * 1e6), 6)
+        assert out[doc_id]["n_bigrams"] == len(bgs)
+        assert out[doc_id]["nll"] == nll
+        assert out[doc_id]["ppl"] == round(math.exp(nll), 4)
+    assert 3 not in out
+    # external reference model: unseen bigrams/histories score with 0 counts
+    ref = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in bigram_perplexity(df, model_df=ref, alpha=0.1).collect()}
+    # model: c12={(a,b):1}, c1={a:1,b:1}, V=2
+    rc12, rc1, rv = {("a", "b"): 1}, {"a": 1, "b": 1}, 2
+    lab = llm("a", "b", rc12, rc1, rv)
+    lba = llm("b", "a", rc12, rc1, rv)  # unseen bigram
+    lbc = llm("b", "c", rc12, rc1, rv)  # unseen bigram
+    nll1 = round(-(2 * lab + lba) / (3 * 1e6), 6)
+    nll2 = round(-(lab + lbc) / (2 * 1e6), 6)
+    assert out2[1]["nll"] == nll1 and out2[2]["nll"] == nll2
+
+
 def test_tfidf_topk_hand_computed(spark):
     import math
 
@@ -416,3 +460,59 @@ def test_kmeans_assign_partitioning_invariant(spark):
         for r in kmeans_assign(emb.repartition(7), k=8, n_iter=2).collect()
     )
     assert a == b
+
+
+def test_two_phase_topk_equals_single_window(spark):
+    """The two-phase form must be partitioning-invariant and identical
+    to the naive single-window top-k."""
+    from pyspark.sql import Window
+
+    from anomaly_detector_spark.operators.similarity import two_phase_topk
+
+    rows = [(q, i, float((q * 7 + i * 13) % 29)) for q in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, "query_id long, vec_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    naive = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w)).filter("rank <= 5").collect()
+    )
+    for nparts in (1, 4, 16):
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in two_phase_topk(df.repartition(nparts), 5).collect()
+        )
+        assert got == naive, nparts
+
+
+def test_pq_topk_self_match_and_invariance(spark):
+    """Corpus-drawn queries must retrieve themselves at rank 1 (exact
+    re-rank guarantees it as long as ADC keeps self in the candidate
+    set), and the result must not depend on input partitioning."""
+    from anomaly_detector_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    out = pq_topk(emb, q, k=5, query_id_col="vec_id").collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top1 == {i: i for i in range(5)}
+    scores = {(r["query_id"], r["rank"]): (r["vec_id"], r["adc"], r["score"]) for r in out}
+    out7 = pq_topk(emb.repartition(7), q, k=5, query_id_col="vec_id").collect()
+    scores7 = {(r["query_id"], r["rank"]): (r["vec_id"], r["adc"], r["score"]) for r in out7}
+    assert scores == scores7
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """One Lloyd round on the codebook must not increase total ADC
+    self-distance (it minimizes within-cell L2 by construction)."""
+    from anomaly_detector_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+
+    def self_adc(train_iters):
+        out = pq_topk(
+            emb, q, k=5, train_iters=train_iters, query_id_col="vec_id"
+        ).filter("query_id = vec_id")
+        return sum(r["adc"] for r in out.collect())
+
+    assert self_adc(1) < self_adc(0)
