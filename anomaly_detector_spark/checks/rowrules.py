@@ -1,0 +1,229 @@
+"""Row-level constraint checks: format (regex), accepted-values,
+completeness, and cross-column predicate rules.
+
+The reference validates each incoming message structurally before its
+kernel runs — the config-driven mapping layer rejects messages whose
+selected fields are absent or unparseable (/root/reference/util/
+config.py:46-59 feeding util/op_base.py:63-74, where a failed mapping
+drops the message). Reframed relationally, those are row-level
+constraints over the files table, the same check family a Deequ-style
+declarative validator exposes:
+
+* ``run_format``           — column matches an (anchored) regex;
+* ``run_accepted_values``  — column value within a literal set (the
+  expression-only sibling of the broadcast-dim referential check: use
+  this when the domain is small enough to embed in the plan, the
+  referential check when it is a real dimension table);
+* ``run_completeness``     — column null fraction under a threshold,
+  with the NULL rows emitted as violations (the stats check reports
+  null_rate as a metric; this one makes it a verdict + violations);
+* ``run_row_predicate``    — an arbitrary SQL boolean over the row
+  (cross-column constraints); NULL evaluates as a violation.
+
+All four compile to pure column expressions — codegen'd JVM predicates,
+no UDFs — so each standalone check costs one pruned scan for violations
+plus one partial-aggregated scan for the verdict, and the fused path
+(``fused_rule_checks``) folds EVERY rule check in the suite into that
+same two-scan budget: one select building an array of per-rule structs
+filtered+exploded to violations, one groupBy with per-rule conditional
+sums for all verdicts. At 10^12 rows the marginal cost of an extra rule
+is an extra expression in an existing WholeStageCodegen span, not an
+extra pass over the table.
+
+Verdict semantics: FAIL when bad_rows > max_bad_frac * n_rows (default
+0.0 — any violation fails), SKIPPED under ``min_rows`` (the reference's
+warm-up guard, /root/reference/algo/operator.py:164-170).
+
+NULL handling is explicit per check: format/accepted_values treat NULL
+as a violation unless ``allow_null`` is set (then NULL passes);
+completeness exists precisely to count NULLs; row predicates follow SQL
+three-valued logic collapsed pessimistically (NULL -> violation), so a
+rule can never silently pass on missing data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .base import CheckResult, CheckSpec, as_violations, empty_violations, verdict_frame
+
+# Violation `observed` strings are truncated to this many chars so a rule
+# on `content` never ships whole documents through the violations sink.
+_OBS_MAX = 64
+
+
+def _obs(column: str) -> Column:
+    c = F.coalesce(F.col(column).cast("string"), F.lit("NULL"))
+    return F.concat(F.lit(column + "="), F.substring(c, 1, _OBS_MAX))
+
+
+def _format_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    col, pat = spec.config["column"], spec.config["pattern"]
+    allow_null = bool(spec.config.get("allow_null", False))
+    # rlike(NULL) is NULL -> coalesce routes NULL rows to allow_null.
+    # rlike is SEARCH semantics (both in Spark and the DuckDB oracle's
+    # regexp_matches): anchor the pattern (^...$) to constrain the whole value.
+    bad = ~F.coalesce(F.col(col).rlike(pat), F.lit(allow_null))
+    return bad, _obs(col), f"{col} rlike {pat}"
+
+
+def _accepted_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    col = spec.config["column"]
+    values = sorted(spec.config["values"])
+    allow_null = bool(spec.config.get("allow_null", False))
+    bad = ~F.coalesce(F.col(col).isin(values), F.lit(allow_null))
+    return bad, _obs(col), f"{col} in {{{','.join(values)}}}"
+
+
+def _completeness_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    col = spec.config["column"]
+    return F.col(col).isNull(), _obs(col), f"{col} is not null"
+
+
+def _predicate_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    expr = spec.config["expr"]
+    observed = spec.config.get("observed_expr")
+    bad = ~F.coalesce(F.expr(expr), F.lit(False))
+    obs = F.expr(observed).cast("string") if observed else F.lit("predicate=false")
+    return bad, obs, expr
+
+
+def _run_rule(
+    df: DataFrame, spec: CheckSpec, rule: Callable[[CheckSpec], tuple[Column, Column, str]]
+) -> CheckResult:
+    part, cid = spec.partition_col, spec.id
+    max_bad = float(spec.config.get("max_bad_frac", 0.0))
+    bad, observed, expected = rule(spec)
+    violations = as_violations(
+        df.where(bad), cid, observed, F.lit(expected), F.col(part)
+    )
+    per_part = df.groupBy(part).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad.cast("int")).alias("n_bad"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        cid,
+        part,
+        fail_when=F.col("n_bad") > F.col("n_rows") * F.lit(max_bad),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_bad"],
+    )
+    return CheckResult(violations=violations, verdicts=verdicts, metrics=per_part)
+
+
+def run_format(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    return _run_rule(df, spec, _format_rule)
+
+
+def run_accepted_values(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    return _run_rule(df, spec, _accepted_rule)
+
+
+def run_completeness(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    return _run_rule(df, spec, _completeness_rule)
+
+
+def run_row_predicate(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    return _run_rule(df, spec, _predicate_rule)
+
+
+# The fused suite groups any spec whose fn carries `_rule_builder` into
+# one combined two-scan pass (fused_rule_checks below).
+run_format._rule_builder = _format_rule  # type: ignore[attr-defined]
+run_accepted_values._rule_builder = _accepted_rule  # type: ignore[attr-defined]
+run_completeness._rule_builder = _completeness_rule  # type: ignore[attr-defined]
+run_row_predicate._rule_builder = _predicate_rule  # type: ignore[attr-defined]
+
+
+def fused_rule_checks(
+    df: DataFrame, specs: list[CheckSpec]
+) -> dict[str, CheckResult]:
+    """All rule checks in two scans total (vs 2 per check standalone).
+
+    Violations: one select computes every rule's (bad, observed) into an
+    array of structs, `filter` keeps the firing rules, `explode` emits
+    one canonical violation row per (row, fired rule) — a single pruned
+    scan regardless of rule count. Verdicts: one groupBy(partition) with
+    a conditional-sum column per rule; each check's verdict frame is a
+    select over that shared aggregate (Catalyst reuses the exchange).
+
+    The per-check CheckResults are envelope-identical to the standalone
+    runners (equivalence-tested), so SuiteResult consumers cannot tell
+    which path ran.
+    """
+    if not specs:
+        return {}
+    built = [(s, *s.fn._rule_builder(s)) for s in specs]  # type: ignore[attr-defined]
+    parts = {s.partition_col for s in specs}
+    assert len(parts) == 1, "fused rule checks require a shared partition_col"
+    part = parts.pop()
+
+    # --- violations: one scan ---
+    cs = F.array(
+        *[
+            F.struct(
+                F.lit(s.id).alias("check_id"),
+                bad.alias("bad"),
+                observed.cast("string").alias("observed"),
+                F.lit(expected).alias("expected"),
+            )
+            for s, bad, observed, expected in built
+        ]
+    )
+    fired = F.filter(cs, lambda c: c["bad"])
+    violations_all = (
+        df.select(
+            "repo",
+            "path",
+            "commit",
+            F.col(part).cast("string").alias("partition_key"),
+            F.explode(fired).alias("c"),
+        )
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "partition_key",
+            F.col("c.check_id").alias("check_id"),
+            F.col("c.observed").alias("observed"),
+            F.col("c.expected").alias("expected"),
+        )
+    )
+
+    # --- verdicts: one aggregate ---
+    per_part = df.groupBy(part).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(bad.cast("int")).alias(f"n_bad_{i}")
+            for i, (_, bad, _, _) in enumerate(built)
+        ],
+    )
+
+    results: dict[str, CheckResult] = {}
+    for i, (s, _, _, _) in enumerate(built):
+        max_bad = float(s.config.get("max_bad_frac", 0.0))
+        pp = per_part.select(
+            part, "n_rows", F.col(f"n_bad_{i}").alias("n_bad")
+        )
+        verdicts = verdict_frame(
+            pp,
+            s.id,
+            part,
+            fail_when=F.col("n_bad") > F.col("n_rows") * F.lit(max_bad),
+            skip_when=F.col("n_rows") < s.min_rows,
+            metric_cols=["n_rows", "n_bad"],
+        )
+        # All violations ride the first check's result (the suite unions
+        # per-check violation frames, so attaching the combined frame once
+        # keeps it a single scan; filtering it per check would re-plan the
+        # scan per rule).
+        results[s.name] = CheckResult(
+            violations=violations_all if i == 0 else empty_violations(df),
+            verdicts=verdicts,
+            metrics=pp,
+        )
+    return results

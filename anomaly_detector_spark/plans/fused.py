@@ -277,6 +277,18 @@ def run_suite_fused(df: DataFrame, suite: list[CheckSpec] | None = None) -> Suit
         results["uniqueness"] = fused_uniqueness(df, by_name["uniqueness"])
     if "drift" in by_name:
         results["drift"] = run_drift(df, by_name["drift"])
+    # Row-level rule checks (format / accepted-values / completeness /
+    # predicate) fuse into ONE violations scan + ONE verdict aggregate for
+    # the whole group, however many rules the suite carries.
+    rule_specs = [
+        s
+        for name, s in by_name.items()
+        if name not in results and hasattr(s.fn, "_rule_builder")
+    ]
+    if rule_specs:
+        from ..checks.rowrules import fused_rule_checks
+
+        results.update(fused_rule_checks(df, rule_specs))
     for name, spec in by_name.items():
         if name not in results:
             results[name] = spec.run(df)

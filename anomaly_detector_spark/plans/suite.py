@@ -109,6 +109,61 @@ def extended_suite(partition_col: str = "lang", min_rows: int = 25) -> list[Chec
     ]
 
 
+def constraint_suite(
+    partition_col: str = "lang",
+    min_rows: int = 25,
+    rules: list[CheckSpec] | None = None,
+) -> list[CheckSpec]:
+    """extended_suite plus row-level constraint rules (checks/rowrules.py).
+
+    The default rule set encodes the files-table contract: commit is a
+    40-hex sha, lang within the allowed dimension's code set, content
+    present, and a cross-column size predicate. Pass ``rules`` to replace
+    it. The fused runner folds ALL rule checks into one extra violations
+    scan + one verdict aggregate regardless of rule count.
+    """
+    from ..checks.rowrules import (
+        run_accepted_values,
+        run_completeness,
+        run_format,
+        run_row_predicate,
+    )
+    from ..schema import ALLOWED_LANGS
+
+    if rules is None:
+        rules = [
+            CheckSpec(
+                "format_commit",
+                run_format,
+                {"column": "commit", "pattern": "^[0-9a-f]{40}$"},
+                partition_col,
+                min_rows,
+            ),
+            CheckSpec(
+                "accepted_lang",
+                run_accepted_values,
+                {"column": "lang", "values": sorted(l for l, _ in ALLOWED_LANGS)},
+                partition_col,
+                min_rows,
+            ),
+            CheckSpec(
+                "complete_content",
+                run_completeness,
+                {"column": "content"},
+                partition_col,
+                min_rows,
+            ),
+            CheckSpec(
+                "size_cap",
+                run_row_predicate,
+                {"expr": "length(content) <= 1048576"},
+                partition_col,
+                min_rows,
+            ),
+        ]
+    return extended_suite(partition_col, min_rows) + rules
+
+
 def run_suite(
     df: DataFrame,
     suite: list[CheckSpec] | None = None,
