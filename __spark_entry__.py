@@ -589,6 +589,71 @@ def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     return run_suite(files).verdicts.select("partition_key", "check_id", "verdict")
 
 
+def _rowrule_specs():
+    """The rule set both q_files_rowrules and its oracle derive from —
+    single source of truth, so a config drift breaks the content-addressed
+    check_id literals in the SQL loudly."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.rowrules import (
+        run_accepted_values,
+        run_completeness,
+        run_format,
+        run_row_predicate,
+    )
+
+    return [
+        CheckSpec(
+            "format_commit",
+            run_format,
+            {"column": "commit", "pattern": "^[0-9a-f]{40}$"},
+            "lang",
+            25,
+        ),
+        CheckSpec(
+            "accepted_lang",
+            run_accepted_values,
+            {"column": "lang", "values": ["de", "en", "es", "zh"]},
+            "lang",
+            25,
+        ),
+        CheckSpec(
+            "complete_content",
+            run_completeness,
+            {"column": "content"},
+            "lang",
+            25,
+        ),
+        CheckSpec(
+            "size_cap",
+            run_row_predicate,
+            {"expr": "length(content) <= 500"},
+            "lang",
+            25,
+        ),
+    ]
+
+
+def q_files_rowrules(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level constraint rules (checks/rowrules.py) fused into one
+    violations scan + one verdict aggregate: per-partition verdicts."""
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    files = files_view(spark, sf).drop("doc_id")
+    res = run_suite(files, suite=_rowrule_specs(), fused=True)
+    return res.verdicts.select("partition_key", "check_id", "verdict")
+
+
+def q_files_rule_viols(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical violation rows from the same fused rule pass."""
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    files = files_view(spark, sf).drop("doc_id")
+    res = run_suite(files, suite=_rowrule_specs(), fused=True)
+    return res.violations.select(
+        "repo", "path", "commit", "partition_key", "check_id", "observed", "expected"
+    )
+
+
 def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-data prep pipeline: language-ID -> quality
     gate -> exact dedup on the normalized-content fingerprint ->
@@ -1052,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ts_parse": q_events_ts_parse,
         "emb_exact_near_dups": q_emb_exact_near_dups,
         "suite_verdicts": q_suite_verdicts,  # full-suite verdict oracle (all 4 checks in SQL)
+        "files_rowrules": q_files_rowrules,
+        "files_rule_viols": q_files_rule_viols,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -1691,6 +1758,83 @@ def _clean_corpus_oracle() -> str:
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                CAST(sum(round(quality_score * 10000)) AS BIGINT) AS quality_micro_sum
         FROM surv GROUP BY 1, 2
+    """
+
+
+_ROWRULE_FLAGS_CTE = """
+        flags AS (
+          SELECT repo, path, "commit", lang, content,
+                 NOT coalesce(regexp_matches("commit", '^[0-9a-f]{40}$'), FALSE) AS bad_fmt,
+                 NOT coalesce(lang IN ('de','en','es','zh'), FALSE) AS bad_acc,
+                 content IS NULL AS bad_cmp,
+                 NOT coalesce(length(content) <= 500, FALSE) AS bad_sz
+          FROM files
+        )
+"""
+
+
+def _rowrules_oracle() -> str:
+    """Per-partition verdicts for the four row rules, re-derived in SQL
+    with the content-addressed check_ids inlined from the live specs."""
+    ids = {s.name: s.id for s in _rowrule_specs()}
+    return f"""
+        WITH {FILES_CTE_SQL},
+        {_ROWRULE_FLAGS_CTE},
+        agg AS (
+          SELECT lang AS partition_key, count(*) AS n_rows,
+                 sum(CASE WHEN bad_fmt THEN 1 ELSE 0 END) AS n_fmt,
+                 sum(CASE WHEN bad_acc THEN 1 ELSE 0 END) AS n_acc,
+                 sum(CASE WHEN bad_cmp THEN 1 ELSE 0 END) AS n_cmp,
+                 sum(CASE WHEN bad_sz THEN 1 ELSE 0 END) AS n_sz
+          FROM flags GROUP BY 1
+        )
+        SELECT partition_key, '{ids["format_commit"]}' AS check_id,
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN n_fmt > 0 THEN 'FAIL' ELSE 'PASS' END AS verdict
+        FROM agg
+        UNION ALL
+        SELECT partition_key, '{ids["accepted_lang"]}',
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN n_acc > 0 THEN 'FAIL' ELSE 'PASS' END
+        FROM agg
+        UNION ALL
+        SELECT partition_key, '{ids["complete_content"]}',
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN n_cmp > 0 THEN 'FAIL' ELSE 'PASS' END
+        FROM agg
+        UNION ALL
+        SELECT partition_key, '{ids["size_cap"]}',
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN n_sz > 0 THEN 'FAIL' ELSE 'PASS' END
+        FROM agg
+    """
+
+
+def _rowrule_viols_oracle() -> str:
+    ids = {s.name: s.id for s in _rowrule_specs()}
+    return f"""
+        WITH {FILES_CTE_SQL},
+        {_ROWRULE_FLAGS_CTE}
+        SELECT repo, path, "commit", lang AS partition_key,
+               '{ids["format_commit"]}' AS check_id,
+               'commit=' || substr(coalesce("commit", 'NULL'), 1, 64) AS observed,
+               'commit rlike ^[0-9a-f]{{40}}$' AS expected
+        FROM flags WHERE bad_fmt
+        UNION ALL
+        SELECT repo, path, "commit", lang, '{ids["accepted_lang"]}',
+               'lang=' || substr(coalesce(lang, 'NULL'), 1, 64),
+               'lang in {{de,en,es,zh}}'
+        FROM flags WHERE bad_acc
+        UNION ALL
+        SELECT repo, path, "commit", lang, '{ids["complete_content"]}',
+               'content=' || substr(coalesce(content, 'NULL'), 1, 64),
+               'content is not null'
+        FROM flags WHERE bad_cmp
+        UNION ALL
+        SELECT repo, path, "commit", lang, '{ids["size_cap"]}',
+               'predicate=false',
+               'length(content) <= 500'
+        FROM flags WHERE bad_sz
     """
 
 
@@ -2522,6 +2666,8 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
     out["suite_verdicts"] = _suite_verdicts_oracle()
+    out["files_rowrules"] = _rowrules_oracle()
+    out["files_rule_viols"] = _rowrule_viols_oracle()
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()
     out["minhash_pairs"] = _minhash_oracle()
