@@ -654,6 +654,56 @@ def q_files_rule_viols(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/history.py over a deterministic synthetic run history: six
+    'runs' sliced from files by doc_id mod 6, the last run a double-width
+    slice so its per-lang n_rows spikes ~2x while avg_len stays flat —
+    the newest run's metrics are flagged against the prior five. (The
+    production feed is the manifest's committed metrics under
+    revalidate=True, test_history.py; this query exists to oracle the
+    flagging math end-to-end.)"""
+    from anomaly_detector_spark.checks.history import flag_metric_anomalies
+
+    files = files_view(spark, sf)
+    runs = []
+    for r in range(6):
+        cond = (
+            (F.col("doc_id") % 6 == r)
+            if r < 5
+            else (F.col("doc_id") % 6).isin(5, 0)
+        )
+        runs.append(
+            files.where(cond)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_rows"),
+                (
+                    F.sum(F.length("content")).cast("double") / F.count(F.lit(1))
+                ).alias("avg_len"),
+            )
+            .select(
+                F.lit(r).alias("r"),
+                F.col("lang").alias("partition_key"),
+                F.lit("stats").alias("check_id"),
+                F.expr(
+                    "stack(2, 'n_rows', n_rows, 'avg_len', avg_len) as (metric, value)"
+                ),
+            )
+        )
+    hist = runs[0]
+    for x in runs[1:]:
+        hist = hist.unionByName(x)
+    out = flag_metric_anomalies(hist, order_cols=["r"])
+    return out.select(
+        "partition_key",
+        "metric",
+        F.round("value", 4).alias("value"),
+        F.col("n_history").cast("long").alias("n_history"),
+        "z_score",
+        "is_anomalous",
+    )
+
+
 def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-data prep pipeline: language-ID -> quality
     gate -> exact dedup on the normalized-content fingerprint ->
@@ -1119,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": q_suite_verdicts,  # full-suite verdict oracle (all 4 checks in SQL)
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
+        "metric_history_flags": q_metric_history_flags,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -2668,6 +2719,47 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["suite_verdicts"] = _suite_verdicts_oracle()
     out["files_rowrules"] = _rowrules_oracle()
     out["files_rule_viols"] = _rowrule_viols_oracle()
+    out["metric_history_flags"] = f"""
+        WITH {FILES_CTE_SQL},
+        runs AS (SELECT r FROM (VALUES (0),(1),(2),(3),(4),(5)) t(r)),
+        per AS (
+          SELECT r, lang AS partition_key,
+                 CAST(count(*) AS DOUBLE) AS n_rows,
+                 CAST(sum(length(content)) AS DOUBLE) / count(*) AS avg_len
+          FROM files, runs
+          WHERE (r < 5 AND doc_id % 6 = r) OR (r = 5 AND doc_id % 6 IN (5, 0))
+          GROUP BY 1, 2
+        ),
+        hist AS (
+          SELECT r, partition_key, 'n_rows' AS metric, n_rows AS value FROM per
+          UNION ALL
+          SELECT r, partition_key, 'avg_len', avg_len FROM per
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY partition_key, metric ORDER BY r DESC) AS rn
+          FROM hist
+        ),
+        latest AS (SELECT partition_key, metric, value FROM ranked WHERE rn = 1),
+        prior AS (
+          SELECT partition_key, metric, count(*) AS n_history,
+                 avg(value) AS mean_prior, stddev_samp(value) AS std_prior,
+                 quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+          FROM ranked WHERE rn > 1 GROUP BY 1, 2
+        )
+        SELECT l.partition_key, l.metric, round(l.value, 4) AS value,
+               CAST(p.n_history AS BIGINT) AS n_history,
+               round(CASE WHEN p.std_prior > 0
+                          THEN abs(l.value - p.mean_prior) / p.std_prior
+                          ELSE 0 END, 4) AS z_score,
+               CASE WHEN p.n_history < 3 THEN NULL
+                    ELSE (CASE WHEN p.std_prior > 0
+                               THEN abs(l.value - p.mean_prior) / p.std_prior
+                               ELSE 0 END) > 3.0
+                         OR l.value > p.q3 + 1.5 * (p.q3 - p.q1)
+                         OR l.value < p.q1 - 1.5 * (p.q3 - p.q1)
+               END AS is_anomalous
+        FROM latest l LEFT JOIN prior p USING (partition_key, metric)
+    """
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()
     out["minhash_pairs"] = _minhash_oracle()

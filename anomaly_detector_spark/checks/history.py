@@ -1,0 +1,116 @@
+"""Metric-history anomaly check: flag a run's metrics against their own
+run-over-run history.
+
+The reference's core kernel is exactly this shape over device series — a
+window of past values gating the newest one (z-score over reconstruction
+errors with a median floor, /root/reference/algo/error_calculation.py:5-13,
+applied per device as new points arrive). The engine re-aims it at its
+own telemetry: ``run_with_manifest`` commits one metrics row per
+(run, partition, check) (plans/manifest.py MANIFEST_SCHEMA), so every
+metric value has a committed_at-ordered history, and the newest run is
+anomalous for a series when it is a z-score or IQR outlier against the
+PRIOR runs of that same series. This is how a scheduled validation
+pipeline notices "the null-rate verdict still says PASS, but it tripled
+since yesterday" without any per-run threshold tuning.
+
+Scale shape: the history table is O(runs x partitions x checks x
+metrics) — already-aggregated telemetry, tiny next to the data — but the
+plan still avoids any global funnel: latest-vs-prior split is a window
+partitioned BY SERIES (millions of independent series parallelize;
+never a partitionBy(lit(1))), the prior-run baseline is one grouped
+aggregate over the same hash partitioning (exchange reuse), and the
+final comparison is a co-partitioned join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SERIES_KEY = ["partition_key", "check_id", "metric"]
+
+
+def metric_history(manifest: DataFrame, suite_sid: str | None = None) -> DataFrame:
+    """Long-form metric history from committed manifest rows:
+    (run_id, committed_at, partition_key, check_id, metric, value)."""
+    m = manifest if suite_sid is None else manifest.filter(F.col("suite_id") == suite_sid)
+    return m.select(
+        "run_id",
+        "committed_at",
+        "partition_key",
+        "check_id",
+        F.explode("metrics").alias("metric", "value"),
+    )
+
+
+def flag_metric_anomalies(
+    hist: DataFrame,
+    order_cols: list[str] | None = None,
+    z_thresh: float = 3.0,
+    iqr_k: float = 1.5,
+    min_history: int = 3,
+) -> DataFrame:
+    """Flag each series' LATEST value against the distribution of its
+    prior values.
+
+    One row per series: (partition_key, check_id, metric, value,
+    n_history, mean_prior, std_prior, z_score, is_anomalous).
+    ``is_anomalous`` is NULL (insufficient history) when the series has
+    fewer than ``min_history`` prior points — the T1 warm-up guard
+    applied to the time dimension. Ordering within a series follows
+    ``order_cols`` (default committed_at then run_id as the
+    deterministic tiebreak for same-timestamp commits).
+
+    z and IQR fences mirror drift.flag_outliers' relative gates, but the
+    population here is the series' own past, not this run's sibling
+    partitions — the two checks are complementary axes of the same
+    median-gated outlier idea the reference applies per device.
+    """
+    order_cols = order_cols or ["committed_at", "run_id"]
+    w = Window.partitionBy(*SERIES_KEY).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = hist.withColumn("_rn", F.row_number().over(w))
+    latest = ranked.where(F.col("_rn") == 1).select(*SERIES_KEY, "value")
+    prior = (
+        ranked.where(F.col("_rn") > 1)
+        .groupBy(*SERIES_KEY)
+        .agg(
+            F.count("value").alias("n_history"),
+            F.avg("value").alias("mean_prior"),
+            F.stddev_samp("value").alias("std_prior"),
+            F.expr("percentile(value, 0.25)").alias("_q1"),
+            F.expr("percentile(value, 0.75)").alias("_q3"),
+        )
+    )
+    j = latest.join(prior, on=SERIES_KEY, how="left")
+    v = F.col("value")
+    z = F.when(
+        F.col("std_prior") > 0, F.abs(v - F.col("mean_prior")) / F.col("std_prior")
+    ).otherwise(F.lit(0.0))
+    iqr = F.col("_q3") - F.col("_q1")
+    outlier = (
+        (z > z_thresh)
+        | (v > F.col("_q3") + iqr_k * iqr)
+        | (v < F.col("_q1") - iqr_k * iqr)
+    )
+    flagged = F.when(
+        F.coalesce(F.col("n_history"), F.lit(0)) < min_history, F.lit(None).cast("boolean")
+    ).otherwise(outlier)
+    return (
+        j.withColumn("z_score", F.round(z, 4))
+        .withColumn("is_anomalous", flagged)
+        .withColumn("n_history", F.coalesce(F.col("n_history"), F.lit(0)))
+        .withColumn("mean_prior", F.round("mean_prior", 4))
+        .withColumn("std_prior", F.round("std_prior", 4))
+        .drop("_q1", "_q3")
+    )
+
+
+def manifest_metric_anomalies(
+    manifest: DataFrame,
+    suite_sid: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Convenience: explode + flag straight off a manifest frame."""
+    return flag_metric_anomalies(metric_history(manifest, suite_sid), **kwargs)

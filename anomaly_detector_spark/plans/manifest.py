@@ -204,8 +204,16 @@ def run_with_manifest(
     sketches_dir: str | None = None,
     quantile_sketches_dir: str | None = None,
     cache_pending: bool = False,
+    revalidate: bool = False,
 ) -> ManifestRun:
     """Run the suite on not-yet-committed partitions; commit once at the end.
+
+    ``revalidate=True`` is the scheduled re-validation mode: the
+    committed-partition prune is skipped, so EVERY partition runs again
+    and appends a fresh metrics row under this run_id. Idempotent resume
+    still applies WITHIN the run (a crash re-runs it wholesale), and the
+    manifest becomes a per-(partition, check, metric) time series —
+    checks/history.py flags the newest run against that history.
 
     Idempotent: a rerun over the same input+suite is a no-op; a crash
     before the final append leaves no partial state, so the retry simply
@@ -246,7 +254,10 @@ def run_with_manifest(
     rid = run_id or uuid.uuid4().hex[:16]
 
     manifest = read_manifest(spark, manifest_dir)
-    done = committed_partitions(manifest, sid, n_checks=len(suite))
+    if revalidate:
+        done = committed_partitions(manifest.limit(0), sid, n_checks=len(suite))
+    else:
+        done = committed_partitions(manifest, sid, n_checks=len(suite))
     pending = pending_input(df, done, partition_col)
     if cache_pending:
         pending = pending.cache()

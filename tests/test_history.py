@@ -1,0 +1,98 @@
+"""Metric-history anomaly check (checks/history.py) + the manifest's
+revalidate mode that feeds it."""
+
+import datetime
+
+from anomaly_detector_spark.checks.base import CheckSpec
+from anomaly_detector_spark.checks.history import (
+    flag_metric_anomalies,
+    manifest_metric_anomalies,
+    metric_history,
+)
+from anomaly_detector_spark.checks.stats import run_stats
+from anomaly_detector_spark.plans.manifest import read_manifest, run_with_manifest
+
+HIST_COLS = (
+    "run_id string, committed_at timestamp, partition_key string, "
+    "check_id string, metric string, value double"
+)
+
+
+def _t(i):
+    return datetime.datetime(2026, 1, 1, 0, i)
+
+
+def mkhist(spark, series):
+    rows = []
+    for (pk, metric), values in series.items():
+        for i, v in enumerate(values):
+            rows.append((f"r{i}", _t(i), pk, "chk", metric, float(v)))
+    return spark.createDataFrame(rows, HIST_COLS)
+
+
+def test_flag_metric_anomalies(spark):
+    hist = mkhist(
+        spark,
+        {
+            ("python", "stable"): [10, 10, 10, 10, 10],
+            ("python", "spike"): [10, 11, 9, 10, 30],
+            ("go", "short"): [5, 50],
+            ("go", "drop"): [100, 101, 99, 100, 1],
+        },
+    )
+    out = {
+        (r["partition_key"], r["metric"]): r.asDict()
+        for r in flag_metric_anomalies(hist).collect()
+    }
+    assert out[("python", "stable")]["is_anomalous"] is False
+    assert out[("python", "spike")]["is_anomalous"] is True
+    assert out[("python", "spike")]["value"] == 30.0
+    assert out[("python", "spike")]["n_history"] == 4
+    assert out[("go", "drop")]["is_anomalous"] is True
+    # one prior point < min_history -> NULL verdict, not a guess
+    assert out[("go", "short")]["is_anomalous"] is None
+    assert out[("go", "short")]["n_history"] == 1
+
+
+def test_constant_history_iqr_zero(spark):
+    # all-equal history: std 0 (z path dead), IQR fences collapse to the
+    # constant, so ANY deviation flags — the null_rate 0 -> 0.5 case.
+    hist = mkhist(spark, {("python", "null_rate"): [0, 0, 0, 0.5]})
+    r = flag_metric_anomalies(hist).collect()[0]
+    assert r["is_anomalous"] is True and r["z_score"] == 0.0
+
+
+def test_revalidate_builds_history_and_flags(spark, tmp_path):
+    mdir = str(tmp_path / "manifest")
+    suite = [CheckSpec("stats", run_stats, {"approx": False}, "lang", 1)]
+
+    def files(null_python: bool):
+        rows = []
+        for i in range(8):
+            content = None if (null_python and i % 2 == 0) else f"body{i}"
+            rows.append(("r", f"p{i}", f"c{i}", "python", content))
+            rows.append(("r", f"g{i}", f"c{i}", "go", f"gg{i}"))
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+
+    clean = files(False)
+    for i in range(3):
+        res = run_with_manifest(clean, mdir, suite=suite, run_id=f"run{i}", revalidate=True)
+        assert res.pending_partitions == 2, f"revalidate run {i} must re-run all partitions"
+    # without revalidate the same input is a no-op (resume semantics intact)
+    assert run_with_manifest(clean, mdir, suite=suite, run_id="noop").pending_partitions == 0
+    run_with_manifest(files(True), mdir, suite=suite, run_id="run3", revalidate=True)
+
+    manifest = read_manifest(spark, mdir)
+    hist = metric_history(manifest)
+    n_runs = hist.select("run_id").distinct().count()
+    assert n_runs == 4
+
+    flags = {
+        (r["partition_key"], r["metric"]): r["is_anomalous"]
+        for r in manifest_metric_anomalies(manifest).collect()
+    }
+    assert flags[("python", "null_rate")] is True
+    assert flags[("python", "n_rows")] is False
+    assert flags[("go", "null_rate")] is False
