@@ -704,6 +704,23 @@ def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/contract.py over a deliberately drifted files frame (lang
+    renamed, content dropped, commit re-typed, doc_id riding along):
+    driver-side metadata only, zero scans at any scale. The oracle is the
+    golden expected report — there is no data-parallel SQL analog of a
+    schema comparison."""
+    from anomaly_detector_spark.checks.contract import schema_contract_df
+
+    drifted = (
+        files_view(spark, sf)
+        .withColumnRenamed("lang", "language")
+        .drop("content")
+        .withColumn("commit", F.xxhash64("commit"))
+    )
+    return schema_contract_df(drifted)
+
+
 def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-data prep pipeline: language-ID -> quality
     gate -> exact dedup on the normalized-content fingerprint ->
@@ -1170,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
         "metric_history_flags": q_metric_history_flags,
+        "schema_drift": q_schema_drift,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -2719,6 +2737,17 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["suite_verdicts"] = _suite_verdicts_oracle()
     out["files_rowrules"] = _rowrules_oracle()
     out["files_rule_viols"] = _rowrule_viols_oracle()
+    out["schema_drift"] = """
+        SELECT * FROM (VALUES
+          ('repo', 'ok', 'string', 'string'),
+          ('path', 'ok', 'string', 'string'),
+          ('commit', 'type_mismatch', 'bigint', 'string'),
+          ('lang', 'missing', 'absent', 'string'),
+          ('content', 'missing', 'absent', 'string'),
+          ('language', 'unexpected', 'string', 'absent'),
+          ('doc_id', 'unexpected', 'bigint', 'absent')
+        ) AS t("column", status, observed, expected)
+    """
     out["metric_history_flags"] = f"""
         WITH {FILES_CTE_SQL},
         runs AS (SELECT r FROM (VALUES (0),(1),(2),(3),(4),(5)) t(r)),
