@@ -37,8 +37,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="freeze the pooled drift baseline on first run (T2/T3 semantics)",
     )
     p.add_argument(
-        "--suite", default="default", choices=["default", "extended"],
-        help="extended adds the categorical count-drift check (new suite_id -> revalidates)",
+        "--suite", default="default", choices=["default", "extended", "constraint"],
+        help="extended adds the categorical count-drift check; constraint "
+        "additionally adds the fused row-rule checks (new suite_id -> revalidates)",
+    )
+    p.add_argument(
+        "--revalidate", action="store_true",
+        help="scheduled re-validation: skip the committed-partition prune and "
+        "append a fresh metrics row per partition under this run_id "
+        "(builds the history checks/history.py flags against)",
+    )
+    p.add_argument(
+        "--history-flags", action="store_true",
+        help="after the run, print per-(partition, check, metric) anomaly flags "
+        "of the newest run against the manifest's metric history",
     )
     p.add_argument(
         "--sketches", default=None,
@@ -73,9 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.table(args.input)
 
     from .plans.manifest import run_with_manifest
-    from .plans.suite import default_suite, extended_suite
+    from .plans.suite import constraint_suite, default_suite, extended_suite
 
-    make_suite = extended_suite if args.suite == "extended" else default_suite
+    make_suite = {
+        "default": default_suite,
+        "extended": extended_suite,
+        "constraint": constraint_suite,
+    }[args.suite]
     suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     # The violations sink is passed INTO the run so it is written before
     # the manifest commit — a crash in between re-runs the partitions
@@ -87,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         violations_sink=args.violations, collect_verdict_counts=True,
         sketches_dir=args.sketches,
         quantile_sketches_dir=args.quantile_sketches,
+        revalidate=args.revalidate,
     )
 
     summary = {
@@ -99,6 +116,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.violations:
             summary["violations_sink"] = args.violations
         summary["verdicts"] = run.verdict_counts
+    if args.history_flags:
+        from pyspark.sql import functions as F
+
+        from .checks.history import manifest_metric_anomalies
+        from .plans.manifest import read_manifest, suite_id as _sid
+
+        flags = manifest_metric_anomalies(
+            read_manifest(spark, args.manifest), suite_sid=_sid(suite)
+        )
+        summary["history_anomalies"] = [
+            {k: r[k] for k in ("partition_key", "check_id", "metric", "value", "z_score")}
+            for r in flags.where(F.col("is_anomalous")).collect()
+        ]
     print(json.dumps(summary))
     return 0
 

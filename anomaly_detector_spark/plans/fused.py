@@ -53,13 +53,27 @@ from .suite import SuiteResult
 
 
 def fused_row_checks(
-    df: DataFrame, stats_spec: CheckSpec, ref_spec: CheckSpec, dim: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(stats_verdicts, ref_verdicts, violations) from one agg + one filter scan."""
+    df: DataFrame,
+    stats_spec: CheckSpec,
+    ref_spec: CheckSpec,
+    dim: DataFrame,
+    rule_specs: list[CheckSpec] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, dict[str, CheckResult]]:
+    """(stats_verdicts, ref_verdicts, violations, rule_results) from one
+    agg + one filter scan.
+
+    Row-rule checks (checks/rowrules.py) fold into the SAME two passes:
+    each rule adds a conditional sum to the existing verdict aggregate
+    and a struct branch to the existing violations array — so in the
+    fused default plan the marginal cost of a rule is an expression, not
+    a pass (measured: the 4-rule constraint suite within noise of the
+    base suite at 2M rows, BASELINE.md round-3 rules table)."""
     part = stats_spec.partition_col
     col = stats_spec.config.get("column", "content")
     approx = stats_spec.config.get("approx", True)
     max_null_rate = stats_spec.config.get("max_null_rate", 0.02)
+    rule_specs = rule_specs or []
+    built = [(s, *s.fn._rule_builder(s)) for s in rule_specs]  # type: ignore[attr-defined]
 
     pre = df.join(
         F.broadcast(dim.select("lang").withColumn("_ok", F.lit(1))), on="lang", how="left"
@@ -68,6 +82,10 @@ def fused_row_checks(
     agg = pre.groupBy(part).agg(
         *stats_exprs(col, approx=approx),
         F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0)).alias("n_unknown"),
+        *[
+            F.sum(bad.cast("int")).alias(f"_rule_bad_{i}")
+            for i, (_, bad, _, _) in enumerate(built)
+        ],
     )
 
     stats_verdicts = verdict_frame(
@@ -108,19 +126,51 @@ def fused_row_checks(
             F.lit("lang IN allowed_langs").alias("expected"),
         ),
     )
+    rule_vs = [
+        F.when(
+            bad,
+            F.struct(
+                F.lit(s.id).alias("check_id"),
+                observed.cast("string").alias("observed"),
+                F.lit(expected).alias("expected"),
+            ),
+        )
+        for s, bad, observed, expected in built
+    ]
+    any_bad = F.col(col).isNull() | F.col("_ok").isNull()
+    for _, bad, _, _ in built:
+        any_bad = any_bad | bad
     violations = (
-        pre.filter(F.col(col).isNull() | F.col("_ok").isNull())
+        pre.filter(any_bad)
         .select(
             "repo", "path", "commit",
             F.col(part).cast("string").alias("partition_key"),
-            F.explode(F.filter(F.array(null_v, ref_v), lambda x: x.isNotNull())).alias("_v"),
+            F.explode(
+                F.filter(F.array(null_v, ref_v, *rule_vs), lambda x: x.isNotNull())
+            ).alias("_v"),
         )
         .select(
             "repo", "path", "commit", "partition_key",
             "_v.check_id", "_v.observed", "_v.expected",
         )
     )
-    return stats_verdicts, ref_verdicts, violations
+    rule_results: dict[str, CheckResult] = {}
+    for i, (s, _, _, _) in enumerate(built):
+        max_bad = float(s.config.get("max_bad_frac", 0.0))
+        pp = agg.select(part, "n_rows", F.col(f"_rule_bad_{i}").alias("n_bad"))
+        rule_results[s.name] = CheckResult(
+            violations=empty_violations(df),  # rule rows ride `violations`
+            verdicts=verdict_frame(
+                pp,
+                s.id,
+                part,
+                fail_when=F.col("n_bad") > F.col("n_rows") * F.lit(max_bad),
+                skip_when=F.col("n_rows") < s.min_rows,
+                metric_cols=["n_rows", "n_bad"],
+            ),
+            metrics=pp,
+        )
+    return stats_verdicts, ref_verdicts, violations, rule_results
 
 
 def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
@@ -261,34 +311,49 @@ def run_suite_fused(df: DataFrame, suite: list[CheckSpec] | None = None) -> Suit
         and stats_spec.partition_col == ref_spec.partition_col
         and ref_spec.config.get("dim_df") is None
     )
+    rule_specs = [
+        s
+        for name, s in by_name.items()
+        if name not in ("stats", "referential") and hasattr(s.fn, "_rule_builder")
+    ]
+    folded: list[CheckSpec] = []
     if fusable:
+        # Rule checks sharing the stats partition_col fold INTO the
+        # stats+referential passes: each rule is an extra conditional sum
+        # on the verdict aggregate and an extra struct branch on the
+        # violations filter scan — zero extra passes however many rules
+        # the suite carries.
+        folded = [s for s in rule_specs if s.partition_col == stats_spec.partition_col]
         dim = allowed_langs_df(df.sparkSession)
-        sv, rv, viol = fused_row_checks(df, stats_spec, ref_spec, dim)
+        sv, rv, viol, rule_results = fused_row_checks(
+            df, stats_spec, ref_spec, dim, rule_specs=folded
+        )
         results["stats"] = CheckResult(violations=empty_violations(df), verdicts=sv)
         results["referential"] = CheckResult(violations=empty_violations(df), verdicts=rv)
+        results.update(rule_results)
         extra_violations.append(viol)
     else:
         if stats_spec:
             results["stats"] = run_stats(df, stats_spec)
         if ref_spec:
             results["referential"] = run_referential(df, ref_spec)
+    # Rules with no shared pass to ride (no fusable stats+referential, or
+    # a different partition_col) still fuse per partition_col group into
+    # ONE violations scan + ONE verdict aggregate of their own.
+    leftover = [s for s in rule_specs if s not in folded]
+    if leftover:
+        from ..checks.rowrules import fused_rule_checks
+
+        groups: dict[str, list[CheckSpec]] = {}
+        for s in leftover:
+            groups.setdefault(s.partition_col, []).append(s)
+        for specs in groups.values():
+            results.update(fused_rule_checks(df, specs))
 
     if "uniqueness" in by_name:
         results["uniqueness"] = fused_uniqueness(df, by_name["uniqueness"])
     if "drift" in by_name:
         results["drift"] = run_drift(df, by_name["drift"])
-    # Row-level rule checks (format / accepted-values / completeness /
-    # predicate) fuse into ONE violations scan + ONE verdict aggregate for
-    # the whole group, however many rules the suite carries.
-    rule_specs = [
-        s
-        for name, s in by_name.items()
-        if name not in results and hasattr(s.fn, "_rule_builder")
-    ]
-    if rule_specs:
-        from ..checks.rowrules import fused_rule_checks
-
-        results.update(fused_rule_checks(df, rule_specs))
     for name, spec in by_name.items():
         if name not in results:
             results[name] = spec.run(df)

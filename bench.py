@@ -189,6 +189,23 @@ def main() -> int:
         sustained_sec = sec if sustained_sec is None or sec < sustained_sec else sustained_sec
     timings["suite_2m_rows"] = round(sustained_sec, 3)
 
+    # Marginal cost of the row-rule check family: the same 2M-row table
+    # through the 9-check constraint suite (5 base checks + 4 fused rule
+    # checks — one extra violations scan + one extra verdict aggregate
+    # for the WHOLE rule group, checks/rowrules.py). The delta vs
+    # suite_2m_rows is the price of four more constraints at 2M rows.
+    from anomaly_detector_spark.plans.suite import constraint_suite
+
+    rules_sec = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        res = run_suite(bigdf, suite=constraint_suite(), cache=False)
+        res.materialize()
+        sec = time.perf_counter() - t0
+        rules_sec = sec if rules_sec is None or sec < rules_sec else rules_sec
+    timings["suite_2m_rules"] = round(rules_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite wall time (validation suite + operator families)",
