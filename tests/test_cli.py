@@ -52,3 +52,26 @@ def test_cli_quantile_sketches(spark, dirs, tmp_path, capsys):
 
     row = global_quantiles(spark, qdir).collect()[0]
     assert row["n_rows"] > 0 and row["q_0_5"] > 0 and row["q_0_99"] >= row["q_0_5"]
+
+
+def test_cli_constraint_revalidate_history(spark, dirs, capsys):
+    # three revalidated runs under the constraint suite build metric
+    # history; --history-flags reports the newest run's anomalies (none
+    # here — the input is identical across runs)
+    for rid in ("h1", "h2", "h3", "h4"):
+        rc = main([
+            "--input", dirs["input"], "--manifest", dirs["manifest"],
+            "--suite", "constraint", "--revalidate", "--run-id", rid,
+            "--history-flags",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["pending_partitions"] > 0, "revalidate must re-run partitions"
+    assert out["history_anomalies"] == []  # identical input -> no flags
+
+    from anomaly_detector_spark.plans.manifest import read_manifest
+
+    m = read_manifest(spark, dirs["manifest"])
+    assert m.select("run_id").distinct().count() == 4
+    # the constraint suite's rule checks committed verdicts too
+    assert m.select("check_id").distinct().count() >= 9
