@@ -654,6 +654,22 @@ def q_files_rule_viols(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_viol_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """plans/diff.py over two rule-check runs on overlapping file slices
+    (prev = doc_id % 3 != 0, cur = doc_id % 2 != 0) — neither a subset of
+    the other, so all three statuses (new / resolved / persisting) appear.
+    One shuffle: union with presence tags + one identity groupBy."""
+    from anomaly_detector_spark.plans.diff import violations_diff
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    files = files_view(spark, sf)
+    prev_in = files.where(F.col("doc_id") % 3 != 0).drop("doc_id")
+    cur_in = files.where(F.col("doc_id") % 2 != 0).drop("doc_id")
+    prev = run_suite(prev_in, suite=_rowrule_specs(), fused=True).violations
+    cur = run_suite(cur_in, suite=_rowrule_specs(), fused=True).violations
+    return violations_diff(cur, prev)
+
+
 def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
     """checks/history.py over a deterministic synthetic run history: six
     'runs' sliced from files by doc_id mod 6, the last run a double-width
@@ -1188,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_rule_viols": q_files_rule_viols,
         "metric_history_flags": q_metric_history_flags,
         "schema_drift": q_schema_drift,
+        "files_viol_diff": q_files_viol_diff,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -1832,7 +1849,7 @@ def _clean_corpus_oracle() -> str:
 
 _ROWRULE_FLAGS_CTE = """
         flags AS (
-          SELECT repo, path, "commit", lang, content,
+          SELECT repo, path, "commit", lang, content, doc_id,
                  NOT coalesce(regexp_matches("commit", '^[0-9a-f]{40}$'), FALSE) AS bad_fmt,
                  NOT coalesce(lang IN ('de','en','es','zh'), FALSE) AS bad_acc,
                  content IS NULL AS bad_cmp,
@@ -1904,6 +1921,47 @@ def _rowrule_viols_oracle() -> str:
                'predicate=false',
                'length(content) <= 500'
         FROM flags WHERE bad_sz
+    """
+
+
+def _rowrule_viol_rows_sql(where: str) -> str:
+    """Identity rows (repo, path, commit, partition_key, check_id) of the
+    four rule checks' violations over a slice of flags."""
+    ids = {s.name: s.id for s in _rowrule_specs()}
+    return " UNION ALL ".join(
+        f"""SELECT repo, path, "commit", lang AS partition_key,
+               '{ids[name]}' AS check_id
+            FROM flags WHERE ({where}) AND {bad}"""
+        for name, bad in [
+            ("format_commit", "bad_fmt"),
+            ("accepted_lang", "bad_acc"),
+            ("complete_content", "bad_cmp"),
+            ("size_cap", "bad_sz"),
+        ]
+    )
+
+
+def _viol_diff_oracle() -> str:
+    return f"""
+        WITH {FILES_CTE_SQL},
+        {_ROWRULE_FLAGS_CTE},
+        prev AS ({_rowrule_viol_rows_sql("doc_id % 3 <> 0")}),
+        cur AS ({_rowrule_viol_rows_sql("doc_id % 2 <> 0")}),
+        u AS (
+          SELECT *, 1 AS in_cur, 0 AS in_prev FROM cur
+          UNION ALL
+          SELECT *, 0, 1 FROM prev
+        ),
+        g AS (
+          SELECT repo, path, "commit", partition_key, check_id,
+                 CAST(sum(in_cur) AS BIGINT) AS n_cur,
+                 CAST(sum(in_prev) AS BIGINT) AS n_prev
+          FROM u GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT *,
+               CASE WHEN n_cur > 0 AND n_prev > 0 THEN 'persisting'
+                    WHEN n_cur > 0 THEN 'new' ELSE 'resolved' END AS status
+        FROM g
     """
 
 
@@ -2737,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["suite_verdicts"] = _suite_verdicts_oracle()
     out["files_rowrules"] = _rowrules_oracle()
     out["files_rule_viols"] = _rowrule_viols_oracle()
+    out["files_viol_diff"] = _viol_diff_oracle()
     out["schema_drift"] = """
         SELECT * FROM (VALUES
           ('repo', 'ok', 'string', 'string'),

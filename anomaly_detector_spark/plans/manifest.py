@@ -304,8 +304,16 @@ def run_with_manifest(
     res = run_suite(pending, suite=suite, cache=False)
 
     if violations_sink is not None:
-        # Violations first, manifest last (see docstring).
-        res.violations.write.mode("append").parquet(violations_sink)
+        # Violations first, manifest last (see docstring). run_id/suite_id
+        # ride every row so downstream diffing (plans/diff.py
+        # violations_diff_runs) and auditing can scope a run without
+        # joining back to the manifest.
+        (
+            res.violations.withColumn("run_id", F.lit(rid))
+            .withColumn("suite_id", F.lit(sid))
+            .write.mode("append")
+            .parquet(violations_sink)
+        )
 
     if sketches_dir is not None:
         # Per-partition HLL sketches for THIS run's pending partitions.

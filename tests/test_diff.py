@@ -1,0 +1,61 @@
+"""Violation diffing (plans/diff.py) + stamped violations sink."""
+
+from anomaly_detector_spark.checks.base import CheckSpec
+from anomaly_detector_spark.checks.rowrules import run_completeness
+from anomaly_detector_spark.plans.diff import violations_diff, violations_diff_runs
+from anomaly_detector_spark.plans.manifest import run_with_manifest
+
+VIOL_COLS = (
+    "repo string, path string, commit string, partition_key string, "
+    "check_id string, observed string, expected string"
+)
+
+
+def mkviol(spark, rows):
+    return spark.createDataFrame(
+        [(r, p, c, "python", "chk", "o", "e") for r, p, c in rows], VIOL_COLS
+    )
+
+
+def test_diff_statuses(spark):
+    prev = mkviol(spark, [("r", "a", "c1"), ("r", "b", "c1"), ("r", "b", "c1")])
+    cur = mkviol(spark, [("r", "b", "c1"), ("r", "x", "c9")])
+    out = {r["path"]: r.asDict() for r in violations_diff(cur, prev).collect()}
+    assert out["a"]["status"] == "resolved" and out["a"]["n_cur"] == 0
+    assert out["b"]["status"] == "persisting"
+    assert (out["b"]["n_cur"], out["b"]["n_prev"]) == (1, 2)  # improving magnitude
+    assert out["x"]["status"] == "new" and out["x"]["n_prev"] == 0
+
+
+def test_diff_runs_from_stamped_sink(spark, tmp_path):
+    mdir, vdir = str(tmp_path / "m"), str(tmp_path / "v")
+    suite = [CheckSpec("cmp", run_completeness, {"column": "content"}, "lang", 1)]
+
+    def files(with_null: bool):
+        rows = [("r", f"p{i}", "c", "python", "x") for i in range(5)]
+        rows.append(("r", "bad0", "c", "python", None))  # persists
+        if with_null:
+            rows.append(("r", "bad1", "c", "python", None))  # appears in run 2
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+
+    run_with_manifest(
+        files(False), mdir, suite=suite, run_id="r1", revalidate=True, violations_sink=vdir
+    )
+    run_with_manifest(
+        files(True), mdir, suite=suite, run_id="r2", revalidate=True, violations_sink=vdir
+    )
+    sink = spark.read.parquet(vdir)
+    assert set(sink.columns) >= {"run_id", "suite_id", "repo", "check_id"}
+    out = {
+        r["path"]: r["status"]
+        for r in violations_diff_runs(sink, cur_run="r2", prev_run="r1").collect()
+    }
+    assert out == {"bad0": "persisting", "bad1": "new"}
+    # reversed direction: the extra violation reads as resolved
+    back = {
+        r["path"]: r["status"]
+        for r in violations_diff_runs(sink, cur_run="r1", prev_run="r2").collect()
+    }
+    assert back == {"bad0": "persisting", "bad1": "resolved"}
