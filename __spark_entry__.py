@@ -670,6 +670,15 @@ def q_files_viol_diff(spark: SparkSession, sf: str) -> DataFrame:
     return violations_diff(cur, prev)
 
 
+def q_events_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/profile.py one-pass profiler over the events table (exact
+    cardinalities for oracle parity; approx_count_distinct is the scale
+    default)."""
+    from anomaly_detector_spark.checks.profile import profile_table
+
+    return profile_table(load_table(spark, sf, "events"), exact=True)
+
+
 def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
     """checks/history.py over a deterministic synthetic run history: six
     'runs' sliced from files by doc_id mod 6, the last run a double-width
@@ -1205,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_history_flags": q_metric_history_flags,
         "schema_drift": q_schema_drift,
         "files_viol_diff": q_files_viol_diff,
+        "events_profile": q_events_profile,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -1938,6 +1948,44 @@ def _rowrule_viol_rows_sql(where: str) -> str:
             ("complete_content", "bad_cmp"),
             ("size_cap", "bad_sz"),
         ]
+    )
+
+
+def _events_profile_oracle() -> str:
+    """Generated per-column metric selects off one single-row aggregate —
+    the SQL mirror of profile_table's one-pass wide agg + unpivot."""
+    cols = {
+        "event_id": "CAST(event_id AS DOUBLE)",
+        "ts": "CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)",
+        "user_id": "CAST(user_id AS DOUBLE)",
+        "event_type": "CAST(length(event_type) AS DOUBLE)",
+        "value": "value",
+        "props": "CAST(length(props) AS DOUBLE)",
+    }
+    aggs = ["count(*) AS n"]
+    sels = []
+    for c, v in cols.items():
+        aggs += [
+            f"count({c}) AS c_{c}",
+            f"count(DISTINCT {c}) AS d_{c}",
+            f"min({v}) AS mn_{c}",
+            f"max({v}) AS mx_{c}",
+            f"avg({v}) AS av_{c}",
+        ]
+        sels.append(
+            f"""SELECT '{c}' AS "column", 'n_rows' AS metric, CAST(n AS DOUBLE) AS value FROM a
+        UNION ALL SELECT '{c}', 'n_null', CAST(n - c_{c} AS DOUBLE) FROM a
+        UNION ALL SELECT '{c}', 'null_frac', round((n - c_{c}) / CAST(n AS DOUBLE), 4) FROM a
+        UNION ALL SELECT '{c}', 'n_distinct', CAST(d_{c} AS DOUBLE) FROM a
+        UNION ALL SELECT '{c}', 'min', round(mn_{c}, 4) FROM a
+        UNION ALL SELECT '{c}', 'max', round(mx_{c}, 4) FROM a
+        UNION ALL SELECT '{c}', 'mean', round(av_{c}, 4) FROM a"""
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM events) "
+        + " UNION ALL ".join(sels)
     )
 
 
@@ -2796,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["files_rowrules"] = _rowrules_oracle()
     out["files_rule_viols"] = _rowrule_viols_oracle()
     out["files_viol_diff"] = _viol_diff_oracle()
+    out["events_profile"] = _events_profile_oracle()
     out["schema_drift"] = """
         SELECT * FROM (VALUES
           ('repo', 'ok', 'string', 'string'),

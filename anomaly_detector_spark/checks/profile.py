@@ -1,0 +1,130 @@
+"""One-pass table profiler: per-column completeness, cardinality, and
+value/length statistics over ANY table.
+
+The reference knows its input shape a priori (one value column per
+device, util/config.py); a validation engine pointed at an unknown
+table needs the inverse — measure first, then write constraints. This
+is the Deequ-ColumnProfiler shape: a long-form report
+(column, metric, value) that feeds rule authoring (null_frac -> a
+completeness rule, distinct_frac ~ 1 -> a uniqueness candidate,
+min/max -> range predicates).
+
+Scale design: ONE aggregate over ONE scan for every profiled column.
+Per column the expressions are type-driven (numeric/timestamp -> value
+min/max/mean; string/binary -> length min/max/mean), all codegen'd.
+Cardinality defaults to approx_count_distinct (HLL, map-side partial —
+the 10^12-row path); ``exact=True`` switches to count(DISTINCT ...),
+which Catalyst plans via Expand — still one scan, but the shuffled row
+count multiplies by the number of profiled columns, so exact mode is
+for oracle parity and small tables, not the default. The wide result
+(one row, cols x metrics fields) is unpivoted driver-side into the
+long form via ``stack`` — O(cols) literals, no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+METRICS = ["n_rows", "n_null", "null_frac", "n_distinct", "min", "max", "mean"]
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _value_expr(field: T.StructField) -> F.Column | None:
+    """The column's 'measurable value' (numeric value, epoch seconds, or
+    string/binary length); None for unmeasurable types (arrays, maps...)."""
+    c = F.col(field.name)
+    t = field.dataType
+    if isinstance(t, _NUMERIC):
+        return c.cast("double")
+    if isinstance(t, T.BooleanType):
+        return c.cast("int").cast("double")
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # INTEGER epoch seconds (NTZ casts through the UTC session tz):
+        # integral doubles sum exactly below 2^53, so the mean is
+        # bit-deterministic across engines and partitionings — a
+        # fractional-microsecond epoch's float sum at ~1e13 magnitude
+        # would diverge in the rounded decimals.
+        return c.cast("timestamp").cast("long").cast("double")
+    if isinstance(t, T.StringType):
+        return F.length(c).cast("double")
+    if isinstance(t, T.BinaryType):
+        return F.length(c).cast("double")
+    return None
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+    round_to: int = 4,
+) -> DataFrame:
+    """Long-form profile: one row per (column, metric).
+
+    Metrics: n_rows, n_null, null_frac, n_distinct, and — where the type
+    is measurable — min/max/mean of the value (numerics/timestamps) or of
+    the length (strings/binaries). Unmeasurable types report the first
+    four only. For string columns min/max/mean describe LENGTHS, which is
+    what a length-cap or empty-string rule needs.
+    """
+    fields = {f.name: f for f in df.schema.fields}
+    columns = columns or list(fields)
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for name in columns:
+        c = F.col(name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"__null_{name}"))
+        aggs.append(
+            (F.count_distinct(c) if exact else F.approx_count_distinct(c)).alias(
+                f"__dist_{name}"
+            )
+        )
+        v = _value_expr(fields[name])
+        if v is not None:
+            aggs.append(F.min(v).alias(f"__min_{name}"))
+            aggs.append(F.max(v).alias(f"__max_{name}"))
+            aggs.append(F.avg(v).alias(f"__mean_{name}"))
+    wide = df.agg(*aggs)
+
+    parts: list[DataFrame] = []
+    for name in columns:
+        measurable = _value_expr(fields[name]) is not None
+        pairs = [
+            ("n_rows", "CAST(__n AS DOUBLE)"),
+            ("n_null", f"CAST(__null_{name} AS DOUBLE)"),
+            ("null_frac", f"ROUND(__null_{name} / CAST(__n AS DOUBLE), {round_to})"),
+            ("n_distinct", f"CAST(__dist_{name} AS DOUBLE)"),
+        ]
+        if measurable:
+            pairs += [
+                ("min", f"ROUND(__min_{name}, {round_to})"),
+                ("max", f"ROUND(__max_{name}, {round_to})"),
+                ("mean", f"ROUND(__mean_{name}, {round_to})"),
+            ]
+        body = ", ".join(f"'{m}', {e}" for m, e in pairs)
+        parts.append(
+            wide.selectExpr(
+                f"'{name}' AS `column`",
+                f"stack({len(pairs)}, {body}) AS (metric, value)",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:
+    """Exact top-k most frequent values of one column (NULL included as a
+    value): groupBy + TakeOrdered — map-side combined count shuffle of
+    O(distinct) rows, no global sort. Deterministic tie-break on value."""
+    return (
+        df.groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc_nulls_last("value"))
+        .limit(k)
+    )

@@ -1,0 +1,74 @@
+"""One-pass table profiler (checks/profile.py)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.checks.profile import profile_table, top_values
+
+
+def _df(spark):
+    rows = [
+        (1, "aa", 2.0, True, datetime.datetime(2026, 1, 1, 0, 0, 0), ["x"]),
+        (2, None, 4.0, False, datetime.datetime(2026, 1, 1, 0, 0, 10), []),
+        (2, "abcd", None, None, None, None),
+        (3, "aa", 10.0, True, datetime.datetime(2026, 1, 1, 0, 0, 20), ["y", "z"]),
+    ]
+    return spark.createDataFrame(
+        rows, "i long, s string, v double, b boolean, t timestamp, arr array<string>"
+    )
+
+
+def test_profile_exact(spark):
+    out = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(_df(spark), exact=True).collect()
+    }
+    assert out[("i", "n_rows")] == 4.0
+    assert out[("i", "n_distinct")] == 3.0
+    assert out[("i", "min")] == 1.0 and out[("i", "max")] == 3.0 and out[("i", "mean")] == 2.0
+    assert out[("s", "n_null")] == 1.0 and out[("s", "null_frac")] == 0.25
+    # string min/max/mean are LENGTH stats
+    assert out[("s", "min")] == 2.0 and out[("s", "max")] == 4.0
+    assert abs(out[("s", "mean")] - 8 / 3) < 1e-3
+    assert out[("v", "mean")] == round(16 / 3, 4)
+    assert out[("b", "min")] == 0.0 and out[("b", "max")] == 1.0
+    # timestamps profile as integer epoch seconds
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+    assert out[("t", "min")] == base and out[("t", "max")] == base + 20
+    assert out[("t", "mean")] == round(base + 10, 4)
+    # unmeasurable array column: only the four basic metrics
+    arr = {m for (c, m) in out if c == "arr"}
+    assert arr == {"n_rows", "n_null", "null_frac", "n_distinct"}
+
+
+def test_profile_approx_runs_and_counts_match(spark):
+    df = _df(spark)
+    ex = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, exact=True).collect()
+    }
+    ap = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, exact=False).collect()
+    }
+    assert set(ex) == set(ap)
+    # at 4 rows HLL is exact too; everything but n_distinct is identical math
+    for k, v in ex.items():
+        assert ap[k] == v, k
+
+
+def test_profile_column_subset(spark):
+    out = profile_table(_df(spark), columns=["i", "s"], exact=True)
+    assert set(r["column"] for r in out.collect()) == {"i", "s"}
+
+
+def test_top_values(spark):
+    df = _df(spark)
+    rows = top_values(df, "i", 2).collect()
+    assert (rows[0]["value"], rows[0]["n"]) == ("2", 2)
+    assert rows[1]["n"] == 1  # deterministic tie-break: value asc
+    assert rows[1]["value"] == "1"
+    # NULL counts as a value
+    nulls = top_values(df.where(F.col("s").isNull()), "s", 1).collect()[0]
+    assert nulls["value"] is None and nulls["n"] == 1
