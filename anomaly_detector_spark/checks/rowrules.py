@@ -139,6 +139,47 @@ run_completeness._rule_builder = _completeness_rule  # type: ignore[attr-defined
 run_row_predicate._rule_builder = _predicate_rule  # type: ignore[attr-defined]
 
 
+def combined_rule_verdicts(
+    agg: DataFrame, part: str, built: list, bad_prefix: str = "n_bad_"
+) -> DataFrame:
+    """(partition_key, check_id, verdict, metrics) for EVERY rule from one
+    explode over the shared per-partition aggregate (columns: n_rows +
+    f'{bad_prefix}{i}').
+
+    Per-rule `agg.select(part, n_rows, bad_i)` branches would be
+    column-pruned differently per rule, making each branch's aggregate
+    subtree unique — no exchange reuse, one table re-scan PER RULE
+    (caught by test_folded_rules_add_no_scans). One explode keeps a
+    single aggregate subtree; per-check views filter it. Verdict
+    semantics identical to base.verdict_frame."""
+    from .base import FAIL, PASS, SKIPPED
+
+    structs = []
+    for i, (s, _, _, _) in enumerate(built):
+        max_bad = float(s.config.get("max_bad_frac", 0.0))
+        nb = F.col(f"{bad_prefix}{i}")
+        verdict = (
+            F.when(F.col("n_rows") < s.min_rows, F.lit(SKIPPED))
+            .when(nb > F.col("n_rows") * F.lit(max_bad), F.lit(FAIL))
+            .otherwise(F.lit(PASS))
+        )
+        metrics = F.create_map(
+            F.lit("n_rows"), F.col("n_rows").cast("double"),
+            F.lit("n_bad"), nb.cast("double"),
+        )
+        structs.append(
+            F.struct(
+                F.lit(s.id).alias("check_id"),
+                verdict.alias("verdict"),
+                metrics.alias("metrics"),
+            )
+        )
+    return agg.select(
+        F.col(part).cast("string").alias("partition_key"),
+        F.explode(F.array(*structs)).alias("_v"),
+    ).select("partition_key", "_v.check_id", "_v.verdict", "_v.metrics")
+
+
 def fused_rule_checks(
     df: DataFrame, specs: list[CheckSpec]
 ) -> dict[str, CheckResult]:
@@ -203,27 +244,16 @@ def fused_rule_checks(
         ],
     )
 
+    combined = combined_rule_verdicts(per_part, part, built)
     results: dict[str, CheckResult] = {}
     for i, (s, _, _, _) in enumerate(built):
-        max_bad = float(s.config.get("max_bad_frac", 0.0))
-        pp = per_part.select(
-            part, "n_rows", F.col(f"n_bad_{i}").alias("n_bad")
-        )
-        verdicts = verdict_frame(
-            pp,
-            s.id,
-            part,
-            fail_when=F.col("n_bad") > F.col("n_rows") * F.lit(max_bad),
-            skip_when=F.col("n_rows") < s.min_rows,
-            metric_cols=["n_rows", "n_bad"],
-        )
         # All violations ride the first check's result (the suite unions
         # per-check violation frames, so attaching the combined frame once
         # keeps it a single scan; filtering it per check would re-plan the
-        # scan per rule).
+        # scan per rule). Verdicts are per-check filtered views of ONE
+        # explode over the shared aggregate — see combined_rule_verdicts.
         results[s.name] = CheckResult(
             violations=violations_all if i == 0 else empty_violations(df),
-            verdicts=verdicts,
-            metrics=pp,
+            verdicts=combined.where(F.col("check_id") == s.id),
         )
     return results

@@ -154,22 +154,22 @@ def fused_row_checks(
             "_v.check_id", "_v.observed", "_v.expected",
         )
     )
+    # ALL rule verdicts come off ONE explode over the shared aggregate —
+    # a per-rule `agg.select(part, n_rows, _rule_bad_i)` branch would be
+    # column-pruned differently per rule, defeating exchange reuse and
+    # re-scanning the table once per rule (caught by
+    # test_folded_rules_add_no_scans). Per-check results are filtered
+    # views of the same subtree, so Catalyst plans one aggregate.
     rule_results: dict[str, CheckResult] = {}
-    for i, (s, _, _, _) in enumerate(built):
-        max_bad = float(s.config.get("max_bad_frac", 0.0))
-        pp = agg.select(part, "n_rows", F.col(f"_rule_bad_{i}").alias("n_bad"))
-        rule_results[s.name] = CheckResult(
-            violations=empty_violations(df),  # rule rows ride `violations`
-            verdicts=verdict_frame(
-                pp,
-                s.id,
-                part,
-                fail_when=F.col("n_bad") > F.col("n_rows") * F.lit(max_bad),
-                skip_when=F.col("n_rows") < s.min_rows,
-                metric_cols=["n_rows", "n_bad"],
-            ),
-            metrics=pp,
-        )
+    if built:
+        from ..checks.rowrules import combined_rule_verdicts
+
+        combined = combined_rule_verdicts(agg, part, built, bad_prefix="_rule_bad_")
+        for s, _, _, _ in built:
+            rule_results[s.name] = CheckResult(
+                violations=empty_violations(df),  # rule rows ride `violations`
+                verdicts=combined.where(F.col("check_id") == s.id),
+            )
     return stats_verdicts, ref_verdicts, violations, rule_results
 
 

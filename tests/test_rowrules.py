@@ -175,3 +175,51 @@ def test_constraint_suite_fused_path(spark):
     v1 = _canon_violations([res.violations])
     v2 = _canon_violations([res2.violations])
     assert v1 == v2
+
+
+def test_folded_rules_add_no_scans(spark, tmp_path):
+    """Folded rules must not multiply passes over the table.
+
+    Violations: the constraint suite's violations plan has exactly as
+    many scans as the extended suite's — rule rows ride the existing
+    filter scan.
+
+    Verdicts: the per-rule verdict views are branches of the SAME
+    combined explode, so every rule-branch FileScan must carry an
+    IDENTICAL ReadSchema (identical column pruning) — the property that
+    lets AQE's exchange-stage cache collapse the branches into ONE
+    aggregate at runtime. (The initial plan string always prints each
+    union branch's subtree, so a raw scan count cannot see the reuse;
+    runtime evidence: counting the union of all four rule verdict views
+    costs the same as counting one — 0.90s vs 0.93s at 2M rows,
+    BASELINE.md. Per-branch pruning — the bug this test caught — breaks
+    canonical equality and re-runs the aggregate once per rule.)"""
+    from anomaly_detector_spark.plans.suite import extended_suite, run_suite
+
+    p = str(tmp_path / "files")
+    mkfiles(
+        spark, [("r", f"p{i}", f"c{i}", "python", "x" * (i + 1)) for i in range(50)]
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    def n_scans(t):
+        return t.count("Scan parquet")
+
+    base = run_suite(df, suite=extended_suite("lang", 1), fused=True)
+    cons = run_suite(df, suite=constraint_suite("lang", 1), fused=True)
+    assert n_scans(plan(cons.violations)) == n_scans(plan(base.violations))
+
+    import re
+
+    base_schemas = re.findall(r"ReadSchema: (\S+)", plan(base.verdicts))
+    cons_schemas = re.findall(r"ReadSchema: (\S+)", plan(cons.verdicts))
+    extra = list(cons_schemas)
+    for s in base_schemas:
+        extra.remove(s)
+    # every extra scan is a rule-verdict branch and all are pruned
+    # identically (=> canonically equal => one runtime stage)
+    assert len(set(extra)) == 1, extra
+    assert "commit" in extra[0] and "content" in extra[0] and "lang" in extra[0]
