@@ -508,3 +508,27 @@ def test_streaming_load_extraction_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     )
     assert got == expected
+
+
+def test_stream_constraint_suite(spark, dirs):
+    """Rule + schema-contract checks ride the streaming path unchanged:
+    one suite definition, batch and stream."""
+    from anomaly_detector_spark.plans.suite import constraint_suite
+
+    files = files_view(spark, SF).drop("doc_id")
+    files.write.mode("append").parquet(dirs["input"])
+    stream = spark.readStream.schema(files.schema).parquet(dirs["input"])
+    suite = constraint_suite()
+    q = validate_stream(stream, dirs["manifest"], dirs["ckpt"], suite=suite)
+    q.awaitTermination(300)
+
+    m = read_manifest(spark, dirs["manifest"])
+    got_ids = {r["check_id"] for r in m.select("check_id").distinct().collect()}
+    assert {s.id for s in suite} <= got_ids
+    # and it agrees with the batch run of the same suite
+    run_with_manifest(files, dirs["manifest_batch"], suite=suite)
+    b = read_manifest(spark, dirs["manifest_batch"]).select(
+        "partition_key", "check_id", "verdict"
+    )
+    s = m.select("partition_key", "check_id", "verdict")
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, b.collect()))

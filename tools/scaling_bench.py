@@ -31,14 +31,16 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, "%(repo)s")
 cores = int(sys.argv[1]); path = sys.argv[2]
+suite_name = sys.argv[3] if len(sys.argv) > 3 else "default"
 from anomaly_detector_spark.session import get_spark
-from anomaly_detector_spark.plans.suite import run_suite
+from anomaly_detector_spark.plans.suite import constraint_suite, default_suite, extended_suite, run_suite
+mk = {"default": default_suite, "extended": extended_suite, "constraint": constraint_suite}[suite_name]
 spark = get_spark(app_name=f"scale{cores}", cores=cores)
 
 def one_pass(df):
     spark.catalog.clearCache()         # drift's internal caches are plan-keyed;
     t0 = time.perf_counter()           # clear so every pass does the real work
-    res = run_suite(df, cache=False)
+    res = run_suite(df, suite=mk(), cache=False)
     n_verd = res.verdicts.count()
     n_viol = res.violations.count()
     return time.perf_counter() - t0, n_verd, n_viol
@@ -85,6 +87,7 @@ def main() -> int:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    suite_name = sys.argv[4] if len(sys.argv) > 4 else "default"
     path = os.environ.get("SCALING_INPUT", f"/tmp/scaling_files_{rows}")
 
     if not os.path.isdir(path):
@@ -92,7 +95,7 @@ def main() -> int:
 
     results = {}
     for cores in (lo, hi):
-        out = run_py(CHILD, str(cores), path)
+        out = run_py(CHILD, str(cores), path, suite_name)
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
         results[cores] = json.loads(line[len("RESULT "):])
         print(f"  local[{cores}]: {results[cores]}", file=sys.stderr)
@@ -103,7 +106,7 @@ def main() -> int:
     )
     eff = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / (hi / lo)
     print(json.dumps({
-        "metric": "validation-suite throughput scaling, local[%d] vs local[%d]" % (lo, hi),
+        "metric": "validation-suite (%s) throughput scaling, local[%d] vs local[%d]" % (suite_name, lo, hi),
         "rows": rows,
         "lo": r_lo, "hi": r_hi,
         "scaling_efficiency": round(eff, 3),
