@@ -670,6 +670,31 @@ def q_files_viol_diff(spark: SparkSession, sf: str) -> DataFrame:
     return violations_diff(cur, prev)
 
 
+def q_events_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/freshness.py with the deterministic self-relative anchor
+    (as_of='max'): per-event-type staleness vs the table's own newest
+    event, verdicts at a 1800s max age. One narrow groupBy + a broadcast
+    1-row anchor — no driver action, no wall clock."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.freshness import run_freshness
+
+    spec = CheckSpec(
+        "freshness",
+        run_freshness,
+        {"ts_col": "ts", "max_age_seconds": 1800},
+        "event_type",
+        25,
+    )
+    res = spec.run(load_table(spark, sf, "events"))
+    per = res.metrics.select(
+        F.col("event_type").alias("partition_key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("age_seconds"),
+    )
+    v = res.verdicts.select("partition_key", "verdict")
+    return per.join(v, on="partition_key")
+
+
 def q_events_profile(spark: SparkSession, sf: str) -> DataFrame:
     """checks/profile.py one-pass profiler over the events table (exact
     cardinalities for oracle parity; approx_count_distinct is the scale
@@ -1215,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": q_schema_drift,
         "files_viol_diff": q_files_viol_diff,
         "events_profile": q_events_profile,
+        "events_freshness": q_events_freshness,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -2845,6 +2871,23 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["files_rule_viols"] = _rowrule_viols_oracle()
     out["files_viol_diff"] = _viol_diff_oracle()
     out["events_profile"] = _events_profile_oracle()
+    out["events_freshness"] = """
+        WITH per AS (
+          SELECT event_type AS partition_key, count(*) AS n_rows, max(ts) AS max_ts
+          FROM events GROUP BY 1
+        ),
+        g AS (SELECT max(max_ts) AS gm FROM per),
+        j AS (
+          SELECT p.partition_key, CAST(p.n_rows AS BIGINT) AS n_rows,
+                 CAST(floor(epoch(g.gm)) AS BIGINT)
+                   - CAST(floor(epoch(p.max_ts)) AS BIGINT) AS age_seconds
+          FROM per p CROSS JOIN g
+        )
+        SELECT partition_key, n_rows, age_seconds,
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN age_seconds > 1800 THEN 'FAIL' ELSE 'PASS' END AS verdict
+        FROM j
+    """
     out["schema_drift"] = """
         SELECT * FROM (VALUES
           ('repo', 'ok', 'string', 'string'),

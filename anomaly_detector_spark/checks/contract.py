@@ -21,9 +21,16 @@ declare (flagging accidental wide reads / schema drift on ingest).
 
 ``run_schema_contract`` wraps it in the CheckResult envelope (one
 verdict row per column, partition_key = the column name) so a schema
-gate can ride run_suite / run_with_manifest next to the data checks —
-and under revalidate mode the manifest history shows WHEN a column
-appeared, vanished, or changed type.
+gate can ride run_suite next to the data checks — and under revalidate
+mode the manifest history shows WHEN a column appeared, vanished, or
+changed type.
+
+CAVEAT — manifest-committed suites: this check's verdict partition_keys
+are COLUMN NAMES, not data-partition values, so committed_partitions'
+per-partition check counting (plans/manifest.py:60-77) would see every
+data partition as one check short and never commit it. Run it in
+run_suite (no manifest), standalone, or under revalidate=True where the
+prune is skipped anyway; don't add it to a resuming manifest suite.
 """
 
 from __future__ import annotations
