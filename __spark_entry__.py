@@ -670,6 +670,26 @@ def q_files_viol_diff(spark: SparkSession, sf: str) -> DataFrame:
     return violations_diff(cur, prev)
 
 
+def q_files_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/rowrules.py quarantine split (write-audit-publish gate):
+    zero-join, zero-shuffle row routing with failed-rule attribution;
+    per-lang accounting of clean rows ('_clean') and per-rule quarantine
+    counts (a row failing two rules counts under both)."""
+    from anomaly_detector_spark.checks.rowrules import quarantine_by_rules
+
+    files = files_view(spark, sf).drop("doc_id")
+    clean, quar = quarantine_by_rules(files, _rowrule_specs())
+    per_rule = (
+        quar.select("lang", F.explode("failed_rules").alias("rule"))
+        .groupBy("lang", "rule")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    clean_n = clean.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        "lang", F.lit("_clean").alias("rule"), "n"
+    )
+    return per_rule.unionByName(clean_n)
+
+
 def q_events_freshness(spark: SparkSession, sf: str) -> DataFrame:
     """checks/freshness.py with the deterministic self-relative anchor
     (as_of='max'): per-event-type staleness vs the table's own newest
@@ -1241,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_viol_diff": q_files_viol_diff,
         "events_profile": q_events_profile,
         "events_freshness": q_events_freshness,
+        "files_quarantine": q_files_quarantine,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -2870,6 +2891,25 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["files_rowrules"] = _rowrules_oracle()
     out["files_rule_viols"] = _rowrule_viols_oracle()
     out["files_viol_diff"] = _viol_diff_oracle()
+    out["files_quarantine"] = f"""
+        WITH {FILES_CTE_SQL},
+        {_ROWRULE_FLAGS_CTE}
+        SELECT lang, 'format_commit' AS rule, CAST(count(*) AS BIGINT) AS n
+        FROM flags WHERE bad_fmt GROUP BY 1
+        UNION ALL
+        SELECT lang, 'accepted_lang', CAST(count(*) AS BIGINT)
+        FROM flags WHERE bad_acc GROUP BY 1
+        UNION ALL
+        SELECT lang, 'complete_content', CAST(count(*) AS BIGINT)
+        FROM flags WHERE bad_cmp GROUP BY 1
+        UNION ALL
+        SELECT lang, 'size_cap', CAST(count(*) AS BIGINT)
+        FROM flags WHERE bad_sz GROUP BY 1
+        UNION ALL
+        SELECT lang, '_clean', CAST(count(*) AS BIGINT)
+        FROM flags WHERE NOT bad_fmt AND NOT bad_acc AND NOT bad_cmp AND NOT bad_sz
+        GROUP BY 1
+    """
     out["events_profile"] = _events_profile_oracle()
     out["events_freshness"] = """
         WITH per AS (

@@ -139,6 +139,40 @@ run_completeness._rule_builder = _completeness_rule  # type: ignore[attr-defined
 run_row_predicate._rule_builder = _predicate_rule  # type: ignore[attr-defined]
 
 
+def quarantine_by_rules(
+    df: DataFrame, specs: list[CheckSpec]
+) -> tuple[DataFrame, DataFrame]:
+    """Split the table into (clean, quarantined) by the rule set.
+
+    The validation engine's enforcement mode: instead of reporting
+    violations, route rows that fail ANY rule into a quarantine frame
+    carrying a ``failed_rules array<string>`` column (the rule names, in
+    spec order) and let only clean rows through — the write-audit-publish
+    pattern's gate.
+
+    Scale shape: ZERO joins and ZERO shuffles. Every rule is a codegen'd
+    boolean computed once into an array column; clean/quarantined are two
+    filters of the same narrow map, so both frames together cost one scan
+    each (Catalyst prunes to the rule columns + whatever the consumer
+    selects). Contrast with quarantining via anti-join against a
+    violations sink, which shuffles the full table on the row key.
+    """
+    built = [(s, *s.fn._rule_builder(s)) for s in specs]  # type: ignore[attr-defined]
+    fails = F.filter(
+        F.array(
+            *[
+                F.when(bad, F.lit(s.name)).otherwise(F.lit(None))
+                for s, bad, _, _ in built
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("failed_rules", fails)
+    clean = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = tagged.where(F.size("failed_rules") > 0)
+    return clean, quarantined
+
+
 def combined_rule_verdicts(
     agg: DataFrame, part: str, built: list, bad_prefix: str = "n_bad_"
 ) -> DataFrame:

@@ -223,3 +223,18 @@ def test_folded_rules_add_no_scans(spark, tmp_path):
     # identically (=> canonically equal => one runtime stage)
     assert len(set(extra)) == 1, extra
     assert "commit" in extra[0] and "content" in extra[0] and "lang" in extra[0]
+
+
+def test_quarantine_by_rules(spark):
+    from anomaly_detector_spark.checks.rowrules import quarantine_by_rules
+
+    df = _base(spark)
+    clean, quar = quarantine_by_rules(df, _specs())
+    assert {r["path"] for r in clean.collect()} == {"a"}  # only row passing all 4
+    got = {r["path"]: sorted(r["failed_rules"]) for r in quar.collect()}
+    assert got["b"] == ["cmp", "sz"]      # NULL content: completeness + predicate
+    assert got["c"] == ["fmt"]            # bad commit format
+    assert got["e"] == ["acc", "fmt"]     # NULL commit + disallowed lang
+    assert got["d"] == ["sz"]             # 100 chars > 10
+    # split is exhaustive and disjoint
+    assert clean.count() + quar.count() == df.count()
