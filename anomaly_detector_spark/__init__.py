@@ -14,6 +14,12 @@ files ``(repo, path, commit, lang, content)``:
   and a median gate                      (checks.drift)
 * per-row sha256(content) invariant      (functions.hashing)
 * per-partition lineage + resumable manifest (manifest)
+* row-level constraint rules + quarantine (checks.rowrules)
+* schema contract vs physical schema     (checks.contract)
+* metric-history anomalies over manifest runs (checks.history)
+* one-pass table profiler                (checks.profile)
+* per-partition freshness verdicts       (checks.freshness)
+* run-over-run violation diffing         (plans.diff)
 
 plus large-scale training-data-pipeline operators (operators.dedup,
 operators.similarity, operators.text, operators.multimodal, operators.windows)

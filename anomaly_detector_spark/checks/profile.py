@@ -63,17 +63,23 @@ def profile_table(
     columns: list[str] | None = None,
     exact: bool = False,
     round_to: int = 4,
+    by: str | None = None,
 ) -> DataFrame:
-    """Long-form profile: one row per (column, metric).
+    """Long-form profile: one row per (column, metric) — or per
+    (``by``-value, column, metric) when ``by`` names a partition column.
 
     Metrics: n_rows, n_null, null_frac, n_distinct, and — where the type
     is measurable — min/max/mean of the value (numerics/timestamps) or of
     the length (strings/binaries). Unmeasurable types report the first
     four only. For string columns min/max/mean describe LENGTHS, which is
     what a length-cap or empty-string rule needs.
+
+    The grouped form stays ONE aggregate over ONE scan (now a
+    partial-aggregated groupBy shuffle of O(partitions) wide rows); the
+    unpivot branches all select the same aggregated frame.
     """
     fields = {f.name: f for f in df.schema.fields}
-    columns = columns or list(fields)
+    columns = columns or [n for n in fields if n != by]
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
     for name in columns:
         c = F.col(name)
@@ -88,7 +94,7 @@ def profile_table(
             aggs.append(F.min(v).alias(f"__min_{name}"))
             aggs.append(F.max(v).alias(f"__max_{name}"))
             aggs.append(F.avg(v).alias(f"__mean_{name}"))
-    wide = df.agg(*aggs)
+    wide = df.groupBy(by).agg(*aggs) if by is not None else df.agg(*aggs)
 
     parts: list[DataFrame] = []
     for name in columns:
@@ -106,16 +112,101 @@ def profile_table(
                 ("mean", f"ROUND(__mean_{name}, {round_to})"),
             ]
         body = ", ".join(f"'{m}', {e}" for m, e in pairs)
-        parts.append(
-            wide.selectExpr(
-                f"'{name}' AS `column`",
-                f"stack({len(pairs)}, {body}) AS (metric, value)",
-            )
-        )
+        sel = [
+            f"'{name}' AS `column`",
+            f"stack({len(pairs)}, {body}) AS (metric, value)",
+        ]
+        if by is not None:
+            sel.insert(0, f"`{by}`")
+        parts.append(wide.selectExpr(*sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def suggest_rules(
+    df: DataFrame,
+    partition_col: str = "lang",
+    columns: list[str] | None = None,
+    max_domain: int = 20,
+    length_headroom: float = 2.0,
+    min_rows: int = 25,
+    exact: bool = False,
+):
+    """Profile-driven constraint suggestion (the Deequ
+    ConstraintSuggestion shape): measure a trusted snapshot, emit the
+    CheckSpecs that encode its status quo, then run them against future
+    snapshots ("suggest on yesterday, validate today").
+
+    Heuristics, all deterministic from the profile:
+
+    * ``null_frac == 0``                  -> completeness rule;
+    * string column with ``0 < n_distinct <= max_domain``
+                                          -> accepted_values over the
+      observed domain (collected sorted — one tiny job per such column,
+      bounded by max_domain rows);
+    * string column with observed max length L
+                                          -> size predicate
+      ``length(col) <= ceil(L * length_headroom)``.
+
+    Driver-side authoring tool: one profile pass + one small job per
+    domain column; the OUTPUT is a plain list[CheckSpec] for run_suite /
+    run_with_manifest, so suggestion cost is paid once, never per run.
+    """
+    import math
+
+    from .base import CheckSpec
+    from .rowrules import run_accepted_values, run_completeness, run_row_predicate
+
+    fields = {f.name: f for f in df.schema.fields}
+    # the partition column is still a data column — a domain rule on it is
+    # often exactly the constraint wanted (cf. the referential check)
+    columns = columns or list(fields)
+    prof = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, columns=columns, exact=exact).collect()
+    }
+    specs: list[CheckSpec] = []
+    for name in columns:
+        if prof[(name, "null_frac")] == 0.0:
+            specs.append(
+                CheckSpec(
+                    f"suggest_complete_{name}",
+                    run_completeness,
+                    {"column": name},
+                    partition_col,
+                    min_rows,
+                )
+            )
+        is_string = isinstance(fields[name].dataType, T.StringType)
+        n_distinct = prof[(name, "n_distinct")]
+        if is_string and 0 < n_distinct <= max_domain:
+            domain = sorted(
+                r[0]
+                for r in df.select(name).where(F.col(name).isNotNull()).distinct().collect()
+            )
+            specs.append(
+                CheckSpec(
+                    f"suggest_domain_{name}",
+                    run_accepted_values,
+                    {"column": name, "values": domain, "allow_null": prof[(name, "n_null")] > 0},
+                    partition_col,
+                    min_rows,
+                )
+            )
+        if is_string and (name, "max") in prof and prof[(name, "max")] is not None:
+            cap = int(math.ceil(prof[(name, "max")] * length_headroom))
+            specs.append(
+                CheckSpec(
+                    f"suggest_maxlen_{name}",
+                    run_row_predicate,
+                    {"expr": f"length({name}) <= {cap} OR {name} IS NULL"},
+                    partition_col,
+                    min_rows,
+                )
+            )
+    return specs
 
 
 def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:

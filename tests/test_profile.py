@@ -72,3 +72,64 @@ def test_top_values(spark):
     # NULL counts as a value
     nulls = top_values(df.where(F.col("s").isNull()), "s", 1).collect()[0]
     assert nulls["value"] is None and nulls["n"] == 1
+
+
+def test_profile_grouped(spark):
+    df = _df(spark).withColumn("grp", F.when(F.col("i") == 2, "a").otherwise("b"))
+    out = {
+        (r["grp"], r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, columns=["i", "v"], by="grp", exact=True).collect()
+    }
+    assert out[("a", "i", "n_rows")] == 2.0
+    assert out[("b", "i", "n_rows")] == 2.0
+    assert out[("a", "i", "n_distinct")] == 1.0
+    assert out[("b", "i", "min")] == 1.0 and out[("b", "i", "max")] == 3.0
+    assert out[("a", "v", "n_null")] == 1.0
+    # the by column itself is excluded from the default column set
+    full = profile_table(df, by="grp", exact=True)
+    assert "grp" not in {r["column"] for r in full.collect()}
+
+
+def test_suggest_rules_roundtrip(spark):
+    """Suggest on a trusted snapshot -> all suggested rules PASS on it;
+    a drifted snapshot (new domain value, oversized content, new NULLs)
+    FAILs the matching rules."""
+    from anomaly_detector_spark.checks.base import FAIL, PASS
+    from anomaly_detector_spark.checks.profile import suggest_rules
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    trusted = spark.createDataFrame(
+        [("r", f"p{i}", f"c{i}", "python" if i % 2 else "go", "x" * 10) for i in range(40)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    specs = suggest_rules(trusted, partition_col="lang", min_rows=1)
+    names = {s.name for s in specs}
+    assert "suggest_complete_content" in names
+    assert "suggest_domain_lang" in names
+    assert "suggest_maxlen_content" in names
+    dom = next(s for s in specs if s.name == "suggest_domain_lang")
+    assert dom.config["values"] == ["go", "python"] and dom.config["allow_null"] is False
+
+    res = run_suite(trusted, suite=specs, fused=True)
+    assert {r["verdict"] for r in res.verdicts.collect()} == {PASS}
+
+    drifted = trusted.unionByName(
+        spark.createDataFrame(
+            [
+                ("r", "new1", "cX", "cobol", "x" * 10),   # outside domain
+                ("r", "new2", "cY", "python", "x" * 100), # over the 2x length cap
+                ("r", "new3", "cZ", "go", None),          # new NULL content
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    res2 = run_suite(drifted, suite=specs, fused=True)
+    by = {s.id: s.name for s in specs}
+    fails = {
+        (by[r["check_id"]], r["partition_key"])
+        for r in res2.verdicts.collect()
+        if r["verdict"] == FAIL
+    }
+    assert ("suggest_domain_lang", "cobol") in fails
+    assert ("suggest_maxlen_content", "python") in fails
+    assert ("suggest_complete_content", "go") in fails

@@ -216,13 +216,20 @@ def test_folded_rules_add_no_scans(spark, tmp_path):
 
     base_schemas = re.findall(r"ReadSchema: (\S+)", plan(base.verdicts))
     cons_schemas = re.findall(r"ReadSchema: (\S+)", plan(cons.verdicts))
-    extra = list(cons_schemas)
-    for s in base_schemas:
-        extra.remove(s)
-    # every extra scan is a rule-verdict branch and all are pruned
-    # identically (=> canonically equal => one runtime stage)
-    assert len(set(extra)) == 1, extra
-    assert "commit" in extra[0] and "content" in extra[0] and "lang" in extra[0]
+    # The union prints one subtree per per-check filtered view, so the raw
+    # scan count grows with check count by construction. The reuse-enabling
+    # property is that rules introduce NO NEW PRUNING VARIANT: every scan
+    # schema in the constraint plan is a (possibly rule-column-widened)
+    # copy of an existing one, so the number of DISTINCT schemas — i.e.
+    # distinct aggregate stages AQE must actually run — does not grow.
+    extra_distinct = set(cons_schemas) - set(base_schemas)
+    assert extra_distinct == {"struct<commit:string,lang:string,content:string>"}, (
+        sorted(set(cons_schemas)), sorted(set(base_schemas))
+    )
+    # and ALL row-check branches (stats, referential, 4 rules) share that
+    # one widened schema — one aggregate stage at runtime
+    row_check = [s for s in cons_schemas if s in extra_distinct]
+    assert len(row_check) >= 6
 
 
 def test_quarantine_by_rules(spark):
