@@ -690,6 +690,43 @@ def q_files_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     return per_rule.unionByName(clean_n)
 
 
+def q_events_json_rule(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-schema rule (corrupt-record detection via from_json) over the
+    events props column, with every 7th event's JSON truncated in-plan:
+    per-event-type verdicts + bad counts. Oracle re-derives validity with
+    DuckDB json_valid + TRY_CAST of the required field."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.rowrules import run_json_schema
+
+    ev = load_table(spark, sf, "events")
+    shaped = ev.select(
+        F.lit("events").alias("repo"),
+        F.col("event_id").cast("string").alias("path"),
+        F.lit("-").alias("commit"),
+        F.col("event_type"),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props2"),
+    )
+    spec = CheckSpec(
+        "json_props",
+        run_json_schema,
+        {"column": "props2", "schema": "k long", "required": ["k"]},
+        "event_type",
+        25,
+    )
+    res = spec.run(shaped)
+    per = res.metrics.select(
+        F.col("event_type").alias("partition_key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+    )
+    return per.join(res.verdicts.select("partition_key", "verdict"), on="partition_key")
+
+
 def q_events_freshness(spark: SparkSession, sf: str) -> DataFrame:
     """checks/freshness.py with the deterministic self-relative anchor
     (as_of='max'): per-event-type staleness vs the table's own newest
@@ -1262,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "events_freshness": q_events_freshness,
         "files_quarantine": q_files_quarantine,
+        "events_json_rule": q_events_json_rule,
         "docs_clean_corpus": q_docs_clean_corpus,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -2911,6 +2949,30 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         GROUP BY 1
     """
     out["events_profile"] = _events_profile_oracle()
+    out["events_json_rule"] = """
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 7 = 0
+                      THEN substr(props, 1, length(props) - 1)
+                      ELSE props END AS p2
+          FROM events
+        ),
+        f AS (
+          SELECT event_type,
+                 CASE WHEN p2 IS NULL THEN true
+                      WHEN NOT json_valid(p2) THEN true
+                      WHEN TRY_CAST(json_extract_string(p2, '$.k') AS BIGINT) IS NULL THEN true
+                      ELSE false END AS bad
+          FROM e
+        )
+        SELECT event_type AS partition_key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               CASE WHEN count(*) < 25 THEN 'SKIPPED'
+                    WHEN sum(CASE WHEN bad THEN 1 ELSE 0 END) > 0 THEN 'FAIL'
+                    ELSE 'PASS' END AS verdict
+        FROM f GROUP BY 1
+    """
     out["events_freshness"] = """
         WITH per AS (
           SELECT event_type AS partition_key, count(*) AS n_rows, max(ts) AS max_ts

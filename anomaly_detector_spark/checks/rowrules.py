@@ -83,6 +83,34 @@ def _completeness_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
     return F.col(col).isNull(), _obs(col), f"{col} is not null"
 
 
+def _json_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    """Valid-JSON-matching-schema rule via the corrupt-record column:
+    ``from_json`` PERMISSIVE can't distinguish malformed input from a
+    parseable object with missing fields (both yield a null-filled
+    struct), so the schema gets an appended corrupt-record field — it is
+    non-null exactly when the parse (or a declared field's type) failed.
+    ``required`` fields must additionally be present and non-null.
+    Note: a top-level JSON scalar ('5') counts corrupt under Spark's
+    struct parser — mirror engines accordingly."""
+    col = spec.config["column"]
+    ddl = spec.config["schema"]
+    required = list(spec.config.get("required", []))
+    allow_null = bool(spec.config.get("allow_null", False))
+    parsed = F.from_json(
+        F.col(col),
+        ddl + ", _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    ok = parsed["_corrupt"].isNull()
+    for f in required:
+        ok = ok & parsed[f].isNotNull()
+    bad = ~F.coalesce(F.when(F.col(col).isNotNull(), ok), F.lit(allow_null))
+    expected = f"{col} json matches ({ddl})"
+    if required:
+        expected += f" required [{','.join(required)}]"
+    return bad, _obs(col), expected
+
+
 def _predicate_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
     expr = spec.config["expr"]
     observed = spec.config.get("observed_expr")
@@ -131,12 +159,17 @@ def run_row_predicate(df: DataFrame, spec: CheckSpec) -> CheckResult:
     return _run_rule(df, spec, _predicate_rule)
 
 
+def run_json_schema(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    return _run_rule(df, spec, _json_rule)
+
+
 # The fused suite groups any spec whose fn carries `_rule_builder` into
 # one combined two-scan pass (fused_rule_checks below).
 run_format._rule_builder = _format_rule  # type: ignore[attr-defined]
 run_accepted_values._rule_builder = _accepted_rule  # type: ignore[attr-defined]
 run_completeness._rule_builder = _completeness_rule  # type: ignore[attr-defined]
 run_row_predicate._rule_builder = _predicate_rule  # type: ignore[attr-defined]
+run_json_schema._rule_builder = _json_rule  # type: ignore[attr-defined]
 
 
 def quarantine_by_rules(

@@ -245,3 +245,37 @@ def test_quarantine_by_rules(spark):
     assert got["d"] == ["sz"]             # 100 chars > 10
     # split is exhaustive and disjoint
     assert clean.count() + quar.count() == df.count()
+
+
+def test_json_schema_rule(spark):
+    from anomaly_detector_spark.checks.rowrules import run_json_schema
+
+    df = spark.createDataFrame(
+        [
+            ("r", "a", "c", "python", '{"k": 69}'),
+            ("r", "b", "c", "python", '{"k": 69'),     # malformed
+            ("r", "c", "c", "python", '{"j": 1}'),     # k missing
+            ("r", "d", "c", "python", '{"k": "x"}'),   # k wrong type -> corrupt
+            ("r", "e", "c", "python", None),           # NULL column
+            ("r", "f", "c", "python", "{}"),           # k missing
+        ],
+        FILES_COLS,
+    )
+    spec = CheckSpec(
+        "js", run_json_schema,
+        {"column": "content", "schema": "k long", "required": ["k"]},
+        "lang", 1,
+    )
+    res = spec.run(df)
+    assert {r["path"] for r in res.violations.collect()} == {"b", "c", "d", "e", "f"}
+    assert res.violations.collect()[0]["expected"] == "content json matches (k long) required [k]"
+    # without `required`, well-formed objects pass regardless of fields
+    lax = CheckSpec(
+        "js", run_json_schema,
+        {"column": "content", "schema": "k long", "allow_null": True},
+        "lang", 1,
+    )
+    assert {r["path"] for r in lax.run(df).violations.collect()} == {"b", "d"}
+    # json rule composes with the fused group
+    fused = fused_rule_checks(df, [spec] + _specs())
+    assert "js" in fused
