@@ -54,6 +54,15 @@ class CheckResult:
     # invocations (streaming micro-batches, bench loops) don't leak
     # executor storage memory for the session lifetime.
     caches: list[DataFrame] = field(default_factory=list)
+    # When several checks' verdicts come off ONE shared plan (the fused
+    # row-check family: stats + referential + rules over a single
+    # aggregate), every member carries the SAME combined frame here and
+    # `verdicts` is a filtered view of it. Suite-level consumers must
+    # union the shared frame once (dedup by object identity) instead of
+    # unioning the views — measured (Spark 4.1, AQE on): a union of the
+    # filtered views re-executed the shared aggregate once per branch;
+    # exchange reuse did not collapse them.
+    shared_verdicts: DataFrame | None = None
 
 
 @dataclass

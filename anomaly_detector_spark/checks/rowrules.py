@@ -322,5 +322,6 @@ def fused_rule_checks(
         results[s.name] = CheckResult(
             violations=violations_all if i == 0 else empty_violations(df),
             verdicts=combined.where(F.col("check_id") == s.id),
+            shared_verdicts=combined,
         )
     return results

@@ -58,9 +58,10 @@ def fused_row_checks(
     ref_spec: CheckSpec,
     dim: DataFrame,
     rule_specs: list[CheckSpec] | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, dict[str, CheckResult]]:
-    """(stats_verdicts, ref_verdicts, violations, rule_results) from one
-    agg + one filter scan.
+) -> tuple[DataFrame, DataFrame, DataFrame, dict[str, CheckResult], DataFrame]:
+    """(stats_verdicts, ref_verdicts, violations, rule_results,
+    combined_verdicts) from one agg + one filter scan; the per-check
+    verdict frames are filtered views of combined_verdicts.
 
     Row-rule checks (checks/rowrules.py) fold into the SAME two passes:
     each rule adds a conditional sum to the existing verdict aggregate
@@ -141,6 +142,9 @@ def fused_row_checks(
         F.col(part).cast("string").alias("partition_key"),
         F.explode(F.array(*vstructs)).alias("_v"),
     ).select("partition_key", "_v.check_id", "_v.verdict", "_v.metrics")
+    # per-check frames are filtered VIEWS; suite-level consumers union
+    # `shared_verdicts` once instead (see CheckResult.shared_verdicts —
+    # a union of the views re-runs the aggregate per branch).
     stats_verdicts = combined_verdicts.where(F.col("check_id") == stats_spec.id)
     ref_verdicts = combined_verdicts.where(F.col("check_id") == ref_spec.id)
 
@@ -200,10 +204,11 @@ def fused_row_checks(
         s.name: CheckResult(
             violations=empty_violations(df),  # rule rows ride `violations`
             verdicts=combined_verdicts.where(F.col("check_id") == s.id),
+            shared_verdicts=combined_verdicts,
         )
         for s, _, _, _ in built
     }
-    return stats_verdicts, ref_verdicts, violations, rule_results
+    return stats_verdicts, ref_verdicts, violations, rule_results, combined_verdicts
 
 
 def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
@@ -358,11 +363,15 @@ def run_suite_fused(df: DataFrame, suite: list[CheckSpec] | None = None) -> Suit
         # the suite carries.
         folded = [s for s in rule_specs if s.partition_col == stats_spec.partition_col]
         dim = allowed_langs_df(df.sparkSession)
-        sv, rv, viol, rule_results = fused_row_checks(
+        sv, rv, viol, rule_results, combined = fused_row_checks(
             df, stats_spec, ref_spec, dim, rule_specs=folded
         )
-        results["stats"] = CheckResult(violations=empty_violations(df), verdicts=sv)
-        results["referential"] = CheckResult(violations=empty_violations(df), verdicts=rv)
+        results["stats"] = CheckResult(
+            violations=empty_violations(df), verdicts=sv, shared_verdicts=combined
+        )
+        results["referential"] = CheckResult(
+            violations=empty_violations(df), verdicts=rv, shared_verdicts=combined
+        )
         results.update(rule_results)
         extra_violations.append(viol)
     else:
@@ -395,7 +404,9 @@ def run_suite_fused(df: DataFrame, suite: list[CheckSpec] | None = None) -> Suit
         DataFrame.unionByName,
         [r.violations for r in results.values()] + extra_violations,
     )
-    verdicts = reduce(DataFrame.unionByName, [r.verdicts for r in results.values()])
+    from .suite import union_check_verdicts
+
+    verdicts = union_check_verdicts(results)
     verdicts = verdicts.withColumn("emitted_at", F.current_timestamp())
     return SuiteResult(violations=violations, verdicts=verdicts, per_check=results)
 

@@ -88,6 +88,26 @@ class SuiteResult:
         return v.unionByName(w.select("check_id", "verdict", "n", "kind"))
 
 
+def union_check_verdicts(results: dict[str, CheckResult]) -> DataFrame:
+    """Union per-check verdicts, taking each SHARED combined frame once.
+
+    Checks whose verdicts are filtered views of one shared plan (the
+    fused row-check family) expose it via CheckResult.shared_verdicts;
+    unioning the views instead would re-execute the shared aggregate once
+    per check — measured as one extra full table pass per branch (Spark
+    does not collapse them via exchange reuse)."""
+    frames: list[DataFrame] = []
+    seen: set[int] = set()
+    for r in results.values():
+        if r.shared_verdicts is not None:
+            if id(r.shared_verdicts) not in seen:
+                seen.add(id(r.shared_verdicts))
+                frames.append(r.shared_verdicts)
+        else:
+            frames.append(r.verdicts)
+    return reduce(DataFrame.unionByName, frames)
+
+
 def default_suite(partition_col: str = "lang", min_rows: int = 25) -> list[CheckSpec]:
     return [
         CheckSpec("stats", run_stats, {"column": "content", "approx": True}, partition_col, min_rows),
@@ -185,7 +205,7 @@ def run_suite(
         return run_suite_fused(df, suite)
     results = {s.name: s.run(df) for s in suite}
     violations = reduce(DataFrame.unionByName, [r.violations for r in results.values()])
-    verdicts = reduce(DataFrame.unionByName, [r.verdicts for r in results.values()])
+    verdicts = union_check_verdicts(results)
     # Envelope columns mirroring the reference's output message
     # {pipeline_id, operator_id, analytics, time} (/root/reference/util/op_base.py:86-97).
     verdicts = verdicts.withColumn("emitted_at", F.current_timestamp())
