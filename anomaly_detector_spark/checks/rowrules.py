@@ -217,8 +217,10 @@ def combined_rule_verdicts(
     column-pruned differently per rule, making each branch's aggregate
     subtree unique — no exchange reuse, one table re-scan PER RULE
     (caught by test_folded_rules_add_no_scans). One explode keeps a
-    single aggregate subtree; per-check views filter it. Verdict
-    semantics identical to base.verdict_frame."""
+    single aggregate subtree; per-check views filter it — and suite-level
+    consumers must union THIS frame once (CheckResult.shared_verdicts),
+    not the views, since Spark re-runs even identical aggregates per
+    union branch. Verdict semantics identical to base.verdict_frame."""
     from .base import FAIL, PASS, SKIPPED
 
     structs = []

@@ -92,11 +92,12 @@ def fused_row_checks(
     # EVERY row-pass check's verdict comes off ONE explode over the same
     # aggregate. Separate verdict_frame selects per check would be
     # column-pruned into per-check aggregate subtrees (the rule branches
-    # keep only counts, the stats branch keeps percentiles) — canonically
-    # different plans, no exchange-stage reuse, one extra table pass per
-    # distinct pruning (measured +4.8s at 8M/local[8] for the rule
-    # group). The explode forces one shared aggregate; per-check frames
-    # are filtered views, which AQE collapses to a single runtime stage.
+    # keep only counts, the stats branch keeps percentiles) — one extra
+    # table pass per distinct pruning (measured +4.8s at 8M/local[8] for
+    # the rule group). NOTE: a union of the per-check filtered views
+    # ALSO re-runs the aggregate per branch (Spark does not reuse
+    # identical aggregates across union branches) — suite consumers must
+    # union the combined frame once; see CheckResult.shared_verdicts.
     from ..checks.base import FAIL, PASS, SKIPPED
 
     def _vstruct(cid: str, fail, skip, metric_pairs: list[tuple[str, str]]) -> F.Column:
