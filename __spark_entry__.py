@@ -772,34 +772,33 @@ def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.checks.history import flag_metric_anomalies
 
     files = files_view(spark, sf)
-    runs = []
-    for r in range(6):
-        cond = (
-            (F.col("doc_id") % 6 == r)
-            if r < 5
-            else (F.col("doc_id") % 6).isin(5, 0)
-        )
-        runs.append(
-            files.where(cond)
-            .groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("n_rows"),
-                (
-                    F.sum(F.length("content")).cast("double") / F.count(F.lit(1))
-                ).alias("avg_len"),
-            )
-            .select(
-                F.lit(r).alias("r"),
-                F.col("lang").alias("partition_key"),
-                F.lit("stats").alias("check_id"),
-                F.expr(
-                    "stack(2, 'n_rows', n_rows, 'avg_len', avg_len) as (metric, value)"
-                ),
-            )
-        )
-    hist = runs[0]
-    for x in runs[1:]:
-        hist = hist.unionByName(x)
+    # ONE scan: per-(lang, doc_id%6 bucket) partials, then the bucket->run
+    # mapping (bucket b -> run b; run 5 additionally re-includes bucket 0)
+    # as an explode over the tiny aggregated frame — not six filtered
+    # re-scans of the table.
+    buckets = files.groupBy(
+        "lang", (F.col("doc_id") % 6).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.length("content")).alias("sum_len"),
+    )
+    runs_of_bucket = F.when(F.col("b") == 0, F.array(F.lit(0), F.lit(5))).otherwise(
+        F.array(F.col("b").cast("int"))
+    )
+    per_run = (
+        buckets.select("lang", "cnt", "sum_len", F.explode(runs_of_bucket).alias("r"))
+        .groupBy("lang", "r")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_len").alias("sum_len"))
+    )
+    hist = per_run.select(
+        F.col("r"),
+        F.col("lang").alias("partition_key"),
+        F.lit("stats").alias("check_id"),
+        F.expr(
+            "stack(2, 'n_rows', CAST(cnt AS DOUBLE), "
+            "'avg_len', CAST(sum_len AS DOUBLE) / cnt) as (metric, value)"
+        ),
+    )
     out = flag_metric_anomalies(hist, order_cols=["r"])
     return out.select(
         "partition_key",

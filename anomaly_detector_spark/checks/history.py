@@ -65,6 +65,11 @@ def flag_metric_anomalies(
     population here is the series' own past, not this run's sibling
     partitions — the two checks are complementary axes of the same
     median-gated outlier idea the reference applies per device.
+
+    Note: the latest/prior split filters the ranked frame twice, so the
+    input plan executes twice (union branches never share work — see
+    CheckResult.shared_verdicts). Fine here by construction: the input
+    is the already-tiny manifest/metric frame, never the data table.
     """
     order_cols = order_cols or ["committed_at", "run_id"]
     w = Window.partitionBy(*SERIES_KEY).orderBy(
