@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
         "additionally adds the fused row-rule checks (new suite_id -> revalidates)",
     )
     p.add_argument(
+        "--suite-config", default=None,
+        help="path to a declarative JSON suite document (plans/config.py); "
+        "overrides --suite. Content-addressed check ids make a config-loaded "
+        "suite manifest-identical to the equivalent code-built one.",
+    )
+    p.add_argument(
         "--revalidate", action="store_true",
         help="scheduled re-validation: skip the committed-partition prune and "
         "append a fresh metrics row per partition under this run_id "
@@ -87,12 +93,19 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.manifest import run_with_manifest
     from .plans.suite import constraint_suite, default_suite, extended_suite
 
-    make_suite = {
-        "default": default_suite,
-        "extended": extended_suite,
-        "constraint": constraint_suite,
-    }[args.suite]
-    suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
+    if args.suite_config:
+        from pathlib import Path
+
+        from .plans.config import suite_from_config
+
+        suite = suite_from_config(Path(args.suite_config))
+    else:
+        make_suite = {
+            "default": default_suite,
+            "extended": extended_suite,
+            "constraint": constraint_suite,
+        }[args.suite]
+        suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     # The violations sink is passed INTO the run so it is written before
     # the manifest commit — a crash in between re-runs the partitions
     # rather than losing their violation rows (resume would otherwise

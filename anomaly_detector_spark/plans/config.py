@@ -1,0 +1,155 @@
+"""Declarative suite config: JSON document -> list[CheckSpec].
+
+The reference wires its validation graph from deployment config (env
+vars + a selector dict, /root/reference/util/config.py:22-33,
+/root/reference/main.py:20-53). The Spark-native analog is a
+declarative check-suite document — the shape Deequ/Great-Expectations
+users expect — so a suite lives next to the data contract in version
+control instead of in code:
+
+    {
+      "partition_col": "lang",
+      "min_rows": 25,
+      "checks": [
+        {"check": "stats", "column": "content", "approx": true},
+        {"check": "uniqueness"},
+        {"check": "format", "name": "format_commit",
+         "column": "commit", "pattern": "^[0-9a-f]{40}$"}
+      ]
+    }
+
+Every key other than the reserved four (check, name, partition_col,
+min_rows) is the check's config dict, verbatim. Because check ids are
+content-addressed (sha256 of the canonical config, checks/base.py), a
+config-loaded suite is indistinguishable from the code-built one: same
+check ids, same suite_id, same manifest rows — switching a deployment
+from code-built suites to config files re-validates NOTHING. That
+round-trip (suite_to_config -> suite_from_config -> identical ids) is
+pinned in tests/test_config.py.
+
+Scale note: this module is pure driver-side metadata — no Spark jobs,
+no scans. The fused runner (plans/fused.py) folds however many rule
+checks the document declares into the same shared passes it uses for
+code-built suites; declaring 40 rules in JSON still costs one
+violations scan + one verdict aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+from ..checks.base import CheckSpec
+
+_RESERVED = {"check", "name", "partition_col", "min_rows"}
+
+
+def _registry() -> dict[str, Callable]:
+    # imported lazily so `import anomaly_detector_spark.plans.config`
+    # stays cheap and cycle-free
+    from ..checks.contract import run_schema_contract
+    from ..checks.drift import run_count_drift, run_drift
+    from ..checks.freshness import run_freshness
+    from ..checks.referential import run_referential
+    from ..checks.rowrules import (
+        run_accepted_values,
+        run_completeness,
+        run_format,
+        run_json_schema,
+        run_row_predicate,
+    )
+    from ..checks.stats import run_stats
+    from ..checks.uniqueness import run_uniqueness
+
+    return {
+        "stats": run_stats,
+        "uniqueness": run_uniqueness,
+        "referential": run_referential,
+        "drift": run_drift,
+        "count_drift": run_count_drift,
+        "freshness": run_freshness,
+        "schema_contract": run_schema_contract,
+        "format": run_format,
+        "accepted_values": run_accepted_values,
+        "completeness": run_completeness,
+        "row_predicate": run_row_predicate,
+        "json_schema": run_json_schema,
+    }
+
+
+def suite_from_config(doc: dict | str | Path) -> list[CheckSpec]:
+    """Build a suite from a config dict, a JSON string, or a file path."""
+    if isinstance(doc, Path):
+        doc = json.loads(doc.read_text())
+    elif isinstance(doc, str):
+        p = Path(doc)
+        doc = json.loads(p.read_text()) if p.suffix == ".json" and p.exists() else json.loads(doc)
+    if not isinstance(doc, dict):
+        raise TypeError(f"suite config must be a JSON object, got {type(doc).__name__}")
+
+    unknown_top = set(doc) - {"partition_col", "min_rows", "checks"}
+    if unknown_top:
+        raise ValueError(f"unknown suite-config keys: {sorted(unknown_top)}")
+    checks = doc.get("checks")
+    if not isinstance(checks, list) or not checks:
+        raise ValueError("suite config needs a non-empty 'checks' list")
+
+    registry = _registry()
+    default_part = doc.get("partition_col", "lang")
+    default_min = doc.get("min_rows", 25)
+
+    specs: list[CheckSpec] = []
+    seen: set[str] = set()
+    for i, entry in enumerate(checks):
+        if not isinstance(entry, dict) or "check" not in entry:
+            raise ValueError(f"checks[{i}] must be an object with a 'check' key")
+        kind = entry["check"]
+        fn = registry.get(kind)
+        if fn is None:
+            raise ValueError(
+                f"checks[{i}]: unknown check type {kind!r}; known: {sorted(registry)}"
+            )
+        name = entry.get("name", kind)
+        if name in seen:
+            raise ValueError(f"checks[{i}]: duplicate check name {name!r}")
+        seen.add(name)
+        cfg = {k: v for k, v in entry.items() if k not in _RESERVED}
+        specs.append(
+            CheckSpec(
+                name,
+                fn,
+                cfg,
+                entry.get("partition_col", default_part),
+                entry.get("min_rows", default_min),
+            )
+        )
+    return specs
+
+
+def suite_to_config(suite: list[CheckSpec]) -> dict:
+    """Export a code-built suite as the equivalent config document.
+
+    Raises on non-JSON-serializable config values (an injected
+    baseline_df / dim_df is runtime state, not configuration — the same
+    rule CheckSpec.id applies when hashing).
+    """
+    registry = _registry()
+    fn_to_kind = {id(fn): kind for kind, fn in registry.items()}
+    out: list[dict] = []
+    for spec in suite:
+        kind = fn_to_kind.get(id(spec.fn))
+        if kind is None:
+            raise ValueError(
+                f"check {spec.name!r}: fn {getattr(spec.fn, '__name__', spec.fn)!r} "
+                "is not in the config registry"
+            )
+        json.dumps(spec.config)  # fail loudly on runtime-state values
+        entry: dict[str, Any] = {"check": kind}
+        if spec.name != kind:
+            entry["name"] = spec.name
+        entry.update(spec.config)
+        entry["partition_col"] = spec.partition_col
+        entry["min_rows"] = spec.min_rows
+        out.append(entry)
+    return {"checks": out}
