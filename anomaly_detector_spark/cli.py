@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
         "of the newest run against the manifest's metric history",
     )
     p.add_argument(
+        "--max-violations-per-check", type=int, default=None,
+        help="bound the violations SINK to ~N deterministic evidence rows per "
+        "(partition, check); manifest n_violations stays exact",
+    )
+    p.add_argument(
         "--sketches", default=None,
         help="per-run HLL sketch table (parquet dir) for incremental global distincts",
     )
@@ -117,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         sketches_dir=args.sketches,
         quantile_sketches_dir=args.quantile_sketches,
         revalidate=args.revalidate,
+        max_violations_per_check=args.max_violations_per_check,
     )
 
     summary = {

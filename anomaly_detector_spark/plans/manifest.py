@@ -191,6 +191,39 @@ def global_quantiles(
     return quantiles_from_sketches(deduped, list(qs))
 
 
+def sample_violations(
+    violations: DataFrame, counts: DataFrame, per_group: int
+) -> DataFrame:
+    """Deterministic ~per_group evidence sample per (partition_key, check_id).
+
+    Hash-threshold sampling: a row survives iff
+    ``xxhash64(identity) mod 1e6 < 1e6 * min(1, per_group / n_violations)``.
+    Properties that matter at scale:
+
+    * map-only after ONE broadcast join of the O(partitions x checks)
+      counts frame — no per-group sort/rank window, so a pathological
+      10^11-row group costs the same per row as a 10-row group (a rank
+      window would funnel the whole group through one reducer's sort);
+    * deterministic in row identity — retries, speculative tasks, and
+      repartitioning keep the SAME rows, so the at-least-once sink still
+      dedupes exactly;
+    * groups with n <= per_group keep every row (rate folds to 1);
+      larger groups land binomially around per_group — this caps the
+      sink's ORDER, which is the point; exact-N would cost the sort.
+    """
+    rate = F.least(F.lit(1.0), F.lit(float(per_group)) / F.col("n_violations"))
+    keep = F.pmod(
+        F.xxhash64("repo", "path", "commit", "partition_key", "check_id"),
+        F.lit(1_000_000),
+    ) < (rate * 1_000_000)
+    return (
+        violations.join(F.broadcast(counts), ["partition_key", "check_id"], "left")
+        .where(keep)
+        .drop("n_violations")
+        .select(*violations.columns)
+    )
+
+
 def run_with_manifest(
     df: DataFrame,
     manifest_dir: str,
@@ -205,6 +238,7 @@ def run_with_manifest(
     quantile_sketches_dir: str | None = None,
     cache_pending: bool = False,
     revalidate: bool = False,
+    max_violations_per_check: int | None = None,
 ) -> ManifestRun:
     """Run the suite on not-yet-committed partitions; commit once at the end.
 
@@ -225,6 +259,22 @@ def run_with_manifest(
     violation rows possible, at-least-once) instead of silently losing
     them (manifest committed but violations gone — the failure the
     reversed order would allow, since resume prunes committed partitions).
+
+    ``max_violations_per_check``: bound the SINK, never the accounting.
+    At 10^12 rows a hot check (a mega-repo duplicated wholesale) can emit
+    violation rows proportional to the table — an unbounded sink is the
+    operational hazard, while the manifest only ever needs counts. When
+    set, each (partition_key, check_id) group keeps ~N evidence rows via
+    deterministic hash-threshold sampling (keep-rate N/count against
+    xxhash64 of the row identity): map-only after one broadcast join of
+    the already-computed per-group counts — no per-group sort, so a
+    10^11-row group costs the same per row as a small one. Groups at or
+    under N are kept exactly; larger groups are binomial around N. The
+    manifest's n_violations stays EXACT (it aggregates the full frame);
+    the same rows survive retries and repartitioning (hash, not random),
+    so the at-least-once sink stays dedupable. Run-over-run diffing
+    (plans/diff.py) over a sampled sink is approximate by construction —
+    a row absent from the sample is not evidence it was resolved.
 
     ``count_skipped_rows=True`` additionally counts input rows pruned
     because their partition was already committed — streaming callers use
@@ -303,13 +353,28 @@ def run_with_manifest(
 
     res = run_suite(pending, suite=suite, cache=False)
 
+    # Violation accounting is a plain groupBy on the envelope's own
+    # partition_key (carried at emission, checks/base.py as_violations) —
+    # no join back to the pending table, no extra wide shuffle. Computed
+    # here (before the sink write) because the sampler reuses the counts;
+    # cached only in that case, since the sampler would otherwise run the
+    # violations plan a third time.
+    viol_per_part = res.violations.groupBy("partition_key", "check_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    if max_violations_per_check is not None:
+        viol_per_part = viol_per_part.cache()
+
     if violations_sink is not None:
         # Violations first, manifest last (see docstring). run_id/suite_id
         # ride every row so downstream diffing (plans/diff.py
         # violations_diff_runs) and auditing can scope a run without
         # joining back to the manifest.
+        out_viol = res.violations
+        if max_violations_per_check is not None:
+            out_viol = sample_violations(out_viol, viol_per_part, max_violations_per_check)
         (
-            res.violations.withColumn("run_id", F.lit(rid))
+            out_viol.withColumn("run_id", F.lit(rid))
             .withColumn("suite_id", F.lit(sid))
             .write.mode("append")
             .parquet(violations_sink)
@@ -353,13 +418,6 @@ def run_with_manifest(
             .parquet(quantile_sketches_dir)
         )
 
-    # Violation accounting is a plain groupBy on the envelope's own
-    # partition_key (carried at emission, checks/base.py as_violations) —
-    # no join back to the pending table, no extra wide shuffle.
-    viol_per_part = res.violations.groupBy("partition_key", "check_id").agg(
-        F.count(F.lit(1)).alias("n_violations")
-    )
-
     manifest_rows = (
         res.verdicts.select("partition_key", "check_id", "verdict", "metrics")
         .join(F.broadcast(rows_per_part), "partition_key", "left")
@@ -393,6 +451,8 @@ def run_with_manifest(
         }
     res.unpersist()
     rows_per_part.unpersist()
+    if max_violations_per_check is not None:
+        viol_per_part.unpersist()
     if cache_pending:
         pending.unpersist()
     return ManifestRun(rid, sid, n_keys, res, skipped_rows=skipped, verdict_counts=verdict_counts)

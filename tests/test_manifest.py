@@ -236,3 +236,59 @@ def test_incremental_quantile_sketches(spark, manifest_dir, tmp_path):
     dup.write.mode("append").parquet(q_dir)
     again = global_quantiles(spark, q_dir, qs=[0.5, 0.99]).collect()[0]
     assert again["n_rows"] == est["n_rows"]
+
+
+def test_violations_sink_sampling_bounds_sink_keeps_exact_counts(
+    spark, manifest_dir, tmp_path
+):
+    # max_violations_per_check bounds the SINK per (partition, check)
+    # while the manifest's n_violations stays exact; sampling is
+    # deterministic in row identity (rerun -> identical surviving rows)
+    from anomaly_detector_spark.synth import synth_files
+
+    files = synth_files(spark, 20000, seed=5)
+    cap = 25
+    sink = str(tmp_path / "viol")
+    run = run_with_manifest(
+        files, manifest_dir, violations_sink=sink, max_violations_per_check=cap
+    )
+    viol = spark.read.parquet(sink)
+    sink_counts = {
+        (r["partition_key"], r["check_id"]): r["n"]
+        for r in viol.groupBy("partition_key", "check_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    m = read_manifest(spark, manifest_dir).filter(F.col("run_id") == run.run_id)
+    exact = {
+        (r["partition_key"], r["check_id"]): r["n_violations"]
+        for r in m.collect()
+        if r["n_violations"] > 0
+    }
+    # synth plants enough dups/unknown langs that at least one group
+    # exceeds the cap — the test is vacuous otherwise
+    assert any(n > cap for n in exact.values())
+    for key, n_exact in exact.items():
+        n_sink = sink_counts.get(key, 0)
+        if n_exact <= cap:
+            assert n_sink == n_exact, key  # small groups kept exactly
+        else:
+            assert 0 < n_sink < n_exact, key
+            assert n_sink <= 4 * cap, key  # binomial around cap, not unbounded
+    # every sampled group's rows are a subset of the uncapped run's rows
+    full_sink = str(tmp_path / "viol_full")
+    run_with_manifest(
+        files, str(tmp_path / "m2"), violations_sink=full_sink
+    )
+    full = spark.read.parquet(full_sink)
+    joined = viol.drop("run_id").exceptAll(full.drop("run_id"))
+    assert joined.count() == 0
+    # determinism: re-running the capped sink yields the same row set
+    sink2 = str(tmp_path / "viol2")
+    run_with_manifest(
+        files, str(tmp_path / "m3"), violations_sink=sink2,
+        max_violations_per_check=cap,
+    )
+    viol2 = spark.read.parquet(sink2)
+    assert viol.drop("run_id").exceptAll(viol2.drop("run_id")).count() == 0
+    assert viol2.drop("run_id").exceptAll(viol.drop("run_id")).count() == 0
