@@ -1217,6 +1217,25 @@ def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key over (event time, value) — the Iceberg
+    rewrite_data_files/zorder maintenance job as a DataFrame transform
+    (operators/layout.py). One 1-row min/max aggregate broadcast back +
+    a codegen'd interleave expression; no UDF, no wide shuffle. The
+    oracle re-derives the full 32-term bit interleave in SQL."""
+    from anomaly_detector_spark.operators.layout import add_zorder
+
+    ev = load_table(spark, sf, "events")
+    src = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast
+        # matches DuckDB's epoch_us() on the same naive timestamps.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return add_zorder(src, ["x", "y"], bits=16).select("event_id", "zkey")
+
+
 def q_docs_seg_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style corpus-wide segment dedup: repeated 16-token segments keep
     only their first (doc_id, seg_idx) occurrence; docs reassembled from
@@ -1330,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ppl": q_docs_ppl,
         "docs_seg_dedup": q_docs_seg_dedup,
         "docs_pii_redact": q_docs_pii_redact,
+        "events_zorder": q_events_zorder,
     }
 
 
@@ -3267,6 +3287,36 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         )
         SELECT doc_id, n_email, n_ipv4, n_phone, sha256(text) AS redacted_sha
         FROM s3
+    """
+    # events_zorder: the same rank-normalize + bit-interleave the Spark
+    # operator codegens, unrolled to 32 shift/mask terms in SQL. Double
+    # arithmetic order matches operators/layout.py::_rank exactly
+    # ((x - min) / span * 65535.0, then floor), so the integer key is
+    # bit-identical across engines.
+    _zterms = " + ".join(
+        f"(((r{d} >> {i}) & 1) << {2 * i + d})" for i in range(16) for d in (0, 1)
+    )
+    out["events_zorder"] = f"""
+        WITH src AS (
+          SELECT event_id,
+                 CAST(epoch_us(ts) AS DOUBLE) AS x,
+                 CAST(value AS DOUBLE) AS y
+          FROM events
+        ),
+        b AS (
+          SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1 FROM src
+        ),
+        r AS (
+          SELECT event_id,
+                 CAST(coalesce(CASE WHEN (x1 - x0) > 0
+                       THEN floor((x - x0) / (x1 - x0) * 65535.0) ELSE 0 END, 0) AS BIGINT) AS r0,
+                 CAST(coalesce(CASE WHEN (y1 - y0) > 0
+                       THEN floor((y - y0) / (y1 - y0) * 65535.0) ELSE 0 END, 0) AS BIGINT) AS r1
+          FROM src, b
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST({_zterms} AS BIGINT) AS zkey
+        FROM r
     """
     fp = _fingerprint_oracle()
     if fp is not None:

@@ -1,1 +1,12 @@
-from . import corpus, dedup, grouped, loads, multimodal, ranges, similarity, text, windows  # noqa: F401
+from . import (  # noqa: F401
+    corpus,
+    dedup,
+    grouped,
+    layout,
+    loads,
+    multimodal,
+    ranges,
+    similarity,
+    text,
+    windows,
+)

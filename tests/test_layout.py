@@ -1,0 +1,130 @@
+"""Z-order layout operator: key math, plan shape, and pruning benefit."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.operators.layout import (
+    add_zorder,
+    cluster_write,
+    parquet_file_ranges,
+)
+
+
+def _ref_zkey(xs, ys, bits=16):
+    """Pure-numpy reference: normalize both dims, interleave bits."""
+    def rank(v):
+        v = np.asarray(v, dtype=np.float64)
+        lo, hi = v.min(), v.max()
+        if hi <= lo:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.floor((v - lo) / (hi - lo) * ((1 << bits) - 1)).astype(np.int64)
+
+    rx, ry = rank(xs), rank(ys)
+    z = np.zeros(len(rx), dtype=np.int64)
+    for i in range(bits):
+        z |= ((rx >> i) & 1) << (2 * i)
+        z |= ((ry >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(-50, 1000, 300)
+    ys = rng.integers(0, 10**9, 300)
+    df = spark.createDataFrame(
+        [(i, float(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))], "id long, x double, y long"
+    )
+    got = {
+        r["id"]: r["zkey"]
+        for r in add_zorder(df, ["x", "y"]).select("id", "zkey").collect()
+    }
+    want = _ref_zkey(xs, ys)
+    assert [got[i] for i in range(300)] == list(want)
+
+
+def test_zorder_single_dim_is_plain_rank(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, x double")
+    rows = add_zorder(df, ["x"], bits=8).orderBy("id").collect()
+    # monotone in x, full [0, 255] span
+    ks = [r["zkey"] for r in rows]
+    assert ks == sorted(ks) and ks[0] == 0 and ks[-1] == 255
+
+
+def test_zorder_nulls_and_constant_dim(spark):
+    df = spark.createDataFrame(
+        [(0, None, 5.0), (1, 2.0, 5.0), (2, 3.0, 5.0)], "id long, x double, y double"
+    )
+    rows = {r["id"]: r["zkey"] for r in add_zorder(df, ["x", "y"]).collect()}
+    assert rows[0] == 0  # null ranks 0; constant y ranks 0 everywhere
+    assert rows[1] == 0  # the min element also ranks 0 (shares the null cell)
+    assert rows[2] > 0
+
+
+def test_zorder_rejects_key_overflow(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)], "a double, b double, c double, d double")
+    with pytest.raises(ValueError, match="64-bit"):
+        add_zorder(df, ["a", "b", "c", "d"], bits=16).collect()
+
+
+def test_cluster_write_plan_is_single_range_exchange(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = (
+        add_zorder(df, ["id", "v"])
+        .repartitionByRange(4, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.lower().count("rangepartitioning") == 1
+    # the z-key is pure codegen'd expression work: no python UDF anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_write_prunes_box_queries(spark, tmp_path):
+    # Deterministic 2-D grid scrambled in input order: after z-order
+    # clustering, a box predicate over BOTH dims must touch far fewer
+    # files than the unclustered layout (footer min/max intersection —
+    # exactly what a parquet/Iceberg reader's pruning step consults).
+    n = 20_000
+    df = (
+        spark.range(0, n)
+        .select(
+            F.col("id"),
+            F.xxhash64(F.col("id")).alias("h"),
+        )
+        .select(
+            "id",
+            F.pmod(F.col("h"), F.lit(1000)).cast("double").alias("x"),
+            F.pmod(F.xxhash64(F.col("h")), F.lit(1000)).cast("double").alias("y"),
+        )
+    )
+    flat_dir, z_dir = str(tmp_path / "flat"), str(tmp_path / "zorder")
+    df.repartition(16).write.parquet(flat_dir)
+    cluster_write(df, ["x", "y"], z_dir, n_files=16)
+
+    def touched(path):
+        rg = parquet_file_ranges(path, ["x", "y"])
+        hit = (rg["x_max"] >= 100) & (rg["x_min"] <= 200) & (rg["y_max"] >= 100) & (rg["y_min"] <= 200)
+        return int(hit.sum()), len(rg)
+
+    flat_hit, flat_total = touched(flat_dir)
+    z_hit, z_total = touched(z_dir)
+    assert flat_hit == flat_total  # random layout: every file intersects the box
+    assert z_hit <= z_total // 2  # clustered: the box lives in a few z-ranges
+    # same rows either way
+    assert spark.read.parquet(z_dir).count() == n
+
+
+def test_cluster_write_roundtrip_content(spark, tmp_path):
+    df = spark.range(0, 500).select(
+        "id", (F.col("id") % 7).cast("double").alias("x"), (F.col("id") % 11).cast("double").alias("y")
+    )
+    out = str(tmp_path / "z")
+    cluster_write(df, ["x", "y"], out, n_files=4)
+    back = spark.read.parquet(out)
+    assert back.columns == ["id", "x", "y"]
+    assert back.agg(F.sum("id")).first()[0] == 500 * 499 // 2
