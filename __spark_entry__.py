@@ -1236,6 +1236,25 @@ def q_events_zorder(spark: SparkSession, sf: str) -> DataFrame:
     return add_zorder(src, ["x", "y"], bits=16).select("event_id", "zkey")
 
 
+def q_events_meta_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only validation (checks/metadata.py): row counts, null
+    counts and numeric min/max read from parquet FOOTERS — zero data
+    pages — distributed via mapInPandas over the file list. The oracle
+    is a full DuckDB scan: footer stats must equal the scan exactly for
+    exact-stat types, which is the invariant that makes the metadata
+    pass a sound pre-filter at 10^12-file scale."""
+    from anomaly_detector_spark.checks.metadata import footer_stats, list_parquet_files
+
+    files = list_parquet_files(f"{sf}/events.parquet")
+    st = footer_stats(spark, files, ["event_id", "user_id", "value"])
+    return st.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("null_count").alias("n_nulls"),
+        F.min("min_val").alias("vmin"),
+        F.max("max_val").alias("vmax"),
+    )
+
+
 def q_docs_seg_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style corpus-wide segment dedup: repeated 16-token segments keep
     only their first (doc_id, seg_idx) occurrence; docs reassembled from
@@ -1350,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_seg_dedup": q_docs_seg_dedup,
         "docs_pii_redact": q_docs_pii_redact,
         "events_zorder": q_events_zorder,
+        "events_meta_stats": q_events_meta_stats,
     }
 
 
@@ -3318,6 +3338,19 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                CAST({_zterms} AS BIGINT) AS zkey
         FROM r
     """
+    # events_meta_stats: the metadata pass's soundness invariant — footer
+    # stats equal a full scan for exact-stat types.
+    _meta_col = """
+        SELECT '{c}' AS column,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(min({c}) AS DOUBLE) AS vmin,
+               CAST(max({c}) AS DOUBLE) AS vmax
+        FROM events
+    """
+    out["events_meta_stats"] = " UNION ALL ".join(
+        _meta_col.format(c=c) for c in ("event_id", "user_id", "value")
+    )
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp

@@ -1,0 +1,195 @@
+"""Metadata-only validation: verdicts from parquet footers, zero data pages.
+
+Iceberg's killer feature at 10^12 files is that per-file column stats
+(row count, null count, min/max) live in MANIFESTS, so whole classes of
+checks never touch data. Raw parquet carries the same statistics in its
+FOOTER (a few KB at the end of each file). This check reads ONLY those
+footers — distributed, one task per batch of files — and derives
+per-file verdicts for the constraints footer stats can answer exactly:
+
+* row-count / null-rate bounds (row counts and null counts are exact),
+* numeric min/max range bounds (parquet min/max for fixed-width numeric
+  types are exact, unlike truncated string stats — this module refuses
+  non-numeric bound checks rather than silently trusting them).
+
+Scale design: the data volume is irrelevant — cost is O(files), each
+task reads a footer (KB) per file, never a data page. At 10^12 files
+the file LISTING itself must come from a table format's manifests (or a
+previous run's inventory); the API therefore accepts an explicit path
+list or frame, with driver-side directory listing only as the local
+convenience. The footer reads run inside ``mapInPandas`` so a million
+files fan out across the cluster instead of serializing through the
+driver.
+
+Relation to the scan checks: ``checks/stats.py`` answers the same
+questions by scanning (plus quantiles/distincts, which footers cannot
+answer); this module is the fast pre-filter — at 100 TB you run
+metadata validation every cycle and fall back to the scan suite for the
+files/partitions the footer pass cannot clear. The reference has no
+analog (single-node pandas); this exists for the 10^12-file reframing.
+
+A per-row content invariant footer stats CAN carry: this engine's
+bucketed writer puts sha256(content) in the sort order, so min/max of
+the hash column bound the content set per file — but equality checks
+stay in the scan suite (F6).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import CheckResult, CheckSpec, empty_violations, verdict_frame
+
+# Ship by value so executors without the package on PYTHONPATH still run
+# the kernel (same guarantee as checks/quantiles.py).
+try:  # pragma: no cover - trivial registration
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:
+    pass
+
+FOOTER_SCHEMA = (
+    "file string, column string, n_rows long, null_count long, "
+    "min_val double, max_val double"
+)
+
+_NUMERIC = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """Local convenience listing: a directory of .parquet files, or one file.
+
+    At cluster scale, pass the file inventory explicitly (from Iceberg
+    manifests / a previous run) instead — a driver glob over 10^12 files
+    is the wrong tool and this helper makes no attempt to be it.
+    """
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def footer_stats(
+    spark: SparkSession,
+    files: list[str] | DataFrame,
+    columns: list[str],
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """Per-(file, column) stats from parquet footers, read distributedly.
+
+    Returns the long frame ``FOOTER_SCHEMA``; ``min_val``/``max_val`` are
+    NULL for non-numeric columns (string min/max may be truncated by
+    writers, so they are not exposed as if exact) and for row groups
+    lacking statistics. ``n_rows``/``null_count`` are exact whenever the
+    writer recorded them (nullable by spec, NULL here if absent).
+    """
+    if isinstance(files, DataFrame):
+        paths = files.select(F.col(files.columns[0]).alias("file"))
+    else:
+        paths = spark.createDataFrame([(f,) for f in files], "file string")
+    if n_tasks:
+        paths = paths.repartition(n_tasks)
+    cols = list(columns)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("file", "column", "n_rows", "null_count",
+                                     "min_val", "max_val")}
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in cols:
+                    i = names.get(c)
+                    if i is None:
+                        out["file"].append(f); out["column"].append(c)
+                        out["n_rows"].append(md.num_rows)
+                        out["null_count"].append(None)
+                        out["min_val"].append(None); out["max_val"].append(None)
+                        continue
+                    numeric = md.schema.column(i).physical_type in _NUMERIC
+                    nulls, lo, hi, ok = 0, None, None, True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None:
+                            ok = False
+                            break
+                        nulls += st.null_count if st.null_count is not None else 0
+                        if numeric and st.has_min_max:
+                            mn, mx = float(st.min), float(st.max)
+                            lo = mn if lo is None else min(lo, mn)
+                            hi = mx if hi is None else max(hi, mx)
+                    out["file"].append(f); out["column"].append(c)
+                    out["n_rows"].append(md.num_rows)
+                    out["null_count"].append(nulls if ok else None)
+                    out["min_val"].append(lo if ok else None)
+                    out["max_val"].append(hi if ok else None)
+            yield pd.DataFrame(out)
+
+    return paths.mapInPandas(kernel, FOOTER_SCHEMA)
+
+
+def run_metadata_stats(df_or_files, spec: CheckSpec) -> CheckResult:
+    """Per-FILE verdicts from footer stats alone.
+
+    config:
+      ``files``        explicit path list (else derived from config["path"])
+      ``column``       the numeric column bounds apply to (default "value")
+      ``max_null_rate``  FAIL if column null-rate above this (default 0.0)
+      ``min_allowed`` / ``max_allowed``  numeric range bounds (optional)
+
+    The partition unit is the FILE — the natural lineage unit of a
+    metadata pass (a failed file is re-validated by the scan suite). A
+    file whose footer lacks statistics yields SKIPPED, never a silent
+    PASS.
+    """
+    spark = (
+        df_or_files.sparkSession
+        if isinstance(df_or_files, DataFrame)
+        else SparkSession.getActiveSession()
+    )
+    files = spec.config.get("files") or list_parquet_files(spec.config["path"])
+    col = spec.config.get("column", "value")
+    st = footer_stats(spark, files, [col]).where(F.col("column") == col)
+    max_null_rate = float(spec.config.get("max_null_rate", 0.0))
+    lo = spec.config.get("min_allowed")
+    hi = spec.config.get("max_allowed")
+
+    null_rate = F.col("null_count") / F.greatest(F.col("n_rows"), F.lit(1))
+    fail = null_rate > max_null_rate
+    if lo is not None:
+        fail = fail | (F.col("min_val") < float(lo))
+    if hi is not None:
+        fail = fail | (F.col("max_val") > float(hi))
+    skip = F.col("null_count").isNull() | (
+        F.lit(lo is not None or hi is not None) & F.col("min_val").isNull()
+    )
+    per_file = st.withColumn("null_rate", null_rate)
+    verdicts = verdict_frame(
+        per_file,
+        spec.id,
+        "file",
+        fail_when=fail,
+        skip_when=skip,
+        metric_cols=["n_rows", "null_count", "null_rate", "min_val", "max_val"],
+    )
+    empty = (
+        empty_violations(df_or_files)
+        if isinstance(df_or_files, DataFrame)
+        else spark.createDataFrame(
+            [],
+            "repo string, path string, commit string, partition_key string, "
+            "check_id string, observed string, expected string",
+        )
+    )
+    return CheckResult(violations=empty, verdicts=verdicts, metrics=per_file)

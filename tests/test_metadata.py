@@ -1,0 +1,99 @@
+"""Metadata-only validation: footer stats vs full scan, per-file verdicts."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.checks.base import CheckSpec
+from anomaly_detector_spark.checks.metadata import (
+    footer_stats,
+    list_parquet_files,
+    run_metadata_stats,
+)
+
+
+def _write_dataset(spark, path, n=5000):
+    df = spark.range(0, n).select(
+        "id",
+        F.when(F.col("id") % 100 == 0, None).otherwise((F.col("id") % 997).cast("double")).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    df.repartition(6).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_footer_stats_match_full_scan(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = _write_dataset(spark, path)
+    files = list_parquet_files(path)
+    assert len(files) == 6
+    st = footer_stats(spark, files, ["v", "id"]).toPandas()
+    # aggregate the footer rows and compare to a real scan
+    agg = st.groupby("column").agg(
+        n_rows=("n_rows", "sum"), nulls=("null_count", "sum"),
+        lo=("min_val", "min"), hi=("max_val", "max"),
+    )
+    scan = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").isNull().cast("long")).alias("v_nulls"),
+        F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+        F.min("id").alias("id_min"), F.max("id").alias("id_max"),
+    ).first()
+    assert agg.loc["v", "n_rows"] == scan["n"] and agg.loc["id", "n_rows"] == scan["n"]
+    assert agg.loc["v", "nulls"] == scan["v_nulls"] and agg.loc["id", "nulls"] == 0
+    assert agg.loc["v", "lo"] == scan["v_min"] and agg.loc["v", "hi"] == scan["v_max"]
+    assert agg.loc["id", "lo"] == scan["id_min"] and agg.loc["id", "hi"] == scan["id_max"]
+
+
+def test_footer_stats_string_and_missing_columns(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write_dataset(spark, path, n=500)
+    st = footer_stats(spark, list_parquet_files(path), ["s", "nope"]).toPandas()
+    s = st[st["column"] == "s"]
+    # string stats exist (null_count exact) but min/max are NOT exposed
+    assert (s["null_count"] == 0).all() and s["min_val"].isna().all()
+    miss = st[st["column"] == "nope"]
+    assert miss["null_count"].isna().all() and len(miss) == len(s)
+
+
+def test_metadata_check_per_file_verdicts(spark, tmp_path):
+    good = str(tmp_path / "good")
+    _write_dataset(spark, good, n=2000)
+    # plant one file violating the range bound and one violating null-rate
+    bad = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [(10**9, 5000.0, "x"), (10**9 + 1, None, "y")], "id long, v double, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(bad)
+    files = list_parquet_files(good) + list_parquet_files(bad)
+    spec = CheckSpec(
+        name="meta_stats",
+        fn=run_metadata_stats,
+        config={
+            "files": files, "column": "v",
+            "max_null_rate": 0.05, "min_allowed": 0.0, "max_allowed": 1000.0,
+        },
+        partition_col="file",
+    )
+    res = run_metadata_stats(spark.range(1), spec)
+    v = {r["partition_key"].rsplit("/", 2)[-2:][0] + "/" + r["partition_key"].rsplit("/", 1)[-1]:
+         r["verdict"] for r in res.verdicts.collect()}
+    by_dir = {}
+    for k, verdict in v.items():
+        by_dir.setdefault(k.split("/")[0], set()).add(verdict)
+    assert by_dir["good"] == {"PASS"}
+    assert by_dir["extra"] == {"FAIL"}  # 50% nulls AND max 5000 > 1000
+
+
+def test_metadata_check_skips_statless_file(spark, tmp_path):
+    # a footer WITHOUT statistics must yield SKIPPED, never a silent PASS
+    f = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"v": [1.0, None, 3.0]}), f, write_statistics=False
+    )
+    spec = CheckSpec(
+        name="meta_stats", fn=run_metadata_stats,
+        config={"files": [f], "column": "v", "max_null_rate": 0.9},
+        partition_col="file",
+    )
+    res = run_metadata_stats(spark.range(1), spec)
+    assert [r["verdict"] for r in res.verdicts.collect()] == ["SKIPPED"]
