@@ -59,11 +59,13 @@ def _registry() -> dict[str, Callable]:
         run_json_schema,
         run_row_predicate,
     )
+    from ..checks.metadata import run_metadata_stats
     from ..checks.stats import run_stats
     from ..checks.uniqueness import run_uniqueness
 
     return {
         "stats": run_stats,
+        "metadata_stats": run_metadata_stats,
         "uniqueness": run_uniqueness,
         "referential": run_referential,
         "drift": run_drift,

@@ -97,3 +97,28 @@ def test_metadata_check_skips_statless_file(spark, tmp_path):
     )
     res = run_metadata_stats(spark.range(1), spec)
     assert [r["verdict"] for r in res.verdicts.collect()] == ["SKIPPED"]
+
+
+def test_metadata_check_via_suite_config(spark, tmp_path):
+    # metadata_stats is declarable in a JSON suite document and runs as a
+    # regular spec (the df argument is only used for the Spark session)
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    path = str(tmp_path / "ds")
+    _write_dataset(spark, path, n=1000)
+    suite = suite_from_config(
+        {
+            "checks": [
+                {
+                    "check": "metadata_stats",
+                    "partition_col": "file",
+                    "path": path,
+                    "column": "v",
+                    "max_null_rate": 0.5,
+                }
+            ]
+        }
+    )
+    res = suite[0].run(spark.range(1))
+    verdicts = [r["verdict"] for r in res.verdicts.collect()]
+    assert verdicts and set(verdicts) == {"PASS"}
