@@ -1236,6 +1236,30 @@ def q_events_zorder(spark: SparkSession, sf: str) -> DataFrame:
     return add_zorder(src, ["x", "y"], bits=16).select("event_id", "zkey")
 
 
+def q_files_quantile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-vector drift (checks/quantiles.py run_quantile_drift,
+    exact backend): per-lang (p25,p50,p75,p99) of content length vs the
+    cross-partition median baseline, scored in baseline-IQR units and
+    flagged through the K4 median-gate machinery. The sketch backend
+    computes the same scores from mergeable t-digests (pinned equal in
+    tests); the oracle re-derives the exact path end-to-end in SQL."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.quantiles import run_quantile_drift
+
+    files = files_view(spark, sf)
+    spec = CheckSpec("quantile_drift", run_quantile_drift, {}, "lang", 25)
+    res = run_quantile_drift(files, spec)
+    m = F.col("metrics")
+    return res.verdicts.select(
+        "partition_key",
+        "verdict",
+        F.round(m["qd"], 6).alias("score"),
+        F.round(m["q_0_5"], 4).alias("p50"),
+        F.round(m["q_0_99"], 4).alias("p99"),
+        m["n_obs"].cast("long").alias("n_obs"),
+    )
+
+
 def q_events_meta_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata-only validation (checks/metadata.py): row counts, null
     counts and numeric min/max read from parquet FOOTERS — zero data
@@ -1370,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_redact": q_docs_pii_redact,
         "events_zorder": q_events_zorder,
         "events_meta_stats": q_events_meta_stats,
+        "files_quantile_drift": q_files_quantile_drift,
     }
 
 
@@ -3337,6 +3362,64 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         SELECT CAST(event_id AS BIGINT) AS event_id,
                CAST({_zterms} AS BIGINT) AS zkey
         FROM r
+    """
+    # files_quantile_drift: the exact quantile-drift path end-to-end —
+    # per-partition exact percentiles, cross-partition-median baseline,
+    # IQR-unit max shift, and the same flag_outliers gate SQL the
+    # count_drift oracle uses.
+    out["files_quantile_drift"] = f"""
+        WITH {FILES_CTE_SQL},
+        slim AS (
+          SELECT lang AS partition_key, CAST(length(content) AS DOUBLE) AS v
+          FROM files WHERE content IS NOT NULL
+        ),
+        per AS (
+          SELECT partition_key,
+                 quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50,
+                 quantile_cont(v, 0.75) AS q75, quantile_cont(v, 0.99) AS q99,
+                 count(*) AS n_obs
+          FROM slim GROUP BY 1
+        ),
+        base AS (
+          SELECT quantile_cont(q25, 0.5) AS b25, quantile_cont(q50, 0.5) AS b50,
+                 quantile_cont(q75, 0.5) AS b75, quantile_cont(q99, 0.5) AS b99
+          FROM per
+        ),
+        scores AS (
+          SELECT partition_key,
+                 greatest(abs(q25 - b25), abs(q50 - b50), abs(q75 - b75), abs(q99 - b99))
+                   / greatest(b75 - b25, 1.0) AS s,
+                 q50, q99, n_obs
+          FROM per CROSS JOIN base
+        ),
+        g AS (
+          SELECT avg(s) AS m, stddev_samp(s) AS sd, median(s) AS med,
+                 quantile_cont(s, 0.25) AS q1, quantile_cont(s, 0.75) AS q3,
+                 count(*) AS n_scored
+          FROM scores
+        ),
+        f AS (
+          SELECT sc.partition_key, sc.s, sc.q50, sc.q99, sc.n_obs,
+                 (
+                   ( (CASE WHEN g.sd > 0 THEN abs(sc.s - g.m) / g.sd ELSE 0 END) > 3.0
+                     OR sc.s > g.q3 + 1.5 * (g.q3 - g.q1)
+                     OR sc.s < g.q1 - 1.5 * (g.q3 - g.q1)
+                     OR sc.s > 0.5 )
+                   AND sc.s > g.med + greatest(0.1, 3.0 * 1.0 / greatest(sc.n_obs, 1))
+                 ) OR (
+                   g.n_scored = 1 AND sc.s > 0.5
+                   AND sc.s > 3.0 * 1.0 / greatest(sc.n_obs, 1)
+                 ) AS flagged
+          FROM scores sc CROSS JOIN g
+        )
+        SELECT partition_key,
+               CASE WHEN n_obs < 25 THEN 'SKIPPED'
+                    WHEN flagged THEN 'FAIL' ELSE 'PASS' END AS verdict,
+               round(s, 6) AS score,
+               round(q50, 4) AS p50,
+               round(q99, 4) AS p99,
+               CAST(n_obs AS BIGINT) AS n_obs
+        FROM f
     """
     # events_meta_stats: the metadata pass's soundness invariant — footer
     # stats equal a full scan for exact-stat types.

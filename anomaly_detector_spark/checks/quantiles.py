@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .base import CheckResult, CheckSpec, empty_violations, verdict_frame
+
 # Ship this module BY VALUE inside the kernels (same no-footgun
 # guarantee as operators/loads.py): executors without the package on
 # PYTHONPATH (spark-submit without --py-files) still run them.
@@ -244,3 +246,143 @@ def quantiles_from_sketches(
         return pd.DataFrame(row)
 
     return sketches.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(kernel, out_schema)
+
+
+def partition_quantiles(sketches: DataFrame, qs: list[float]) -> DataFrame:
+    """Per-ROW quantile estimates from sketch rows (one output row per
+    input sketch row) — the per-partition companion of
+    ``quantiles_from_sketches``. Sketch rows are KB-sized, so this is a
+    narrow map over tiny data regardless of original volume."""
+    qs_b = list(qs)
+    cols = ", ".join(f"q_{str(q).replace('.', '_')} double" for q in qs_b)
+    out_schema = f"partition_key string, {cols}, n_rows long"
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = {"partition_key": list(pdf["partition_key"])}
+            for q in qs_b:
+                rows[f"q_{str(q).replace('.', '_')}"] = [
+                    td_quantile(
+                        np.asarray(m, dtype="float64"), np.asarray(w, dtype="float64"), q
+                    )
+                    for m, w in zip(pdf["means"], pdf["weights"])
+                ]
+            rows["n_rows"] = list(pdf["n_rows"])
+            yield pd.DataFrame(rows)
+
+    return sketches.mapInPandas(kernel, out_schema)
+
+
+QD_QS = (0.25, 0.5, 0.75, 0.99)
+
+
+def run_quantile_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Quantile-vector drift: each partition's (p25, p50, p75, p99) of
+    content length vs a baseline, scored as the max absolute quantile
+    shift in units of the baseline IQR.
+
+    The quantile twin of run_drift's histogram PSI/KS — sensitive to
+    location/scale shifts that rebucket gently (a +30% length drift
+    moves every quantile but can spread thinly over histogram buckets),
+    and the constraint form Deequ/GE users express directly
+    ("p99 length within X of baseline").
+
+    Backends (config["backend"]):
+      * "exact" (default): one groupBy aggregate of exact percentiles —
+        SQL-oracle-able, but percentile buffers values per group
+        (ObjectHashAggregate), so it is the small/medium-scale and
+        oracle path;
+      * "sketch": per-partition t-digest sketches (mapInPandas partials
+        + per-key merge; the value column never rides a shuffle). The
+        10^12-row path, and the INCREMENTAL one: persisted sketch rows
+        from prior runs can serve as the frozen baseline without
+        rescanning history. Digest-vs-exact agreement is pinned in
+        tests.
+
+    Baseline: config["baseline_df"] (a 1-row frame with q_* columns,
+    e.g. frozen quantiles from a reference run), else the CROSS-PARTITION
+    MEDIAN of each quantile. The robust default matters: a pooled
+    (row-weighted) baseline is polluted by the very partition that
+    drifted — one partition holding >1% of rows and shifted by S moves
+    the pooled p99 by ~S, so every HEALTHY partition scores ~S/IQR too
+    and the median gate correctly concludes nothing stands out (verified
+    by construction in tests). The median-of-partitions baseline is
+    what "which partitions deviate from the fleet?" actually asks.
+    Flagging reuses the K4 median-gate machinery (drift.flag_outliers).
+    """
+    from .drift import flag_outliers
+
+    part = spec.partition_col
+    col = spec.config.get("column", "content")
+    use_length = spec.config.get("use_length", True)
+    backend = spec.config.get("backend", "exact")
+    qnames = [f"q_{str(q).replace('.', '_')}" for q in QD_QS]
+
+    caches: list[DataFrame] = []
+    if backend == "sketch":
+        sk = tdigest_sketches(df, part, col, use_length=use_length).cache()
+        caches.append(sk)
+        per = partition_quantiles(sk, list(QD_QS)).withColumnRenamed("n_rows", "n_obs")
+        base_src = spec.config.get("baseline_df")
+        if base_src is not None:
+            base = base_src.select(*[F.col(qn).alias(f"b_{qn}") for qn in qnames])
+        else:
+            base = None  # derived from `per` below (cross-partition median)
+    else:
+        value = F.length(F.col(col)) if use_length else F.col(col)
+        slim = df.filter(F.col(col).isNotNull()).select(
+            F.col(part).cast("string").alias("partition_key"),
+            value.cast("double").alias("_v"),
+        )
+        pexprs = [
+            F.expr(f"percentile(_v, {q})").alias(qn) for q, qn in zip(QD_QS, qnames)
+        ]
+        per = slim.groupBy("partition_key").agg(*pexprs, F.count(F.lit(1)).alias("n_obs"))
+        base_src = spec.config.get("baseline_df")
+        if base_src is not None:
+            base = base_src.select(*[F.col(qn).alias(f"b_{qn}") for qn in qnames])
+        else:
+            base = None
+    if base is None:
+        # robust default: cross-partition median of each quantile. `per`
+        # is O(partitions) rows, so this 1-row aggregate is trivially
+        # cheap; in the sketch backend it also never rescans the input.
+        base = per.agg(
+            *[F.expr(f"percentile({qn}, 0.5)").alias(f"b_{qn}") for qn in qnames]
+        )
+
+    joined = per.crossJoin(F.broadcast(base))
+    iqr_b = F.greatest(F.col("b_q_0_75") - F.col("b_q_0_25"), F.lit(1.0))
+    shift = F.greatest(*[F.abs(F.col(qn) - F.col(f"b_{qn}")) for qn in qnames])
+    scores = joined.select(
+        "partition_key",
+        (shift / iqr_b).alias("qd"),
+        F.col("q_0_5"),
+        F.col("q_0_99"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.lit(2).alias("n_buckets"),
+    )
+    flagged = flag_outliers(
+        scores,
+        score_col="qd",
+        z_thresh=spec.config.get("z_thresh", 3.0),
+        iqr_k=spec.config.get("iqr_k", 1.5),
+        abs_thresh=spec.config.get("abs_thresh", 0.5),  # half a baseline IQR
+        min_gap=spec.config.get("min_gap", 0.1),
+        noise_c=spec.config.get("noise_c", 3.0),
+    )
+    verdicts = verdict_frame(
+        flagged,
+        spec.id,
+        "partition_key",
+        fail_when=F.col("is_drifted"),
+        skip_when=F.col("n_obs") < spec.min_rows,
+        metric_cols=["qd", "q_0_5", "q_0_99", "n_obs", "z_score", "median_score"],
+    )
+    return CheckResult(
+        violations=empty_violations(df), verdicts=verdicts, metrics=flagged, caches=caches
+    )

@@ -60,12 +60,14 @@ def _registry() -> dict[str, Callable]:
         run_row_predicate,
     )
     from ..checks.metadata import run_metadata_stats
+    from ..checks.quantiles import run_quantile_drift
     from ..checks.stats import run_stats
     from ..checks.uniqueness import run_uniqueness
 
     return {
         "stats": run_stats,
         "metadata_stats": run_metadata_stats,
+        "quantile_drift": run_quantile_drift,
         "uniqueness": run_uniqueness,
         "referential": run_referential,
         "drift": run_drift,
