@@ -328,3 +328,75 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         metrics=flagged,
         caches=[hist, scores],
     )
+
+
+def drift_attribution(
+    hist: DataFrame, baseline: DataFrame, top_k: int = 3
+) -> DataFrame:
+    """Per-partition top-k buckets by PSI contribution — the WHY behind
+    a drift FAIL (which length range gained/lost mass vs the baseline).
+
+    Decomposes the exact PSI the scoring kernel computes: with the same
+    (partition x bucket) grid and the same Laplace smoothing,
+    term_b = (p_b - q_b) * ln(p_b / q_b) and sum_b term_b == psi
+    (internal consistency pinned in tests). Everything is JVM column
+    arithmetic over the pre-aggregated O(partitions x buckets) frame —
+    no UDF, no scan of the source table; the ranking window partitions
+    by partition_key (bounded by the bucket count, never a global
+    funnel).
+    """
+    parts = hist.select("partition_key").distinct()
+    buckets = hist.select("bucket").union(baseline.select("bucket")).distinct()
+    grid = parts.crossJoin(F.broadcast(buckets))
+    joined = (
+        grid.join(hist, on=["partition_key", "bucket"], how="left")
+        .join(F.broadcast(baseline), on="bucket", how="left")
+        .select(
+            "partition_key",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+            F.coalesce(F.col("base_n"), F.lit(0)).cast("double").alias("base_n"),
+        )
+    )
+    # per-partition totals _tn and grid width _k mirror the kernel's
+    # obs.sum() / len(obs); the baseline total _tb is global (the grid
+    # carries every baseline bucket for every partition, so the kernel's
+    # base.sum() is the same constant per partition).
+    tot = joined.groupBy("partition_key").agg(
+        F.sum("n").alias("_tn"), F.count(F.lit(1)).alias("_k")
+    )
+    btot = baseline.agg(F.sum("base_n").alias("_tb"))
+    sm = (
+        joined.join(tot, on="partition_key")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "partition_key",
+            "bucket",
+            "n",
+            "base_n",
+            ((F.col("n") + 0.5) / (F.col("_tn") + 0.5 * F.col("_k"))).alias("p"),
+            ((F.col("base_n") + 0.5) / (F.col("_tb") + 0.5 * F.col("_k"))).alias("q"),
+        )
+    )
+    terms = sm.select(
+        "partition_key",
+        "bucket",
+        "n",
+        "base_n",
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi_term"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partition_key").orderBy(
+        F.col("psi_term").desc(), F.col("bucket").asc()
+    )
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "partition_key", "rank", "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("base_n").cast("long").alias("base_n"),
+            "psi_term",
+        )
+    )

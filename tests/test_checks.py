@@ -284,3 +284,29 @@ def test_tdigest_sketches_mergeable(spark):
     est2 = quantiles_from_sketches(a.unionByName(b), [0.5, 0.99]).collect()[0]
     assert abs(est2["q_0_5"] - exact["p50"]) / exact["p50"] < 0.02
     assert abs(est2["q_0_99"] - exact["p99"]) / exact["p99"] < 0.02
+
+
+def test_drift_attribution_decomposes_psi(spark):
+    from anomaly_detector_spark.checks.drift import drift_attribution
+
+    rows = []
+    for i in range(300):
+        rows.append(("r", f"a{i}", "c", "python", "x" * (50 + i % 20)))
+        rows.append(("r", f"b{i}", "c", "go", "x" * (50 + i % 20)))
+        rows.append(("r", f"c{i}", "c", "rust", "x" * (500 + i % 20)))  # shifted
+    df = mkfiles(spark, rows)
+    hist = length_histogram(df, "lang", bucket_width=50)
+    base = global_baseline(hist)
+    psi = {r["partition_key"]: r["psi"] for r in drift_scores(hist, base).collect()}
+    # with top_k covering every bucket, the terms sum back to the exact
+    # kernel PSI per partition (same grid, same smoothing)
+    full = drift_attribution(hist, base, top_k=10_000).toPandas()
+    for key, grp in full.groupby("partition_key"):
+        assert abs(grp["psi_term"].sum() - psi[key]) < 1e-12
+    # the shifted partition's two contributors are the bucket where it is
+    # MISSING baseline mass (50..99 -> bucket 1; p<<q terms are positive
+    # and dominate) and the bucket where it GAINED mass (500..549 -> 10)
+    top = drift_attribution(hist, base, top_k=2).toPandas()
+    rust = top[top["partition_key"] == "rust"].sort_values("rank")
+    assert list(rust["bucket"]) == [1, 10]
+    assert (rust["psi_term"] > 0).all()
