@@ -119,6 +119,30 @@ def q_files_count_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_drift_attrib(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition top-k PSI bucket contributors (checks/drift.py
+    drift_attribution): the WHY behind a drift FAIL — which content-length
+    buckets gained/lost mass vs the global baseline. Pure JVM column
+    arithmetic over the pre-aggregated histogram frame."""
+    from anomaly_detector_spark.checks.drift import (
+        drift_attribution,
+        global_baseline,
+        length_histogram,
+    )
+
+    files = files_view(spark, sf)
+    hist = length_histogram(files, "lang", "content", bucket_width=50)
+    att = drift_attribution(hist, global_baseline(hist), top_k=3)
+    return att.select(
+        "partition_key",
+        "rank",
+        "bucket",
+        "n",
+        "base_n",
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 def q_files_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.checks.uniqueness import dedup_keep_first
 
@@ -1329,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_referential": q_files_referential,
         "files_sha256": q_files_sha256,
         "files_drift_scores": q_files_drift_scores,
+        "files_drift_attrib": q_files_drift_attrib,
         "files_keep_first": q_files_keep_first,
         "files_count_drift": q_files_count_drift,
         "tpch_q1": q_tpch_q1,
@@ -1518,6 +1543,54 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(cp - cq)), 6) AS ks,
                    CAST(sum(n) AS BIGINT) AS n_obs
             FROM cum GROUP BY 1
+        """,
+        "files_drift_attrib": f"""
+            -- top-3 PSI bucket contributors per partition: the same grid,
+            -- smoothing, and term formula as the drift kernel, ranked
+            WITH {FILES_CTE_SQL},
+            hist AS (
+              SELECT lang AS partition_key,
+                     CAST(floor(length(content) / 50) AS BIGINT) AS bucket,
+                     count(*) AS n
+              FROM files WHERE content IS NOT NULL GROUP BY 1, 2
+            ),
+            base AS (SELECT bucket, sum(n) AS base_n FROM hist GROUP BY 1),
+            grid AS (
+              SELECT p.partition_key, b.bucket
+              FROM (SELECT DISTINCT partition_key FROM hist) p
+              CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+            ),
+            j AS (
+              SELECT g.partition_key, g.bucket,
+                     CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                     CAST(coalesce(bs.base_n, 0) AS DOUBLE) AS base_n
+              FROM grid g
+              LEFT JOIN hist h ON h.partition_key = g.partition_key AND h.bucket = g.bucket
+              LEFT JOIN base bs ON bs.bucket = g.bucket
+            ),
+            terms AS (
+              SELECT partition_key, bucket, n, base_n,
+                     ( (n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                                    + 0.5 * count(*) OVER (PARTITION BY partition_key))
+                       - (base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                                    + 0.5 * count(*) OVER (PARTITION BY partition_key)) )
+                     * ln( ((n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                                    + 0.5 * count(*) OVER (PARTITION BY partition_key)))
+                         / ((base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                                    + 0.5 * count(*) OVER (PARTITION BY partition_key))) )
+                     AS psi_term
+              FROM j
+            ),
+            ranked AS (
+              SELECT partition_key, bucket, n, base_n, psi_term,
+                     row_number() OVER (PARTITION BY partition_key
+                                        ORDER BY psi_term DESC, bucket ASC) AS "rank"
+              FROM terms
+            )
+            SELECT partition_key, "rank", bucket,
+                   CAST(n AS BIGINT) AS n, CAST(base_n AS BIGINT) AS base_n,
+                   round(psi_term, 6) AS psi_term
+            FROM ranked WHERE "rank" <= 3
         """,
         "files_count_drift": f"""
             -- categorical count-drift vs uniform baseline, mirroring
