@@ -143,6 +143,43 @@ def q_files_drift_attrib(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orders_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table aggregate reconciliation (checks/reconcile.py): per
+    order-priority, orders.o_totalprice vs the lineitem-derived charge
+    sum(extendedprice * (1-discount) * (1+tax)). The synthetic data does
+    NOT hold the TPC-H invariant (a uniform ~17-23% gap), so tol_rel=0.2
+    yields mixed verdicts — exactly what the check exists to surface.
+    Exact DECIMAL sums make the tolerance compare engine-invariant."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.reconcile import run_reconcile
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    charge = _dec("l_extendedprice") * (one - _dec("l_discount")) * (one + _dec("l_tax"))
+    right = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select("o_orderpriority", charge.alias("charge"))
+    left = orders.select("o_orderpriority", _dec("o_totalprice").alias("charge"))
+    spec = CheckSpec(
+        "reconcile",
+        run_reconcile,
+        {"other_df": right, "measure": "charge", "tol_rel": 0.2},
+        "o_orderpriority",
+    )
+    res = run_reconcile(left, spec)
+    return res.verdicts.select(
+        "partition_key",
+        "verdict",
+        F.col("metrics")["lhs"].alias("lhs"),
+        F.col("metrics")["rhs"].alias("rhs"),
+        F.col("metrics")["diff"].alias("diff"),
+        F.col("metrics")["n_lhs"].cast("long").alias("n_lhs"),
+        F.col("metrics")["n_rhs"].cast("long").alias("n_rhs"),
+    )
+
+
 def q_files_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     from anomaly_detector_spark.checks.uniqueness import dedup_keep_first
 
@@ -1354,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_sha256": q_files_sha256,
         "files_drift_scores": q_files_drift_scores,
         "files_drift_attrib": q_files_drift_attrib,
+        "orders_reconcile": q_orders_reconcile,
         "files_keep_first": q_files_keep_first,
         "files_count_drift": q_files_count_drift,
         "tpch_q1": q_tpch_q1,
@@ -1591,6 +1629,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n, CAST(base_n AS BIGINT) AS base_n,
                    round(psi_term, 6) AS psi_term
             FROM ranked WHERE "rank" <= 3
+        """,
+        "orders_reconcile": f"""
+            -- cross-table reconciliation: exact DECIMAL sums, null-safe
+            -- full-outer group join, |diff| <= tol_rel * |rhs| verdict
+            WITH l AS (
+              SELECT o_orderpriority AS partition_key,
+                     sum(CAST(o_totalprice AS DECIMAL(18,4))) AS lhs,
+                     count(*) AS n_lhs
+              FROM orders GROUP BY 1
+            ),
+            r AS (
+              SELECT o.o_orderpriority AS partition_key,
+                     sum({_Q1_CHARGE}) AS rhs,
+                     count(*) AS n_rhs
+              FROM lineitem JOIN orders o ON l_orderkey = o.o_orderkey
+              GROUP BY 1
+            )
+            SELECT coalesce(l.partition_key, r.partition_key) AS partition_key,
+                   CASE WHEN l.lhs IS NULL OR r.rhs IS NULL
+                          OR CAST(abs(l.lhs - r.rhs) AS DOUBLE)
+                             > 0.2 * CAST(abs(r.rhs) AS DOUBLE)
+                        THEN 'FAIL' ELSE 'PASS' END AS verdict,
+                   CAST(l.lhs AS DOUBLE) AS lhs,
+                   CAST(r.rhs AS DOUBLE) AS rhs,
+                   CAST(l.lhs - r.rhs AS DOUBLE) AS diff,
+                   CAST(coalesce(l.n_lhs, 0) AS BIGINT) AS n_lhs,
+                   CAST(coalesce(r.n_rhs, 0) AS BIGINT) AS n_rhs
+            FROM l FULL OUTER JOIN r
+              ON l.partition_key IS NOT DISTINCT FROM r.partition_key
         """,
         "files_count_drift": f"""
             -- categorical count-drift vs uniform baseline, mirroring

@@ -310,3 +310,47 @@ def test_drift_attribution_decomposes_psi(spark):
     rust = top[top["partition_key"] == "rust"].sort_values("rank")
     assert list(rust["bucket"]) == [1, 10]
     assert (rust["psi_term"] > 0).all()
+
+
+def test_reconcile_cross_table(spark):
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.reconcile import run_reconcile
+
+    left = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 100.0), ("c", 1.0), (None, 7.0)],
+        "g string, m double",
+    )
+    right = spark.createDataFrame(
+        [("a", 30.0), ("b", 95.0), ("d", 2.0), (None, 7.0)],
+        "g string, m double",
+    )
+    spec = CheckSpec("reconcile", run_reconcile, {"other_df": right, "measure": "m"}, "g")
+    v = {r["partition_key"]: r for r in run_reconcile(left, spec).verdicts.collect()}
+    assert len(v) == 5  # the NULL group is ONE row (null-safe join), not two
+    assert v["a"]["verdict"] == "PASS"
+    assert v["b"]["verdict"] == "FAIL" and v["b"]["metrics"]["diff"] == 5.0
+    assert v["c"]["verdict"] == "FAIL"  # group missing on the right
+    assert v["d"]["verdict"] == "FAIL"  # group missing on the left
+    assert v[None]["verdict"] == "PASS"
+
+    tol = CheckSpec(
+        "reconcile", run_reconcile, {"other_df": right, "measure": "m", "tol_abs": 10.0}, "g"
+    )
+    v2 = {r["partition_key"]: r["verdict"] for r in run_reconcile(left, tol).verdicts.collect()}
+    assert v2["b"] == "PASS" and v2["c"] == "FAIL"  # tolerance absolves b, not missing groups
+
+    cnt = CheckSpec("reconcile", run_reconcile, {"other_df": right, "agg": "count"}, "g")
+    v3 = {r["partition_key"]: r for r in run_reconcile(left, cnt).verdicts.collect()}
+    assert v3["a"]["verdict"] == "FAIL" and v3["a"]["metrics"]["lhs"] == 2.0
+    assert v3["b"]["verdict"] == "PASS"
+
+    warm = CheckSpec(
+        "reconcile", run_reconcile, {"other_df": right, "measure": "m"}, "g", min_rows=2
+    )
+    v4 = {r["partition_key"]: r["verdict"] for r in run_reconcile(left, warm).verdicts.collect()}
+    assert v4["a"] == "PASS" and v4["b"] == "SKIPPED"
+    assert v4["d"] == "FAIL"  # missing-left is a FAIL, never a warm-up skip
+
+    # check id is stable whether other_df is injected or not (runtime
+    # state, not configuration) — manifest rows stay comparable
+    assert spec.id == CheckSpec("reconcile", run_reconcile, {"measure": "m"}, "g").id
