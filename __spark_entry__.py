@@ -1215,6 +1215,25 @@ def q_emb_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_emb_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space outlier triage (operators/similarity.py
+    embedding_outliers): the reference's z/IQR outlier kernel re-aimed at
+    cluster geometry — flag vectors angularly far from their own k-means
+    centroid. Integer micro-distances + exact decimal sums make z-scores
+    and flags engine-invariant; cluster stats are an O(k) broadcast."""
+    from anomaly_detector_spark.operators.similarity import embedding_outliers
+
+    emb = load_table(spark, sf, "embeddings")
+    out = embedding_outliers(emb, k=8, n_iter=2)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "di",
+        "z_score",
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )
+
+
 def q_emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (ADC scoring + exact re-rank): 8 subspaces
     x 16-entry codebook, one in-plan Lloyd training round per subspace,
@@ -1451,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "docs_tfidf": q_docs_tfidf,
         "emb_kmeans": q_emb_kmeans,
+        "emb_outliers": q_emb_outliers,
         "emb_pq_topk": q_emb_pq_topk,
         "docs_ppl": q_docs_ppl,
         "docs_seg_dedup": q_docs_seg_dedup,
@@ -3341,6 +3361,41 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         GROUP BY e.event_id
     """
     out["emb_kmeans"] = _kmeans_oracle(k=8, n_iter=2)
+    out["emb_outliers"] = f"""
+        -- embedding_outliers: kmeans assignment (shared oracle), integer
+        -- micro-distances, exact-sum variance, z/IQR flags + median gate
+        WITH base AS ({_kmeans_oracle(k=8, n_iter=2)}),
+        d AS (
+          SELECT vec_id, cluster,
+                 CAST(round(1000000.0 * (1 - sim)) AS BIGINT) AS di
+          FROM base
+        ),
+        st AS (
+          SELECT cluster, count(*) AS n,
+                 sum(di) AS s1, sum(di * di) AS s2,
+                 quantile_cont(di, 0.5) AS med,
+                 quantile_cont(di, 0.25) AS q1,
+                 quantile_cont(di, 0.75) AS q3
+          FROM d GROUP BY 1
+        ),
+        f AS (
+          SELECT d.vec_id, d.cluster, d.di, st.med, st.q1, st.q3,
+                 CASE WHEN st.n > 1
+                        AND (CAST(st.s2 AS DOUBLE)
+                             - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) / st.n)
+                            / (st.n - 1) > 0
+                      THEN (d.di - CAST(st.s1 AS DOUBLE) / st.n)
+                           / sqrt((CAST(st.s2 AS DOUBLE)
+                                   - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) / st.n)
+                                  / (st.n - 1))
+                      ELSE 0.0 END AS z
+          FROM d JOIN st USING (cluster)
+        )
+        SELECT vec_id, cluster, di, round(z, 4) AS z_score,
+               CAST(((z > 3.0 OR di > q3 + 1.5 * (q3 - q1)) AND di > med) AS INT)
+                 AS is_outlier
+        FROM f
+    """
     out["emb_pq_topk"] = _pq_topk_oracle(k=5, n_sub=8, ksub=16, refine=4)
     out["docs_ppl"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -538,3 +538,65 @@ def kmeans_assign(
             .localCheckpoint()
         )
     return _assign(cents).select("vec_id", F.col("cell_id").alias("cluster"), "sim")
+
+
+def embedding_outliers(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    z_thresh: float = 3.0,
+    iqr_k: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Median-gated outlier flagging in embedding space: the reference's
+    per-device outlier kernel (z-score + IQR over curve errors,
+    /root/reference/algo/error_calculation.py:5-12) re-aimed at embedding
+    geometry — cluster the corpus with ``kmeans_assign``, then flag
+    vectors whose cosine distance to their OWN centroid is an outlier
+    within that cluster (far-side only: the median gate never flags
+    unusually central points). The corpus-curation use is semantic-space
+    anomaly triage: mislabeled/garbled documents sit far from every
+    cluster they get assigned to.
+
+    Determinism (the perplexity lesson): distances quantize to integer
+    micro-units (sim is already 6dp-rounded, so ``di = round(1e6*(1-sim))``
+    is exact), per-cluster mean/variance derive from exact decimal
+    sums — never ``stddev_samp``, whose merge order varies with
+    partitioning — so z-scores and flags are engine- and
+    partitioning-invariant.
+
+    Scale: the cluster stats frame is O(k) rows (one aggregate with
+    map-side partials) broadcast back to the assignment frame; flagging
+    adds zero windows and one broadcast join on top of kmeans_assign's
+    documented O(k x dim x tasks) shuffles.
+
+    Returns (vec_id, cluster, di, z_score, is_outlier): ``di`` the
+    micro-distance, ``z_score`` rounded to 4dp for display (flags use
+    the unrounded value).
+    """
+    asg = kmeans_assign(vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    d = asg.select(
+        "vec_id",
+        "cluster",
+        F.round(F.lit(1_000_000.0) * (F.lit(1.0) - F.col("sim"))).cast("long").alias("di"),
+    )
+    st = d.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("di").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("di") * F.col("di")).cast("decimal(38,0)")).alias("s2"),
+        F.expr("percentile(di, 0.5)").alias("med"),
+        F.expr("percentile(di, 0.25)").alias("q1"),
+        F.expr("percentile(di, 0.75)").alias("q3"),
+    )
+    j = d.join(F.broadcast(st), "cluster")
+    s1d, s2d, n = F.col("s1").cast("double"), F.col("s2").cast("double"), F.col("n")
+    var = (s2d - s1d * s1d / n) / (n - F.lit(1))
+    z = F.when((n > 1) & (var > 0), (F.col("di") - s1d / n) / F.sqrt(var)).otherwise(F.lit(0.0))
+    iqr = F.col("q3") - F.col("q1")
+    flagged = ((z > z_thresh) | (F.col("di") > F.col("q3") + iqr_k * iqr)) & (
+        F.col("di") > F.col("med")
+    )
+    return j.select(
+        "vec_id", "cluster", "di", F.round(z, 4).alias("z_score"), flagged.alias("is_outlier")
+    )

@@ -516,3 +516,29 @@ def test_pq_training_reduces_quantization_error(spark):
         return sum(r["adc"] for r in out.collect())
 
     assert self_adc(1) < self_adc(0)
+
+
+def test_embedding_outliers_flags_far_point(spark):
+    from anomaly_detector_spark.operators.similarity import embedding_outliers
+
+    # two tight directional clusters plus one point assigned to the first
+    # cluster but angularly far from everyone in it
+    rows = []
+    for i in range(12):
+        jit = 0.002 * (i % 4)
+        rows.append((i, [1.0, jit, 0.0, 0.0]))          # cluster around e1
+        rows.append((100 + i, [0.0, jit, 1.0, 0.0]))    # cluster around e3
+    rows.append((999, [0.7, 0.7, 0.05, 0.0]))           # 45-deg off e1: far
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_outliers(df, k=2, n_iter=3).collect()}
+    assert len(out) == 25
+    assert out[999]["is_outlier"] is True
+    assert out[999]["z_score"] > 3.0
+    # nobody inside either tight cluster is flagged
+    assert not any(r["is_outlier"] for vid, r in out.items() if vid != 999)
+    # partitioning invariance of flags and z-scores
+    out7 = {
+        r["vec_id"]: (r["di"], r["z_score"], r["is_outlier"])
+        for r in embedding_outliers(df.repartition(7), k=2, n_iter=3).collect()
+    }
+    assert out7 == {v: (r["di"], r["z_score"], r["is_outlier"]) for v, r in out.items()}
