@@ -47,24 +47,31 @@ def run_reconcile(df: DataFrame, spec: CheckSpec) -> CheckResult:
     exact parity)."""
     other: DataFrame = spec.config["other_df"]
     agg = spec.config.get("agg", "sum")
-    if agg not in _AGGS:
-        raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
+    # other_agg lets the two sides aggregate differently — the canonical
+    # use is auditing a COUNT of detail rows against a SUM of pre-counted
+    # rollup rows (e.g. manifest n_violations vs the violations sink)
+    other_agg = spec.config.get("other_agg", agg)
+    for a in (agg, other_agg):
+        if a not in _AGGS:
+            raise ValueError(f"agg must be one of {_AGGS}, got {a!r}")
     measure = spec.config.get("measure")
     if measure is None and agg != "count":
         raise ValueError(f"agg={agg!r} requires a 'measure' column")
     other_measure = spec.config.get("other_measure", measure)
+    if other_measure is None and other_agg != "count":
+        raise ValueError(f"other_agg={other_agg!r} requires a measure column")
     tol_abs = float(spec.config.get("tol_abs", 0.0))
     tol_rel = float(spec.config.get("tol_rel", 0.0))
     pcol = spec.partition_col
 
-    def side(d: DataFrame, m: str | None, val: str, n: str) -> DataFrame:
-        e = F.count(F.lit(1)) if agg == "count" else getattr(F, agg)(F.col(m))
+    def side(d: DataFrame, a: str, m: str | None, val: str, n: str) -> DataFrame:
+        e = F.count(F.lit(1)) if a == "count" else getattr(F, a)(F.col(m))
         return d.groupBy(F.col(pcol).cast("string").alias("partition_key")).agg(
             e.alias(val), F.count(F.lit(1)).alias(n)
         )
 
-    lhs = side(df, measure, "_lhs", "_n_lhs")
-    rhs = side(other, other_measure, "_rhs", "_n_rhs")
+    lhs = side(df, agg, measure, "_lhs", "_n_lhs")
+    rhs = side(other, other_agg, other_measure, "_rhs", "_n_rhs")
     joined = lhs.join(
         rhs, lhs["partition_key"].eqNullSafe(rhs["partition_key"]), "full_outer"
     ).select(

@@ -61,6 +61,7 @@ def _registry() -> dict[str, Callable]:
     )
     from ..checks.metadata import run_metadata_stats
     from ..checks.quantiles import run_quantile_drift
+    from ..checks.reconcile import run_reconcile
     from ..checks.stats import run_stats
     from ..checks.uniqueness import run_uniqueness
 
@@ -70,6 +71,10 @@ def _registry() -> dict[str, Callable]:
         "quantile_drift": run_quantile_drift,
         "uniqueness": run_uniqueness,
         "referential": run_referential,
+        # reconcile's other_df is runtime state injected at run time (the
+        # baseline_df/dim_df rule): the config document carries measure/
+        # agg/tolerances only, and CheckSpec.id already excludes frames
+        "reconcile": run_reconcile,
         "drift": run_drift,
         "count_drift": run_count_drift,
         "freshness": run_freshness,

@@ -292,3 +292,42 @@ def test_violations_sink_sampling_bounds_sink_keeps_exact_counts(
     viol2 = spark.read.parquet(sink2)
     assert viol.drop("run_id").exceptAll(viol2.drop("run_id")).count() == 0
     assert viol2.drop("run_id").exceptAll(viol.drop("run_id")).count() == 0
+
+
+def test_manifest_sink_reconcile_audit(spark, manifest_dir, tmp_path):
+    """Dogfooding the reconciliation check: the manifest's exact
+    n_violations accounting vs the violations sink's row counts — the
+    engine audits its own lineage. A corrupted sink (lost evidence rows)
+    FAILs exactly the check_id it corrupted."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.reconcile import run_reconcile
+
+    files = files_view(spark, SF).drop("doc_id")
+    sink = str(tmp_path / "viol")
+    run_with_manifest(files, manifest_dir, violations_sink=sink)
+    man = read_manifest(spark, manifest_dir).filter(F.col("n_violations") > 0)
+    viol = spark.read.parquet(sink)
+    spec = CheckSpec(
+        "sink_audit",
+        run_reconcile,
+        {"other_df": viol, "measure": "n_violations", "agg": "sum", "other_agg": "count"},
+        "check_id",
+    )
+    v = {r["partition_key"]: r["verdict"] for r in run_reconcile(man, spec).verdicts.collect()}
+    assert v and all(verdict == "PASS" for verdict in v.values())
+
+    # corrupt ONE check's evidence: drop that check's rows from one partition
+    victim = viol.select("check_id", "partition_key").first()
+    corrupted = viol.filter(
+        ~((F.col("check_id") == victim["check_id"])
+          & (F.col("partition_key") == victim["partition_key"]))
+    )
+    spec2 = CheckSpec(
+        "sink_audit",
+        run_reconcile,
+        {"other_df": corrupted, "measure": "n_violations", "agg": "sum", "other_agg": "count"},
+        "check_id",
+    )
+    v2 = {r["partition_key"]: r["verdict"] for r in run_reconcile(man, spec2).verdicts.collect()}
+    assert v2[victim["check_id"]] == "FAIL"
+    assert all(verdict == "PASS" for cid, verdict in v2.items() if cid != victim["check_id"])
