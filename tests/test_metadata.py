@@ -122,3 +122,50 @@ def test_metadata_check_via_suite_config(spark, tmp_path):
     res = suite[0].run(spark.range(1))
     verdicts = [r["verdict"] for r in res.verdicts.collect()]
     assert verdicts and set(verdicts) == {"PASS"}
+
+
+def test_tiered_validate_escalates_only_uncleared_files(spark, tmp_path):
+    """plans/tiered.py: footer tier clears healthy files without touching
+    data pages; only the planted-violation file and the statistics-less
+    file escalate to the scan suite, re-keyed per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomaly_detector_spark.checks.rowrules import run_row_predicate
+    from anomaly_detector_spark.plans.tiered import tiered_validate
+    from anomaly_detector_spark.synth import synth_files
+
+    base = synth_files(spark, 3000, skew=False).withColumn(
+        "v", (F.coalesce(F.length("content"), F.lit(0)) % 500).cast("double")
+    )
+    good = str(tmp_path / "good")
+    base.repartition(4).write.mode("overwrite").parquet(good)
+    bad = str(tmp_path / "bad")
+    base.limit(50).withColumn("v", F.lit(5000.0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(bad)
+    statless = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(base.limit(20).toPandas()), statless, write_statistics=False
+    )
+
+    files = list_parquet_files(good) + list_parquet_files(bad) + [statless]
+    rule = CheckSpec("v_range", run_row_predicate, {"expr": "v <= 1000"}, "lang")
+    res = tiered_validate(
+        spark,
+        files,
+        {"column": "v", "min_allowed": 0.0, "max_allowed": 1000.0},
+        [rule],
+    )
+    assert len(res.cleared_files) == 4
+    assert sorted(res.escalated_files) == sorted(list_parquet_files(bad) + [statless])
+    tiers = {r["partition_key"]: (r["tier"], r["verdict"]) for r in res.verdicts().collect()}
+    for f in res.cleared_files:
+        assert tiers[f] == ("metadata", "PASS")
+    badfile = list_parquet_files(bad)[0]
+    assert tiers[badfile] == ("scan", "FAIL")
+    assert tiers[statless] == ("scan", "PASS")  # proved clean by scanning
+    # every input file ends with exactly one authoritative verdict
+    assert len(tiers) == len(files)
+    # the scan tier saw ONLY the escalated files (one rule x two files)
+    assert res.scan is not None and res.scan.verdicts.count() == 2
