@@ -731,6 +731,37 @@ def q_files_viol_diff(spark: SparkSession, sf: str) -> DataFrame:
     return violations_diff(cur, prev)
 
 
+def q_files_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style snapshot diff (plans/diff.py snapshot_diff): the files
+    view vs a deterministically mutated successor (every 97th doc removed,
+    every 89th's content edited, every 101st cloned under a new id).
+    Spark compares xxhash64 multiset fingerprints; the oracle compares the
+    COLUMN VALUES directly — an independent mechanism certifying the hash
+    fingerprinting, like docs_clean_corpus's dedup oracle."""
+    from anomaly_detector_spark.plans.diff import snapshot_diff
+
+    files = files_view(spark, sf)
+    edited = F.when(
+        F.col("doc_id") % 89 == 0,
+        F.concat(F.coalesce(F.col("content"), F.lit("")), F.lit("X")),
+    ).otherwise(F.col("content"))
+    right = (
+        files.filter(F.col("doc_id") % 97 != 0)
+        .withColumn("content", edited)
+        .unionByName(
+            files.filter(F.col("doc_id") % 101 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    out = snapshot_diff(
+        files, right, keys=["doc_id"], compare_cols=["repo", "path", "commit", "lang", "content"]
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_left", "n_right", "status"
+    )
+
+
 def q_files_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     """checks/rowrules.py quarantine split (write-audit-publish gate):
     zero-join, zero-shuffle row routing with failed-rule attribution;
@@ -1439,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_history_flags": q_metric_history_flags,
         "schema_drift": q_schema_drift,
         "files_viol_diff": q_files_viol_diff,
+        "files_snapshot_diff": q_files_snapshot_diff,
         "events_profile": q_events_profile,
         "events_freshness": q_events_freshness,
         "files_quarantine": q_files_quarantine,
@@ -1678,6 +1710,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(r.n_rhs, 0) AS BIGINT) AS n_rhs
             FROM l FULL OUTER JOIN r
               ON l.partition_key IS NOT DISTINCT FROM r.partition_key
+        """,
+        "files_snapshot_diff": f"""
+            -- value-based diff: independent of the engine's xxhash64
+            -- multiset fingerprints (certifies the hash mechanism)
+            WITH {FILES_CTE_SQL},
+            r AS (
+              SELECT doc_id, repo, path, "commit", lang,
+                     CASE WHEN doc_id % 89 = 0 THEN coalesce(content, '') || 'X'
+                          ELSE content END AS content
+              FROM files WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, repo, path, "commit", lang, content
+              FROM files WHERE doc_id % 101 = 0
+            )
+            SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                   CAST(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_left,
+                   CAST(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_right,
+                   CASE WHEN r.doc_id IS NULL THEN 'removed'
+                        WHEN l.doc_id IS NULL THEN 'added'
+                        WHEN l.repo IS NOT DISTINCT FROM r.repo
+                         AND l.path IS NOT DISTINCT FROM r.path
+                         AND l."commit" IS NOT DISTINCT FROM r."commit"
+                         AND l.lang IS NOT DISTINCT FROM r.lang
+                         AND l.content IS NOT DISTINCT FROM r.content
+                        THEN 'unchanged' ELSE 'changed' END AS status
+            FROM files l FULL OUTER JOIN r ON l.doc_id = r.doc_id
         """,
         "files_count_drift": f"""
             -- categorical count-drift vs uniform baseline, mirroring

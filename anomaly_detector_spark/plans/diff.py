@@ -68,3 +68,67 @@ def violations_diff_runs(
         sink.where(F.col("run_id") == prev_run),
         identity,
     )
+
+
+ADDED, REMOVED, CHANGED, UNCHANGED = "added", "removed", "changed", "unchanged"
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff of two table snapshots by key: one row per key seen
+    in either snapshot, status in added | removed | changed | unchanged,
+    plus each side's row count.
+
+    Rows are reduced to ``xxhash64`` of the compared columns BEFORE any
+    shuffle — wide columns (content) never ride an exchange — and both
+    sides union with side tags into ONE map-side-combined groupBy (the
+    violations_diff shape), so the whole diff is a single shuffle of
+    (keys, hash) rows. Per key, each side aggregates to a MULTISET
+    fingerprint (row count + exact decimal sum of row hashes), which
+    makes duplicate keys first-class: a key is `unchanged` only when both
+    sides hold the same multiset of row contents (same count, same hash
+    sum — hash-collision caveat as for every hash-based dedup here).
+    NULL key columns group like any other value.
+
+    The status semantics are the snapshot dual of violations_diff:
+    added ~ new, removed ~ resolved, changed/unchanged split persisting
+    by content equality.
+    """
+    compare_cols = compare_cols or [c for c in left.columns if c not in keys]
+    h = F.xxhash64(F.struct(*[F.col(c) for c in compare_cols])).cast("decimal(38,0)")
+
+    def prep(d: DataFrame, lt: int, rt: int) -> DataFrame:
+        return d.select(
+            *keys,
+            (h * lt).alias("_hl"),
+            (h * rt).alias("_hr"),
+            F.lit(lt).alias("_nl"),
+            F.lit(rt).alias("_nr"),
+        )
+
+    g = (
+        prep(left, 1, 0)
+        .unionByName(prep(right, 0, 1))
+        .groupBy(*keys)
+        .agg(
+            F.sum("_nl").cast("long").alias("n_left"),
+            F.sum("_nr").cast("long").alias("n_right"),
+            F.sum("_hl").alias("_sl"),
+            F.sum("_hr").alias("_sr"),
+        )
+    )
+    status = (
+        F.when(F.col("n_right") == 0, F.lit(REMOVED))
+        .when(F.col("n_left") == 0, F.lit(ADDED))
+        .when(
+            (F.col("n_left") == F.col("n_right"))
+            & F.col("_sl").eqNullSafe(F.col("_sr")),
+            F.lit(UNCHANGED),
+        )
+        .otherwise(F.lit(CHANGED))
+    )
+    return g.withColumn("status", status).drop("_sl", "_sr")

@@ -59,3 +59,28 @@ def test_diff_runs_from_stamped_sink(spark, tmp_path):
         for r in violations_diff_runs(sink, cur_run="r1", prev_run="r2").collect()
     }
     assert back == {"bad0": "persisting", "bad1": "resolved"}
+
+
+def test_snapshot_diff_statuses(spark):
+    from anomaly_detector_spark.plans.diff import snapshot_diff
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (4, "d2"), (5, "e"), (5, "e"), (None, "n")],
+        "k int, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d2"), (4, "d"), (5, "e"), (6, "f"), (None, "n")],
+        "k int, v string",
+    )
+    out = {r["k"]: r for r in snapshot_diff(left, right, ["k"]).collect()}
+    assert len(out) == 7
+    assert out[1]["status"] == "unchanged"
+    assert out[2]["status"] == "changed"
+    assert out[3]["status"] == "removed" and out[3]["n_right"] == 0
+    # duplicate key, same multiset in a different order -> unchanged
+    assert out[4]["status"] == "unchanged" and out[4]["n_left"] == 2
+    # duplicate key, multiplicity 2 vs 1 of the same content -> changed
+    assert out[5]["status"] == "changed"
+    assert out[6]["status"] == "added" and out[6]["n_left"] == 0
+    # a NULL key groups once like any other value
+    assert out[None]["status"] == "unchanged"
