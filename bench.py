@@ -69,6 +69,10 @@ def main() -> int:
         "emb_kmeans",          # 2-round Lloyd k-means over embeddings
         "emb_pq_topk",         # PQ-ANN: trained codebook, ADC + exact re-rank
         "docs_ppl",            # bigram-LM perplexity quality filter
+        # late-round-3 additions
+        "orders_reconcile",    # cross-table aggregate reconciliation
+        "files_snapshot_diff", # CDC-style snapshot diff (one shuffle)
+        "emb_outliers",        # per-cluster median-gated outlier triage
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -84,3 +84,42 @@ def test_snapshot_diff_statuses(spark):
     assert out[6]["status"] == "added" and out[6]["n_left"] == 0
     # a NULL key groups once like any other value
     assert out[None]["status"] == "unchanged"
+
+
+def test_snapshot_diff_algebra(spark):
+    """Algebraic invariants over a realistic table (synth planted dup
+    keys exercise the multiset fingerprint): identity -> all unchanged,
+    empty right -> all removed, argument swap flips added<->removed and
+    transposes the per-side counts."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_spark.plans.diff import snapshot_diff
+    from anomaly_detector_spark.synth import synth_files
+
+    df = synth_files(spark, 2000)
+    keys = ["repo", "path", "commit"]
+    assert snapshot_diff(df, df, keys).filter("status <> 'unchanged'").count() == 0
+    assert (
+        snapshot_diff(df, df.filter("1=0"), keys).filter("status <> 'removed'").count() == 0
+    )
+    mut = df.filter(F.xxhash64("repo", "path", "commit") % 5 != 0).withColumn(
+        "content",
+        F.when(
+            F.xxhash64("path") % 7 == 0,
+            F.concat(F.coalesce(F.col("content"), F.lit("")), F.lit("!")),
+        ).otherwise(F.col("content")),
+    )
+    a = {
+        (r["repo"], r["path"], r["commit"]): (r["status"], r["n_left"], r["n_right"])
+        for r in snapshot_diff(df, mut, keys).collect()
+    }
+    b = {
+        (r["repo"], r["path"], r["commit"]): (r["status"], r["n_left"], r["n_right"])
+        for r in snapshot_diff(mut, df, keys).collect()
+    }
+    flip = {"added": "removed", "removed": "added", "changed": "changed", "unchanged": "unchanged"}
+    assert a.keys() == b.keys()
+    # the mutation really produced a mix of statuses
+    assert {s for s, _, _ in a.values()} >= {"removed", "changed", "unchanged"}
+    for k, (s, nl, nr) in a.items():
+        assert b[k] == (flip[s], nr, nl)
