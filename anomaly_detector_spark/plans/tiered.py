@@ -43,6 +43,16 @@ class TieredResult:
     escalated_files: list[str] # FAIL / SKIPPED -> scan-tier input
     scan: SuiteResult | None   # scan suite over escalated files only
 
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the cached metadata verdicts (and any scan caches).
+        Call after the result frames are materialized."""
+        try:
+            self.meta.verdicts.unpersist(blocking=blocking)
+        except Exception:
+            pass
+        if self.scan is not None:
+            self.scan.unpersist(blocking=blocking)
+
     def verdicts(self) -> DataFrame:
         """One authoritative verdict stream: metadata-tier PASS rows
         (tier='metadata') plus every scan-tier verdict (tier='scan') for
@@ -84,6 +94,10 @@ def tiered_validate(
         partition_col="file",
     )
     meta = run_metadata_stats(spark.range(1), meta_spec)
+    # the verdict frame drives TWO actions (the escalation collect here
+    # and the combined verdicts() union later) — cache it so the footer
+    # pass runs once; TieredResult.unpersist releases it
+    meta.verdicts = meta.verdicts.cache()
     escalated = sorted(
         r["partition_key"]
         for r in meta.verdicts.filter(F.col("verdict") != PASS)
