@@ -919,6 +919,20 @@ def q_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
     return schema_contract_df(drifted)
 
 
+def q_docs_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    chunk_documents): 32-token windows at stride 24 (8-token overlap) —
+    the RAG / training-prep standard. Integer-arithmetic chunk counts,
+    all-JVM array expressions, zero shuffles."""
+    from anomaly_detector_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    out = chunk_documents(d, chunk_tokens=32, stride=24)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "chunk_idx", "n_tokens", "chunk"
+    )
+
+
 def q_docs_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-data prep pipeline: language-ID -> quality
     gate -> exact dedup on the normalized-content fingerprint ->
@@ -1476,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_quarantine": q_files_quarantine,
         "events_json_rule": q_events_json_rule,
         "docs_clean_corpus": q_docs_clean_corpus,
+        "docs_chunks": q_docs_chunks,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -3455,6 +3470,25 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM f
     """
     out["emb_pq_topk"] = _pq_topk_oracle(k=5, n_sub=8, ksub=16, refine=4)
+    out["docs_chunks"] = f"""
+        -- overlapping token windows: same integer chunk-count formula
+        -- (1 + (n - w + s - 1) div s), inclusive list_slice bounds
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                      ELSE 1 + (n - 32 + 23) // 24 END)) AS chunk_idx
+          FROM nn
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(least(32, n - chunk_idx * 24) AS INT) AS n_tokens,
+               array_to_string(
+                 list_slice(toks, chunk_idx * 24 + 1,
+                            least(chunk_idx * 24 + 32, n)), ' ') AS chunk
+        FROM c
+    """
     out["docs_ppl"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         bgf AS (

@@ -466,3 +466,56 @@ def tfidf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / training-prep
+    standard: (id, chunk_idx, n_tokens, chunk) rows where chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens). ``stride < chunk_tokens``
+    overlaps consecutive chunks by ``chunk_tokens - stride`` tokens so no
+    boundary context is lost; ``stride == chunk_tokens`` degenerates to
+    doc_segments' disjoint windows. ``stride > chunk_tokens`` would drop
+    tokens silently and is rejected.
+
+    Chunk counts use pure INTEGER arithmetic (1 + (n - w + s - 1) div s),
+    never a float ceil — cross-engine exact. Empty/NULL docs emit no
+    rows. All JVM array expressions: the token array binds as a lambda
+    variable (the HOF per-element re-evaluation lesson), the explode
+    fans out map-side, zero Python, zero shuffles.
+    """
+    if stride < 1 or stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) must be in [1, chunk_tokens={chunk_tokens}]: "
+            "a larger stride silently drops the tokens between windows"
+        )
+    w, s = chunk_tokens, stride
+
+    def mk(tk: Column) -> Column:
+        n = F.size(tk)
+        nchunks = F.when(n <= w, F.lit(1)).otherwise(
+            (F.lit(1) + (n - w + s - 1) / F.lit(s)).cast("int")
+        )
+        return F.when(n <= 0, F.array().cast("array<struct<nt:int,ch:string>>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.struct(
+                    F.least(F.lit(w), n - i * s).cast("int").alias("nt"),
+                    F.concat_ws(" ", F.slice(tk, i * s + 1, w)).alias("ch"),
+                ),
+            )
+        )
+
+    arr = F.element_at(F.transform(F.array(tokens(col)), mk), 1)
+    ex = df.select(F.col(id_col), F.posexplode(arr).alias("chunk_idx", "_c"))
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.nt").alias("n_tokens"),
+        F.col("_c.ch").alias("chunk"),
+    )

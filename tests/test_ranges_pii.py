@@ -261,3 +261,32 @@ def test_asof_join_rejects_unkeyed_and_collisions(asof_frames):
         asof_join(left, right.withColumnRenamed("k", "k2"), on="ts")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("rv", "v"), on="ts", by=["k"])
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from anomaly_detector_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # 5 tokens
+            (2, "a b c d e f"),      # 6 tokens
+            (3, "a b"),              # shorter than one window
+            (4, ""),                 # empty -> no rows
+            (5, None),               # NULL -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=3, stride=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"]) for r in out.collect()}
+    assert rows[(1, 0)] == (3, "a b c") and rows[(1, 1)] == (3, "c d e")
+    assert rows[(2, 0)] == (3, "a b c")
+    assert rows[(2, 1)] == (3, "c d e")
+    assert rows[(2, 2)] == (2, "e f")  # tail chunk, shorter
+    assert rows[(3, 0)] == (2, "a b")
+    assert not any(d in (4, 5) for d, _ in rows)
+    assert len(rows) == 6
+    # every token of every doc is covered by at least one chunk
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=3, stride=4)
