@@ -101,6 +101,27 @@ def q_files_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-mode drift (checks/drift.py mode='value'): PSI/KS over the
+    numeric telemetry column itself, bucketed by value — the
+    shape-sensitive complement to quantile-vector drift."""
+    from anomaly_detector_spark.checks.drift import (
+        drift_scores,
+        global_baseline,
+        length_histogram,
+    )
+
+    ev = load_table(spark, sf, "events")
+    hist = length_histogram(ev, "event_type", "value", bucket_width=10, mode="value")
+    scores = drift_scores(hist, global_baseline(hist))
+    return scores.select(
+        "partition_key",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
 def q_files_count_drift(spark: SparkSession, sf: str) -> DataFrame:
     # categorical drift of per-lang file counts vs a uniform baseline
     # (north_star's second drift dimension)
@@ -1455,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_sha256": q_files_sha256,
         "files_drift_scores": q_files_drift_scores,
         "files_drift_attrib": q_files_drift_attrib,
+        "events_value_drift": q_events_value_drift,
         "orders_reconcile": q_orders_reconcile,
         "files_keep_first": q_files_keep_first,
         "files_count_drift": q_files_count_drift,
@@ -1696,6 +1718,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n, CAST(base_n AS BIGINT) AS base_n,
                    round(psi_term, 6) AS psi_term
             FROM ranked WHERE "rank" <= 3
+        """,
+        "events_value_drift": f"""
+            -- value-mode drift: same grid/smoothing as files_drift_scores,
+            -- buckets are floor(value / 10) instead of content-length bins
+            WITH hist AS (
+              SELECT event_type AS partition_key,
+                     CAST(floor(value / 10) AS BIGINT) AS bucket,
+                     count(*) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            base AS (SELECT bucket, sum(n) AS base_n FROM hist GROUP BY 1),
+            grid AS (
+              SELECT p.partition_key, b.bucket
+              FROM (SELECT DISTINCT partition_key FROM hist) p
+              CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+            ),
+            j AS (
+              SELECT g.partition_key, g.bucket,
+                     CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                     CAST(coalesce(bs.base_n, 0) AS DOUBLE) AS base_n
+              FROM grid g
+              LEFT JOIN hist h ON h.partition_key = g.partition_key AND h.bucket = g.bucket
+              LEFT JOIN base bs ON bs.bucket = g.bucket
+            ),
+            norm AS (
+              SELECT partition_key, bucket, n,
+                     (n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                                  + 0.5 * count(*) OVER (PARTITION BY partition_key)) AS p,
+                     (base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                                  + 0.5 * count(*) OVER (PARTITION BY partition_key)) AS q
+              FROM j
+            ),
+            cum AS (
+              SELECT partition_key, p, q, n,
+                     sum(p) OVER (PARTITION BY partition_key ORDER BY bucket) AS cp,
+                     sum(q) OVER (PARTITION BY partition_key ORDER BY bucket) AS cq
+              FROM norm
+            )
+            SELECT partition_key,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi,
+                   round(max(abs(cp - cq)), 6) AS ks,
+                   CAST(sum(n) AS BIGINT) AS n_obs
+            FROM cum GROUP BY 1
         """,
         "orders_reconcile": f"""
             -- cross-table reconciliation: exact DECIMAL sums, null-safe

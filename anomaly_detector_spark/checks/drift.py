@@ -37,14 +37,31 @@ SCORE_SCHEMA = "partition_key string, psi double, ks double, n_obs long, n_bucke
 
 
 def length_histogram(
-    df: DataFrame, partition_col: str, col: str = "content", bucket_width: int = 100
+    df: DataFrame,
+    partition_col: str,
+    col: str = "content",
+    bucket_width: int = 100,
+    mode: str = "length",
 ) -> DataFrame:
-    """Pre-aggregated content-length histogram: one row per (partition, bucket)."""
+    """Pre-aggregated histogram: one row per (partition, bucket).
+
+    ``mode='length'`` buckets ``length(col)`` (the reference's content
+    dimension); ``mode='value'`` buckets the NUMERIC column itself —
+    PSI/KS drift over telemetry values, the shape-sensitive complement
+    to quantile-vector drift (a multi-modal redistribution can leave
+    every quantile in place; the binned histogram moves). Negative
+    values floor into negative buckets — no clamping."""
+    if mode == "length":
+        measure = F.length(F.col(col))
+    elif mode == "value":
+        measure = F.col(col)
+    else:
+        raise ValueError(f"mode must be 'length' or 'value', got {mode!r}")
     return (
         df.filter(F.col(col).isNotNull())
         .select(
             F.col(partition_col).cast("string").alias("partition_key"),
-            (F.floor(F.length(F.col(col)) / bucket_width)).cast("long").alias("bucket"),
+            (F.floor(measure / bucket_width)).cast("long").alias("bucket"),
         )
         .groupBy("partition_key", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -286,6 +303,7 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
     cid = spec.id
     col = spec.config.get("column", "content")
     bucket_width = spec.config.get("bucket_width", 100)
+    mode = spec.config.get("mode", "length")  # 'length' | 'value' histogram
     score_col = spec.config.get("score", "psi")
     baseline = spec.config.get("baseline_df")  # frozen baseline (manifest) or None
 
@@ -296,7 +314,7 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
     # scores (O(partitions) rows) feed both the verdict and metrics
     # branches. Without these two caches the check re-scanned the input
     # five times and anti-scaled with parallelism.
-    hist = length_histogram(df, part, col, bucket_width).cache()
+    hist = length_histogram(df, part, col, bucket_width, mode=mode).cache()
     base = baseline if baseline is not None else global_baseline(hist)
     scores = drift_scores(hist, base).cache()
     flagged = flag_outliers(

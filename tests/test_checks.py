@@ -354,3 +354,32 @@ def test_reconcile_cross_table(spark):
     # check id is stable whether other_df is injected or not (runtime
     # state, not configuration) — manifest rows stay comparable
     assert spec.id == CheckSpec("reconcile", run_reconcile, {"measure": "m"}, "g").id
+
+
+def test_drift_value_mode_catches_numeric_shift(spark):
+    """mode='value' buckets the numeric column itself: a shifted
+    partition FAILs value-mode drift while length-mode (on an identical
+    text column) sees nothing — telemetry drift is a first-class
+    dimension, not just content length."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_drift
+
+    rows = []
+    for grp, base in (("a", 0.0), ("b", 0.0), ("c", 1000.0)):  # c shifted
+        for i in range(300):
+            rows.append((grp, base + (i % 100), "x" * 50))
+    df = spark.createDataFrame(rows, "grp string, value double, txt string")
+
+    vspec = CheckSpec(
+        "value_drift", run_drift, {"column": "value", "mode": "value", "bucket_width": 10}, "grp"
+    )
+    vres = run_drift(df, vspec)
+    v = {r["partition_key"]: r["verdict"] for r in vres.verdicts.collect()}
+    assert v == {"a": "PASS", "b": "PASS", "c": "FAIL"}
+
+    lspec = CheckSpec("len_drift", run_drift, {"column": "txt", "bucket_width": 10}, "grp")
+    lres = run_drift(df, lspec)
+    assert {r["verdict"] for r in lres.verdicts.collect()} == {"PASS"}
+    for res in (vres, lres):
+        for c in res.caches:
+            c.unpersist()
