@@ -152,7 +152,10 @@ def q_files_drift_attrib(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     files = files_view(spark, sf)
-    hist = length_histogram(files, "lang", "content", bucket_width=50)
+    # cached per drift_attribution's contract: the plan references hist
+    # four ways and an uncached hist re-scans the source per reference
+    # (O(partitions x buckets) rows — KBs; run_drift does the same)
+    hist = length_histogram(files, "lang", "content", bucket_width=50).cache()
     att = drift_attribution(hist, global_baseline(hist), top_k=3)
     return att.select(
         "partition_key",

@@ -362,6 +362,14 @@ def drift_attribution(
     no UDF, no scan of the source table; the ranking window partitions
     by partition_key (bounded by the bucket count, never a global
     funnel).
+
+    CACHE THE INPUTS: this plan references ``hist`` four ways (partition
+    list, bucket grid, join side, baseline derivation) and Spark does
+    not reuse the aggregation exchange across differently-pruned
+    references — an uncached hist re-scans the SOURCE table per
+    reference. run_drift already passes its cached histogram; standalone
+    callers should ``.cache()`` both frames first (they are
+    O(partitions x buckets) rows — KBs by construction).
     """
     parts = hist.select("partition_key").distinct()
     buckets = hist.select("bucket").union(baseline.select("bucket")).distinct()
