@@ -39,6 +39,7 @@ def drift_stream(
     bucket_width: int = 100,
     abs_thresh: float = 0.25,
     idle_ttl_ms: int | None = None,
+    mode: str = "length",
 ) -> DataFrame:
     """Per-partition running PSI/KS vs a frozen baseline histogram.
 
@@ -104,9 +105,15 @@ def drift_stream(
             }
         )
 
+    if mode == "length":
+        measure = F.length(F.col(col))
+    elif mode == "value":
+        measure = F.col(col)
+    else:
+        raise ValueError(f"mode must be 'length' or 'value', got {mode!r}")
     slim = stream_df.filter(F.col(col).isNotNull()).select(
         F.col(partition_col).cast("string").alias("partition_key"),
-        F.floor(F.length(F.col(col)) / bw).cast("long").alias("_bucket"),
+        F.floor(measure / bw).cast("long").alias("_bucket"),
     )
     return slim.groupBy("partition_key").applyInPandasWithState(
         fn,

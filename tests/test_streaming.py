@@ -532,3 +532,32 @@ def test_stream_constraint_suite(spark, dirs):
     )
     s = m.select("partition_key", "check_id", "verdict")
     assert sorted(map(tuple, s.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_drift_stream_value_mode(spark, tmp_path):
+    # the streaming twin of checks.drift mode='value': buckets the
+    # numeric column itself; a value-shifted key drifts, the stable key
+    # does not (identical semantics to the batch value-mode fixture)
+    from anomaly_detector_spark.streaming.drift import drift_stream
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    baseline = {0: 100.0, 1: 100.0}  # values ~0-19, bucket_width 10
+
+    rows = [("a", float(i % 20)) for i in range(100)]
+    rows += [("b", 500.0 + (i % 20)) for i in range(100)]  # shifted key
+    spark.createDataFrame(rows, "k string, value double").write.mode("append").parquet(inp)
+    stream = spark.readStream.schema("k string, value double").parquet(inp)
+    out = drift_stream(
+        stream, baseline, partition_col="k", col="value", bucket_width=10,
+        abs_thresh=0.25, mode="value",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["partition_key"]: r["is_drifted"] for r in spark.read.parquet(sink).collect()}
+    assert got == {"a": False, "b": True}
