@@ -219,3 +219,87 @@ def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:
         .orderBy(F.desc("n"), F.asc_nulls_last("value"))
         .limit(k)
     )
+
+
+def topk_sketches(
+    df: DataFrame,
+    partition_col: str,
+    col: str,
+    k: int = 64,
+    run_id: str = "r0",
+) -> DataFrame:
+    """Per-partition truncated top-k value counts with a SOUND undercount
+    bound — the heavy-hitter member of the mergeable sketch family
+    (checks/stats.py hll_sketches for distincts, checks/quantiles.py
+    t-digests for quantiles): store one sketch frame per run next to the
+    manifest, union frames across runs, and ``topk_union`` answers
+    "all-time most frequent values" WITHOUT rescanning committed history.
+
+    Rows: (run_id, partition_key, item, n, bound) — exact per-run counts
+    for the k most frequent items (ties on item) plus ``bound``, the
+    count at rank k+1 (0 when the partition has <= k distinct items).
+    ``bound`` is the largest count any DROPPED item can have, which is
+    what makes cross-run merging sound: a merged estimate undercounts an
+    item by at most the sum of the bounds of the runs that dropped it
+    (the Misra-Gries / SpaceSaving merge argument, realized with exact
+    per-run counts).
+
+    Scale: one map-side-combined count shuffle of O(distinct) rows, then
+    two_phase_topk — no single-reducer funnel even for partitions with
+    huge vocabularies.
+    """
+    from ..operators.similarity import two_phase_topk
+
+    counts = df.groupBy(
+        F.col(partition_col).cast("string").alias("partition_key"),
+        F.col(col).cast("string").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ranked = two_phase_topk(
+        counts, k + 1, group_col="partition_key", order_desc="n", tie_col="item"
+    )
+    bound = ranked.filter(F.col("rank") == k + 1).select(
+        "partition_key", F.col("n").alias("_bnd")
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(bound), "partition_key", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_key",
+            "item",
+            "n",
+            F.coalesce(F.col("_bnd"), F.lit(0)).cast("long").alias("bound"),
+        )
+    )
+
+
+def topk_union(sketches: DataFrame, k: int = 10) -> DataFrame:
+    """Merge unioned per-run sketch frames into per-partition all-time
+    top-k with sound bounds: (partition_key, rank, item, est, upper).
+
+    ``est`` (sum of stored counts) is a LOWER bound on the true count;
+    ``upper`` adds, per item, the bounds of exactly the runs that did
+    NOT store it — the tightest undercount interval the sketches can
+    justify. Pure relational: the per-(run, partition) bound table and
+    the per-item presence sums come off the same tiny sketch frame.
+    """
+    from ..operators.similarity import two_phase_topk
+
+    run_bounds = (
+        sketches.select("run_id", "partition_key", "bound")
+        .distinct()
+        .groupBy("partition_key")
+        .agg(F.sum("bound").alias("_total_bound"))
+    )
+    per_item = sketches.groupBy("partition_key", "item").agg(
+        F.sum("n").alias("est"), F.sum("bound").alias("_present_bound")
+    )
+    merged = per_item.join(F.broadcast(run_bounds), "partition_key").select(
+        "partition_key",
+        "item",
+        "est",
+        (F.col("est") + F.col("_total_bound") - F.col("_present_bound")).alias("upper"),
+    )
+    return two_phase_topk(
+        merged, k, group_col="partition_key", order_desc="est", tie_col="item"
+    ).select("partition_key", "rank", "item", "est", "upper")

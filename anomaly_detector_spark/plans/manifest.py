@@ -191,6 +191,42 @@ def global_quantiles(
     return quantiles_from_sketches(deduped, list(qs))
 
 
+def global_topk(
+    spark: SparkSession,
+    topk_sketches_dir: str,
+    k: int = 10,
+    suite_sid: str | None = None,
+) -> DataFrame:
+    """Global heavy hitters over every committed run's truncated top-k
+    sketch rows — the third member of the sketch family next to
+    global_distinct and global_quantiles: all-time most frequent values
+    WITHOUT rescanning history, with sound undercount intervals.
+
+    Dedupe mirrors the others (at-least-once rows -> one surviving run
+    per (suite_id, partition_key)); the merge then treats each PARTITION
+    as a topk_union "run": an item a partition's sketch dropped
+    undercounts by at most that partition's stored bound, so the same
+    (est, upper) interval math applies across partitions as across runs.
+    Returns (rank, item, est, upper)."""
+    from ..checks.profile import topk_union
+
+    df = spark.read.parquet(topk_sketches_dir)
+    if suite_sid is not None:
+        df = df.filter(F.col("suite_id") == suite_sid)
+    latest = df.groupBy("suite_id", "partition_key").agg(
+        F.max("run_id").alias("run_id")
+    )
+    surviving = df.join(latest, ["suite_id", "partition_key", "run_id"])
+    as_runs = surviving.select(
+        F.concat_ws("/", "suite_id", "partition_key").alias("run_id"),
+        F.lit("_global").alias("partition_key"),
+        "item",
+        "n",
+        "bound",
+    )
+    return topk_union(as_runs, k=k).select("rank", "item", "est", "upper")
+
+
 def sample_violations(
     violations: DataFrame, counts: DataFrame, per_group: int
 ) -> DataFrame:
@@ -236,6 +272,7 @@ def run_with_manifest(
     collect_verdict_counts: bool = False,
     sketches_dir: str | None = None,
     quantile_sketches_dir: str | None = None,
+    topk_sketches_dir: str | None = None,
     cache_pending: bool = False,
     revalidate: bool = False,
     max_violations_per_check: int | None = None,
@@ -416,6 +453,23 @@ def run_with_manifest(
             .withColumn("suite_id", F.lit(sid))
             .write.mode("append")
             .parquet(quantile_sketches_dir)
+        )
+
+    if topk_sketches_dir is not None:
+        # Per-partition truncated top-k value counts — the heavy-hitter
+        # member of the sketch family (checks/profile.py topk_sketches):
+        # cross-run / cross-partition "all-time most frequent values"
+        # with sound undercount bounds via global_topk, no rescan. Same
+        # at-least-once semantics; readers dedupe like the other two.
+        from ..checks.profile import topk_sketches
+
+        stats_specs = [s for s in suite if s.name == "stats"]
+        t_col = stats_specs[0].config.get("column", "content") if stats_specs else "content"
+        (
+            topk_sketches(pending, partition_col, t_col, run_id=rid)
+            .withColumn("suite_id", F.lit(sid))
+            .write.mode("append")
+            .parquet(topk_sketches_dir)
         )
 
     manifest_rows = (

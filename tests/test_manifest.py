@@ -331,3 +331,39 @@ def test_manifest_sink_reconcile_audit(spark, manifest_dir, tmp_path):
     v2 = {r["partition_key"]: r["verdict"] for r in run_reconcile(man, spec2).verdicts.collect()}
     assert v2[victim["check_id"]] == "FAIL"
     assert all(verdict == "PASS" for cid, verdict in v2.items() if cid != victim["check_id"])
+
+
+def test_incremental_topk_sketches_global_heavy_hitters(spark, manifest_dir, tmp_path):
+    """Third sketch-family member: two incremental runs write truncated
+    top-k content counts; global_topk merges them (partitions as merge
+    units) into all-time heavy hitters with sound bounds — est <= exact
+    count <= upper for every reported item, top item exact."""
+    from anomaly_detector_spark.plans.manifest import global_topk
+
+    files = files_view(spark, SF).drop("doc_id")
+    langs = sorted(r[0] for r in files.select("lang").distinct().collect())
+    first = files.filter(F.col("lang").isin(langs[:2]))
+    tk_dir = str(tmp_path / "topk")
+    run_with_manifest(first, manifest_dir, topk_sketches_dir=tk_dir)
+    run_with_manifest(files, manifest_dir, topk_sketches_dir=tk_dir)  # only rest pending
+    got = global_topk(spark, tk_dir, k=5).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    exact = {
+        r["content"]: r["n"]
+        for r in files.groupBy("content").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got:
+        true = exact[r["item"]]
+        assert r["est"] <= true <= r["upper"], (r["item"], r["est"], true, r["upper"])
+    # the global top item is the exact most frequent content
+    top_true = max(exact.values())
+    assert exact[got[0]["item"]] == top_true
+
+    # at-least-once retry: re-appending one run's rows under a fresh
+    # run_id must not inflate estimates (dedupe by suite_id/partition)
+    dup = spark.read.parquet(tk_dir).withColumn("run_id", F.lit("zzz_retry"))
+    dup.write.mode("append").parquet(tk_dir)
+    again = global_topk(spark, tk_dir, k=5).collect()
+    assert [(r["item"], r["est"], r["upper"]) for r in again] == [
+        (r["item"], r["est"], r["upper"]) for r in got
+    ]

@@ -133,3 +133,33 @@ def test_suggest_rules_roundtrip(spark):
     assert ("suggest_domain_lang", "cobol") in fails
     assert ("suggest_maxlen_content", "python") in fails
     assert ("suggest_complete_content", "go") in fails
+
+
+def test_topk_sketches_merge_with_sound_bounds(spark):
+    """Heavy-hitter member of the mergeable sketch family: truncated
+    per-run top-k counts + rank-(k+1) bound merge across runs with a
+    sound undercount interval — est <= true <= upper, and upper == est
+    exactly when every run stored the item."""
+    from anomaly_detector_spark.checks.profile import topk_sketches, topk_union
+
+    def mk(counts):
+        rows = [("p", it) for it, n in counts for _ in range(n)]
+        return spark.createDataFrame(rows, "g string, v string")
+
+    # run 1 keeps a(50), b(10); bound = count at rank 3 = c(3)
+    s1 = topk_sketches(
+        mk([("a", 50), ("b", 10), ("c", 3), ("d", 2)]), "g", "v", k=2, run_id="r1"
+    )
+    # run 2 keeps a(40), c(12); bound = b(4)
+    s2 = topk_sketches(
+        mk([("a", 40), ("c", 12), ("b", 4), ("e", 1)]), "g", "v", k=2, run_id="r2"
+    )
+    assert {r["bound"] for r in s1.collect()} == {3}
+    assert {r["bound"] for r in s2.collect()} == {4}
+
+    rows = {r["item"]: r for r in topk_union(s1.unionByName(s2), k=3).collect()}
+    assert rows["a"]["rank"] == 1 and rows["a"]["est"] == 90 and rows["a"]["upper"] == 90
+    # stored by one run only: the other run's bound widens the interval
+    assert rows["c"]["est"] == 12 and rows["c"]["upper"] == 15  # true = 15
+    assert rows["b"]["est"] == 10 and rows["b"]["upper"] == 14  # true = 14
+    assert [r["item"] for r in sorted(rows.values(), key=lambda r: r["rank"])] == ["a", "c", "b"]
