@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--quantile-sketches", default=None,
         help="per-run t-digest sketch table (parquet dir) for cross-run p50/p99 without rescan",
     )
+    p.add_argument(
+        "--topk-sketches", default=None,
+        help="per-run truncated top-k value-count table (parquet dir) for "
+        "all-time heavy hitters with sound bounds (plans/manifest.py global_topk)",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -121,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         violations_sink=args.violations, collect_verdict_counts=True,
         sketches_dir=args.sketches,
         quantile_sketches_dir=args.quantile_sketches,
+        topk_sketches_dir=args.topk_sketches,
         revalidate=args.revalidate,
         max_violations_per_check=args.max_violations_per_check,
     )

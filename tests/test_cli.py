@@ -54,6 +54,21 @@ def test_cli_quantile_sketches(spark, dirs, tmp_path, capsys):
     assert row["n_rows"] > 0 and row["q_0_5"] > 0 and row["q_0_99"] >= row["q_0_5"]
 
 
+def test_cli_topk_sketches(spark, dirs, tmp_path, capsys):
+    tdir = str(tmp_path / "tk")
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--topk-sketches", tdir, "--run-id", "tt",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    from anomaly_detector_spark.plans.manifest import global_topk
+
+    rows = global_topk(spark, tdir, k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert all(r["est"] <= r["upper"] for r in rows)
+
+
 def test_cli_constraint_revalidate_history(spark, dirs, capsys):
     # three revalidated runs under the constraint suite build metric
     # history; --history-flags reports the newest run's anomalies (none
