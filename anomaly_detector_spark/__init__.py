@@ -17,9 +17,13 @@ files ``(repo, path, commit, lang, content)``:
 * row-level constraint rules + quarantine (checks.rowrules)
 * schema contract vs physical schema     (checks.contract)
 * metric-history anomalies over manifest runs (checks.history)
-* one-pass table profiler                (checks.profile)
+* one-pass table profiler + mergeable heavy-hitter sketches (checks.profile)
 * per-partition freshness verdicts       (checks.freshness)
-* run-over-run violation diffing         (plans.diff)
+* metadata-only validation from parquet footers (checks.metadata)
+* cross-table aggregate reconciliation   (checks.reconcile)
+* mergeable t-digest quantile sketches   (checks.quantiles)
+* run-over-run violation diffing + CDC-style snapshot diff (plans.diff)
+* footer-tier -> scan-suite escalation   (plans.tiered)
 
 plus large-scale training-data-pipeline operators (operators.dedup,
 operators.similarity, operators.text, operators.multimodal, operators.windows)
