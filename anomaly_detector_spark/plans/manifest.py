@@ -227,6 +227,56 @@ def global_topk(
     return topk_union(as_runs, k=k).select("rank", "item", "est", "upper")
 
 
+def revalidation_plan(
+    manifest: DataFrame,
+    max_age_hours: float | None = None,
+    now=None,
+    suite_sid: str | None = None,
+) -> DataFrame:
+    """Which partitions need re-running, and why — the operational
+    driver for the next `revalidate` cycle: one row per (partition_key,
+    reason), reason in ``failed`` (the partition's LATEST run carries a
+    FAIL verdict) | ``stale`` (latest commit older than
+    ``max_age_hours`` against ``now`` — a timestamp/column for
+    deterministic replay, default wall clock like checks/freshness).
+
+    A partition can carry both reasons. SKIPPED verdicts are neither —
+    they re-run on their own when more data arrives. All relational:
+    latest-run selection is one max aggregate joined back (manifest
+    frames are O(partitions x checks), tiny by construction).
+    """
+    if suite_sid is not None:
+        manifest = manifest.filter(F.col("suite_id") == suite_sid)
+    latest = manifest.groupBy("partition_key").agg(
+        F.max("committed_at").alias("_latest_at")
+    )
+    cur = manifest.join(latest, "partition_key").filter(
+        F.col("committed_at") == F.col("_latest_at")
+    )
+    failed = (
+        cur.filter(F.col("verdict") == "FAIL")
+        .select("partition_key", F.col("_latest_at").alias("last_committed_at"))
+        .distinct()
+        .withColumn("reason", F.lit("failed"))
+    )
+    plans = [failed]
+    if max_age_hours is not None:
+        anchor = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        stale = (
+            latest.filter(
+                F.col("_latest_at")
+                < anchor - F.expr(f"INTERVAL {int(max_age_hours * 3600)} SECONDS")
+            )
+            .select("partition_key", F.col("_latest_at").alias("last_committed_at"))
+            .withColumn("reason", F.lit("stale"))
+        )
+        plans.append(stale)
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out.select("partition_key", "reason", "last_committed_at")
+
+
 def sample_violations(
     violations: DataFrame, counts: DataFrame, per_group: int
 ) -> DataFrame:

@@ -367,3 +367,33 @@ def test_incremental_topk_sketches_global_heavy_hitters(spark, manifest_dir, tmp
     assert [(r["item"], r["est"], r["upper"]) for r in again] == [
         (r["item"], r["est"], r["upper"]) for r in got
     ]
+
+
+def test_revalidation_plan_failed_and_stale(spark, manifest_dir):
+    """The operational loop-closer: the manifest tells the next cycle
+    which partitions to re-run — FAIL verdicts in a partition's latest
+    run, and commits older than the staleness budget (deterministic
+    explicit `now`)."""
+    import datetime as dt
+
+    from anomaly_detector_spark.plans.manifest import revalidation_plan
+
+    files = files_view(spark, SF).drop("doc_id")
+    run_with_manifest(files, manifest_dir)
+    man = read_manifest(spark, manifest_dir)
+    plan = revalidation_plan(man)
+    failed = {r["partition_key"] for r in plan.filter("reason = 'failed'").collect()}
+    expected = {
+        r["partition_key"] for r in man.filter(F.col("verdict") == "FAIL").collect()
+    }
+    assert failed == expected and expected  # planted violations do FAIL
+
+    # nothing is stale against a generous budget anchored at commit time
+    latest = man.agg(F.max("committed_at")).collect()[0][0]
+    fresh = revalidation_plan(man, max_age_hours=1.0, now=latest)
+    assert fresh.filter("reason = 'stale'").count() == 0
+    # everything is stale against a tiny budget from the future
+    future = latest + dt.timedelta(hours=3)
+    stale = revalidation_plan(man, max_age_hours=1.0, now=future)
+    n_parts = man.select("partition_key").distinct().count()
+    assert stale.filter("reason = 'stale'").count() == n_parts
