@@ -210,6 +210,46 @@ def minhash_signatures(
     return sh.groupBy("_id").agg(*mins)
 
 
+def banded_rows(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_id, band_idx, band_hash) rows — the LSH bucket assignment.
+
+    Band hashes are computed straight off the signature columns
+    (``xxhash64(lit(b), _h{br}.., _h{br+r-1})``) — no array slicing, no
+    string concat, fully codegen'd. Deterministic in the document content
+    alone, which is what makes the rows PERSISTABLE: a stored band row
+    written by one run buckets identically against rows computed by any
+    later run (see incremental_lsh_candidates).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, col, id_col, num_hashes, shingle_k, seed, hash_fn)
+
+    def band_hash(b: int) -> F.Column:
+        cols = [F.col(f"_h{b * r + j}") for j in range(r)]
+        if hash_fn == "sha256":
+            # sha256 over the '|'-joined hex signatures — byte-identical
+            # to `sha256(h0 || '|' || h1 || ...)` in the SQL oracle
+            return F.sha2(F.concat_ws("|", *cols), 256)
+        return F.xxhash64(F.lit(b), *cols)
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_hash"))
+        for b in range(bands)
+    ]
+    return sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     col: str = "text",
@@ -228,34 +268,14 @@ def minhash_lsh_candidates(
     of their signatures matches exactly. Output: (id_a, id_b, n_bands)
     with n_bands = number of matching bands.
 
-    Band hashes are computed straight off the signature columns
-    (``xxhash64(lit(b), _h{br}.., _h{br+r-1})``) — no array slicing, no
-    string concat, fully codegen'd. The self-join on (band_idx,
-    band_hash) is O(sum bucket^2); buckets larger than ``max_bucket``
-    (degenerate content, e.g. empty files at web scale) are dropped from
-    candidate generation — their members are exact-duplicable far more
-    cheaply via exact_dedup, and keeping them would quadratically blow up
-    the join. AQE skew-join splitting handles the surviving skew.
+    The self-join on (band_idx, band_hash) is O(sum bucket^2); buckets
+    larger than ``max_bucket`` (degenerate content, e.g. empty files at
+    web scale) are dropped from candidate generation — their members are
+    exact-duplicable far more cheaply via exact_dedup, and keeping them
+    would quadratically blow up the join. AQE skew-join splitting handles
+    the surviving skew.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, col, id_col, num_hashes, shingle_k, seed, hash_fn)
-
-    def band_hash(b: int) -> F.Column:
-        cols = [F.col(f"_h{b * r + j}") for j in range(r)]
-        if hash_fn == "sha256":
-            # sha256 over the '|'-joined hex signatures — byte-identical
-            # to `sha256(h0 || '|' || h1 || ...)` in the SQL oracle
-            return F.sha2(F.concat_ws("|", *cols), 256)
-        return F.xxhash64(F.lit(b), *cols)
-
-    band_structs = [
-        F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_hash"))
-        for b in range(bands)
-    ]
-    banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
-    )
+    banded = banded_rows(df, col, id_col, num_hashes, bands, shingle_k, seed, hash_fn)
     if materialize:
         # banded is consumed THREE times (bucket-size census + both sides
         # of the self-join); without materialization each consumer embeds
@@ -279,6 +299,117 @@ def minhash_lsh_candidates(
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs
+
+
+def incremental_lsh_candidates(
+    spark,
+    new_docs: DataFrame,
+    store_dir: str,
+    run_id: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+    max_bucket: int = 10_000,
+    hash_fn: str = "xxhash64",
+    commit: bool = True,
+) -> DataFrame:
+    """Cross-run near-dup candidates: new docs vs themselves AND the corpus so far.
+
+    The fourth mergeable-sketch family next to the manifest's HLL
+    distincts, t-digest quantiles, and top-k heavy hitters: the persisted
+    artifact here is the banded MinHash assignment (doc_id, band_idx,
+    band_hash) — ~``bands`` rows of three longs per document, a fixed
+    ~0.5% of corpus bytes — appended per ingest run. Each increment then
+    costs O(new docs) signature computation plus ONE equi-join of the new
+    band rows against the store, instead of re-running LSH over the whole
+    corpus (O(corpus) per ingest, the full-batch alternative). At 10^12
+    docs the store is the only thing that makes continuous ingest dedup
+    feasible: signatures for already-ingested content are never
+    recomputed, and the join is keyed by the uniform band hash, so AQE
+    skew splitting plus the ``max_bucket`` cap bound every bucket.
+
+    Returns (id_a, id_b, n_bands, pair_kind) where at least one side is
+    new this run: ``new_new`` pairs (id_a < id_b, both ingested now) and
+    ``new_old`` pairs (id_a = least, id_b = greatest, one side stored by
+    an earlier run). Old-vs-old pairs were reported when THEIR run
+    ingested them and are never re-emitted. The union over all runs
+    equals one full-batch ``minhash_lsh_candidates`` over the whole
+    corpus (pinned by test) provided ``max_bucket`` doesn't bite — the
+    cap censuses the union of store + new rows, so a bucket can cross the
+    cap in a later run than it would in full batch.
+
+    Commit protocol: band rows are appended (with ``run_id``) BEFORE the
+    returned plan is consumed; the old side of the plan filters
+    ``run_id != this run``, so the append is invisible to the very
+    computation that follows it and a crash-retry with the same run_id is
+    safe — duplicated rows from the retried append are collapsed by the
+    deterministic-row dedupe on read (band rows are pure functions of
+    content), same at-least-once + dedupe-on-read story as the manifest
+    sketches. Doc ids are assumed immutable (re-ingesting an id with
+    changed content leaves both bucket sets live; dedupe re-ingests
+    upstream with exact_dedup on sha256 first).
+    """
+    banded_new = banded_rows(
+        new_docs, col, id_col, num_hashes, bands, shingle_k, seed, hash_fn
+    ).localCheckpoint()  # consumed by census, both joins, and the append
+
+    if commit:
+        (
+            banded_new.select(
+                F.col("_id").alias("doc_id"),
+                "band_idx",
+                "band_hash",
+                F.lit(run_id).alias("run_id"),
+            )
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    try:
+        old = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("run_id") != F.lit(run_id))
+            .select(F.col("doc_id").alias("_id"), "band_idx", "band_hash")
+            .dropDuplicates(["_id", "band_idx"])  # retry-appended rows are identical
+        )
+    except Exception:  # first run: no store yet (and commit=False)
+        old = banded_new.filter(F.lit(False))
+
+    # Oversized-bucket census over the union, so degenerate buckets are
+    # capped consistently on both join sides.
+    all_rows = banded_new.unionByName(old)
+    oversized = (
+        all_rows.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    banded_new = banded_new.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
+    old = old.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
+
+    a, b = banded_new.alias("a"), banded_new.alias("b")
+    new_new = (
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .withColumn("pair_kind", F.lit("new_new"))
+    )
+    n, o = banded_new.alias("n"), old.alias("o")
+    new_old = (
+        n.join(o, on=["band_idx", "band_hash"], how="inner")
+        .filter(F.col("n._id") != F.col("o._id"))  # re-ingested id meets its own rows
+        .groupBy(
+            F.least(F.col("n._id"), F.col("o._id")).alias("id_a"),
+            F.greatest(F.col("n._id"), F.col("o._id")).alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .withColumn("pair_kind", F.lit("new_old"))
+    )
+    return new_new.unionByName(new_old)
 
 
 def jaccard_pairs(

@@ -542,3 +542,41 @@ def test_embedding_outliers_flags_far_point(spark):
         for r in embedding_outliers(df.repartition(7), k=2, n_iter=3).collect()
     }
     assert out7 == {v: (r["di"], r["z_score"], r["is_outlier"]) for v, r in out.items()}
+
+
+def test_incremental_lsh_matches_full_batch(spark, tmp_path):
+    """Two ingest runs against the band-row store == one full-batch LSH."""
+    from anomaly_detector_spark.operators.dedup import incremental_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark and distributed joins " * 5
+    third = "yet another unrelated snippet concerning parquet footers and stats " * 5
+    run1 = [(1, base), (2, base.replace("lazy", "sleepy")), (3, other)]
+    run2 = [(4, base.replace("dog", "cat")), (5, other.replace("joins", "scans")), (6, third)]
+    df1 = spark.createDataFrame(run1, "doc_id long, text string")
+    df2 = spark.createDataFrame(run2, "doc_id long, text string")
+    store = str(tmp_path / "bands")
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, r.n_bands) for r in df.collect()}
+
+    p1 = pairset(incremental_lsh_candidates(spark, df1, store, "r1"))
+    p2 = pairset(incremental_lsh_candidates(spark, df2, store, "r2"))
+    full = pairset(minhash_lsh_candidates(df1.unionByName(df2)))
+    assert p1 | p2 == full
+    assert p1 & p2 == set()
+    # run-2 pairs touching run-1 docs are tagged new_old
+    kinds = {
+        (r.id_a, r.id_b): r.pair_kind
+        for r in incremental_lsh_candidates(spark, df2, store, "r2b", commit=False).collect()
+    }
+    for (a, b), kind in kinds.items():
+        assert kind == ("new_new" if a >= 4 else "new_old"), (a, b, kind)
+
+    # crash-retry: re-appending run 2's rows must not change a later run
+    p2_retry = pairset(incremental_lsh_candidates(spark, df2, store, "r2"))
+    assert p2_retry == p2
+    df3 = spark.createDataFrame([(7, base.replace("fox", "hen"))], "doc_id long, text string")
+    p3 = pairset(incremental_lsh_candidates(spark, df3, store, "r3"))
+    full3 = pairset(minhash_lsh_candidates(df1.unionByName(df2).unionByName(df3)))
+    assert p1 | p2 | p3 == full3
