@@ -526,6 +526,24 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
 
 
+def q_docs_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental cross-run LSH (operators/dedup.py incremental_lsh_candidates)
+    # in its store-free form: even doc_ids play the already-ingested corpus
+    # (their band rows would come from the persisted store), odd doc_ids are
+    # the new ingest. sha256 band-hash mode so the whole banded derivation is
+    # re-derivable in the SQL oracle.
+    from anomaly_detector_spark.operators.dedup import (
+        banded_rows,
+        incremental_pairs_from_bands,
+    )
+
+    d = load_table(spark, sf, "documents")
+    kw = dict(num_hashes=64, bands=16, shingle_k=3, hash_fn="sha256")
+    old = banded_rows(d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", **kw)
+    new = banded_rows(d.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", **kw)
+    return incremental_pairs_from_bands(new.localCheckpoint(), old.localCheckpoint())
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # sha256 hash mode: 60-bit signatures (15 hex chars), 4 blocks of 15
     from anomaly_detector_spark.operators.dedup import simhash_near_dups
@@ -1524,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_fingerprint_sha": q_docs_fingerprint_sha,
         "minhash_pairs": q_minhash_pairs,
+        "docs_incr_dedup": q_docs_incr_dedup,
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
@@ -2808,6 +2827,59 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 1,
     """
 
 
+def _incr_dedup_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 1,
+                       max_bucket: int = 10_000) -> str:
+    """Incremental-LSH oracle: banded derivation identical to _minhash_oracle,
+    pairs restricted to those touching the 'new' (odd doc_id) side, with
+    band-match counts and new_new/new_old kind tags — mirroring
+    incremental_pairs_from_bands. The bucket census runs over even+odd
+    together, exactly as the incremental path censuses store ∪ new rows."""
+    r = num_hashes // bands
+    mins = ",\n              ".join(
+        f"min(substr(sha256('{i + seed}:' || s), 1, 16)) AS h{i}" for i in range(num_hashes)
+    )
+    band_sel = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, sha256("
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+          FROM t
+        ),
+        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sigs AS (
+          SELECT doc_id,
+              {mins}
+          FROM e GROUP BY doc_id
+        ),
+        banded AS (
+              {band_sel}
+        ),
+        kept AS (
+          SELECT band_idx, band_hash FROM banded
+          GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+        ),
+        b2 AS (SELECT banded.* FROM banded JOIN kept USING (band_idx, band_hash))
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b,
+               CAST(count(*) AS BIGINT) AS n_bands,
+               CASE WHEN a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+                    THEN 'new_new' ELSE 'new_old' END AS pair_kind
+        FROM b2 a JOIN b2 b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+        GROUP BY 1, 2, 4
+    """
+
+
 def _simhash_oracle(bits: int = 60, blocks: int = 4, max_hamming: int = 8) -> str:
     """SimHash near-dup oracle (sha256 hash mode): 60-bit signatures from
     the first 15 hex chars of sha256(token), bit-majority votes, block
@@ -3410,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()
     out["minhash_pairs"] = _minhash_oracle()
+    out["docs_incr_dedup"] = _incr_dedup_oracle()
     out["simhash_pairs"] = _simhash_oracle()
     out["emb_near_dups_lsh"] = _emb_near_dups_lsh_oracle()
     out["lsh_topk"] = _lsh_topk_oracle()

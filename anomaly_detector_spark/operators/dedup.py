@@ -378,9 +378,20 @@ def incremental_lsh_candidates(
     except Exception:  # first run: no store yet (and commit=False)
         old = banded_new.filter(F.lit(False))
 
+    return incremental_pairs_from_bands(banded_new, old, max_bucket)
+
+
+def incremental_pairs_from_bands(
+    banded_new: DataFrame, banded_old: DataFrame, max_bucket: int = 10_000
+) -> DataFrame:
+    """Pure-plan core of incremental_lsh_candidates: pairs touching the new side.
+
+    Both inputs are (_id, band_idx, band_hash) frames (banded_rows shape).
+    Exposed separately so the store-free form is query/oracle-testable.
+    """
     # Oversized-bucket census over the union, so degenerate buckets are
     # capped consistently on both join sides.
-    all_rows = banded_new.unionByName(old)
+    all_rows = banded_new.unionByName(banded_old)
     oversized = (
         all_rows.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -388,7 +399,7 @@ def incremental_lsh_candidates(
         .select("band_idx", "band_hash")
     )
     banded_new = banded_new.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
-    old = old.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
+    banded_old = banded_old.join(F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti")
 
     a, b = banded_new.alias("a"), banded_new.alias("b")
     new_new = (
@@ -398,7 +409,7 @@ def incremental_lsh_candidates(
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .withColumn("pair_kind", F.lit("new_new"))
     )
-    n, o = banded_new.alias("n"), old.alias("o")
+    n, o = banded_new.alias("n"), banded_old.alias("o")
     new_old = (
         n.join(o, on=["band_idx", "band_hash"], how="inner")
         .filter(F.col("n._id") != F.col("o._id"))  # re-ingested id meets its own rows
