@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from anomaly_detector_spark.operators.corpus import rate_to_hex_threshold
 from anomaly_detector_spark.sources.registry import (
     ALLOWED_DOC_LANGS,
     FILES_CTE_SQL,
@@ -63,6 +64,18 @@ def q_files_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg(ln), 4).alias("avg_len"),
         F.count_distinct(F.col("content")).cast("long").alias("distinct_content"),
     )
+
+
+def q_files_sampled_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Sampled validation tier (plans/sampled.py): stats estimates off a
+    # deterministic sha256-threshold sample, with binomial 95% CIs and
+    # per-partition verdicts. frac=0.2 here so small sf partitions still
+    # exercise the SKIPPED warm-up guard.
+    from anomaly_detector_spark.plans.sampled import sample_estimates, sample_predicate
+
+    files = files_view(spark, sf)
+    sampled = files.filter(sample_predicate(("repo", "path", "commit"), 0.2, "val1"))
+    return sample_estimates(sampled, 0.2, "lang", "content", min_rows=10)
 
 
 def q_files_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
@@ -1492,6 +1505,7 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "files_stats": q_files_stats,
+        "files_sampled_stats": q_files_sampled_stats,
         "files_dup_keys": q_files_dup_keys,
         "files_referential": q_files_referential,
         "files_sha256": q_files_sha256,
@@ -1634,6 +1648,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(content)), 4) AS avg_len,
                    CAST(count(DISTINCT content) AS BIGINT) AS distinct_content
             FROM files GROUP BY lang
+        """,
+        "files_sampled_stats": f"""
+            WITH {FILES_CTE_SQL},
+            s AS (
+              SELECT lang, content FROM files
+              WHERE substr(sha256('val1' || repo || '|' || path || '|' || "commit"), 1, 8)
+                    < '{rate_to_hex_threshold(0.2)}'
+            ),
+            per AS (
+              SELECT lang AS partition_key,
+                     count(*) AS n_sampled,
+                     avg(CASE WHEN content IS NULL THEN 1.0 ELSE 0.0 END) AS p
+              FROM s GROUP BY 1
+            )
+            SELECT partition_key,
+                   CAST(n_sampled AS BIGINT) AS n_sampled,
+                   round(CAST(n_sampled AS DOUBLE) / 0.2, 2) AS n_rows_est,
+                   round(p, 6) AS null_rate,
+                   round(1.959964 * sqrt(p * (1 - p) / n_sampled), 6) AS ci95,
+                   CASE WHEN n_sampled < 10 THEN 'SKIPPED'
+                        WHEN p > 0.0 THEN 'FAIL' ELSE 'PASS' END AS verdict
+            FROM per
         """,
         "files_dup_keys": f"""
             WITH {FILES_CTE_SQL}
