@@ -71,6 +71,7 @@ def main() -> int:
         "docs_ppl",            # bigram-LM perplexity quality filter
         # late-round-3 additions
         "orders_reconcile",    # cross-table aggregate reconciliation
+        "files_sampled_stats",  # sampled tier: hash-sample + CI estimates
         "files_snapshot_diff", # CDC-style snapshot diff (one shuffle)
         "emb_outliers",        # per-cluster median-gated outlier triage
     ]
