@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-run truncated top-k value-count table (parquet dir) for "
         "all-time heavy hitters with sound bounds (plans/manifest.py global_topk)",
     )
+    p.add_argument(
+        "--sample-frac", type=float, default=None,
+        help="run the SAMPLED tier (plans/sampled.py): distribution checks "
+        "over a deterministic hash-sample of the input at this keep-rate; "
+        "identity checks are dropped and every check id carries the frac, "
+        "so sampled commits form their own manifest stream and can never "
+        "stand in for full validation",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -116,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
             "constraint": constraint_suite,
         }[args.suite]
         suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
+    if args.sample_frac is not None:
+        from .plans.sampled import sample_predicate, sampled_specs
+
+        df = df.filter(sample_predicate(frac=args.sample_frac))
+        suite = sampled_specs(suite, args.sample_frac)
     # The violations sink is passed INTO the run so it is written before
     # the manifest commit — a crash in between re-runs the partitions
     # rather than losing their violation rows (resume would otherwise
@@ -137,6 +150,8 @@ def main(argv: list[str] | None = None) -> int:
         "pending_partitions": run.pending_partitions,
         "noop_resume": run.result is None,
     }
+    if args.sample_frac is not None:
+        summary["sample_frac"] = args.sample_frac
     if run.result is not None:
         if args.violations:
             summary["violations_sink"] = args.violations

@@ -395,6 +395,15 @@ def run_with_manifest(
         done = committed_partitions(manifest.limit(0), sid, n_checks=len(suite))
     else:
         done = committed_partitions(manifest, sid, n_checks=len(suite))
+    # FREEZE the done-set now: it's O(partition cardinality) rows. Left
+    # lazy, the anti-join re-reads the manifest path on every downstream
+    # action — and the final commit APPENDS to that path and invalidates
+    # its cached file listing, so any post-commit action on the run's
+    # result frames (verdict_counts, a caller consuming run.result) would
+    # see its own partitions as already committed and silently recompute
+    # to EMPTY. The resume decision must be a snapshot taken at run
+    # start, not a live view of the manifest.
+    done = spark.createDataFrame(done.collect(), done.schema)
     pending = pending_input(df, done, partition_col)
     if cache_pending:
         pending = pending.cache()

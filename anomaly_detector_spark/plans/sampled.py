@@ -88,6 +88,25 @@ def sample_estimates(
     )
 
 
+def sampled_specs(suite: list[CheckSpec], frac: float) -> list[CheckSpec]:
+    """Sample-safe subset of ``suite`` with ``sample_frac`` stamped into
+    each spec's config.
+
+    The stamp is the POINT: check ids are content-addressed over config,
+    so sampled verdicts get distinct check_ids and the sampled suite a
+    distinct suite_id — a sampled PASS can never mark a partition as
+    committed in the FULL suite's manifest stream. The two tiers resume
+    independently.
+    """
+    from dataclasses import replace
+
+    return [
+        replace(s, config={**s.config, "sample_frac": frac})
+        for s in suite
+        if s.name in SAMPLE_SAFE
+    ]
+
+
 def sampled_suite(
     df: DataFrame,
     frac: float,

@@ -90,3 +90,31 @@ def test_cli_constraint_revalidate_history(spark, dirs, capsys):
     assert m.select("run_id").distinct().count() == 4
     # the constraint suite's rule checks committed verdicts too
     assert m.select("check_id").distinct().count() >= 9
+
+
+def test_cli_sampled_tier_separate_manifest_stream(spark, dirs, capsys):
+    # full run commits the full-suite stream
+    rc = main(["--input", dirs["input"], "--manifest", dirs["manifest"], "--run-id", "full1"])
+    assert rc == 0
+    full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # sampled run: distinct suite_id -> its partitions are NOT pruned by
+    # the full run's commits, and vice versa
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--run-id", "samp1", "--sample-frac", "0.5",
+    ])
+    assert rc == 0
+    samp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert samp["sample_frac"] == 0.5
+    assert samp["suite_id"] != full["suite_id"]
+    assert samp["pending_partitions"] > 0 and samp["noop_resume"] is False
+    assert sum(samp["verdicts"].values()) > 0
+
+    # sampled resume is a no-op on ITS stream only
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--run-id", "samp2", "--sample-frac", "0.5",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["noop_resume"] is True

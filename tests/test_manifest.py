@@ -397,3 +397,24 @@ def test_revalidation_plan_failed_and_stale(spark, manifest_dir):
     stale = revalidation_plan(man, max_age_hours=1.0, now=future)
     n_parts = man.select("partition_key").distinct().count()
     assert stale.filter("reason = 'stale'").count() == n_parts
+
+
+def test_result_frames_survive_the_commit_on_a_second_run(spark, manifest_dir):
+    """Regression: the final manifest append invalidates the manifest
+    path's cached file listing, so a lazily-evaluated done-set would see
+    the run's OWN commits on any post-commit action and recompute the
+    result frames to empty. The done-set is frozen at run start; a
+    second run (different suite_id, same manifest) must keep non-empty
+    verdicts after run_with_manifest returns."""
+    from anomaly_detector_spark.plans.suite import extended_suite
+
+    files = files_view(spark, SF).drop("doc_id")
+    run_with_manifest(files, manifest_dir, suite=default_suite(), run_id="r1")
+    run2 = run_with_manifest(
+        files, manifest_dir, suite=extended_suite(), run_id="r2",
+        collect_verdict_counts=True,
+    )
+    assert run2.pending_partitions > 0
+    assert run2.verdict_counts and sum(run2.verdict_counts.values()) > 0
+    # post-return consumption of the result frames is also safe
+    assert run2.result.verdicts.count() == sum(run2.verdict_counts.values())
