@@ -43,10 +43,18 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "add_zorder", "cluster_write", "parquet_file_ranges"]
+__all__ = [
+    "zorder_key",
+    "add_zorder",
+    "cluster_write",
+    "parquet_file_ranges",
+    "file_sizes",
+    "compaction_plan",
+    "rewrite_compacted",
+]
 
 
 def _rank(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
@@ -175,3 +183,123 @@ def parquet_file_ranges(path: str, cols: list[str]):
             row[f"{c}_min"], row[f"{c}_max"] = lo, hi
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def file_sizes(spark, files) -> "DataFrame":
+    """Per-file (file, n_rows, n_bytes) read distributedly from footers
+    and the filesystem — the compaction planner's inventory. Same
+    mapInPandas shape as checks/metadata.py footer_stats: O(files)
+    KB-sized metadata reads, zero data pages. ``files`` is a path list or
+    a 1-column DataFrame (at 10^12 files, pass the Iceberg manifest's
+    file list, never a driver glob)."""
+    if isinstance(files, DataFrame):
+        paths = files.select(F.col(files.columns[0]).alias("file"))
+    else:
+        paths = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def kernel(batches):
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"file": [], "n_rows": [], "n_bytes": []}
+            for f in pdf["file"]:
+                out["file"].append(f)
+                out["n_rows"].append(pq.ParquetFile(f).metadata.num_rows)
+                out["n_bytes"].append(os.path.getsize(f))
+            yield pd.DataFrame(out)
+
+    return paths.mapInPandas(kernel, "file string, n_rows long, n_bytes long")
+
+
+def compaction_plan(
+    sizes: DataFrame, target_bytes: int, order_chunks: int = 1024
+) -> DataFrame:
+    """Metadata-only small-file compaction plan: (file, n_rows, n_bytes,
+    action, group_id).
+
+    The small-files problem at 10^12-file scale: every file costs a
+    footer read, a task, and a catalog entry per scan, so a table that
+    accretes KB-sized files from incremental ingest gets slower to
+    validate even when total bytes are flat. This planner bins every
+    file SMALLER than ``target_bytes`` into ~target-sized rewrite groups
+    (``action='compact'``, contiguous ``group_id``); files already at or
+    above target are healthy and left alone (``action='keep'``,
+    group_id NULL — rewriting them buys nothing).
+
+    Packing is the engine's two-phase prefix sum (corpus.py
+    token_budget_shards), keyed here by the (xxhash64(file), file) total
+    order: group_id = exclusive_prefix_sum(n_bytes) div target. The hash
+    order makes the order-chunking uniform without a global row_number
+    (chunk = hash div 2^64/order_chunks is order-CONSISTENT with the
+    hash itself), at the cost of path locality within groups — this is
+    bin-packing compaction, same contract as Iceberg's binpack rewrite;
+    use cluster_write for a clustering rewrite. A group's size is
+    bounded by target_bytes + the largest member (first-byte rule), and
+    group count is ceil(total_small_bytes / target).
+    """
+    chunk_w = (1 << 64) // order_chunks
+    sized = sizes.select(
+        "file", "n_rows", "n_bytes", F.xxhash64("file").alias("_h")
+    ).withColumn("_grp", F.expr(f"_h div {chunk_w}"))
+    small = sized.filter(F.col("n_bytes") < target_bytes).localCheckpoint()
+
+    grp_tot = small.groupBy("_grp").agg(F.sum("n_bytes").alias("_gsum"))
+    w_off = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = grp_tot.select(
+        "_grp", F.coalesce(F.sum("_gsum").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_grp")
+        .orderBy("_h", "file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        small.join(F.broadcast(offsets), "_grp")
+        .withColumn(
+            "_pre", F.col("_off") + F.coalesce(F.sum("n_bytes").over(w_in), F.lit(0))
+        )
+        .select("file", F.expr(f"_pre div {int(target_bytes)}").alias("group_id"))
+    )
+    return (
+        sized.join(packed, "file", "left")
+        .select(
+            "file",
+            "n_rows",
+            "n_bytes",
+            F.when(F.col("n_bytes") < target_bytes, F.lit("compact"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            "group_id",
+        )
+    )
+
+
+def rewrite_compacted(spark, src_path: str, plan: DataFrame, dest: str) -> None:
+    """Execute a compaction plan: rewrite the 'compact' files into
+    ~one-file-per-group at ``dest`` (keep-files are untouched — move or
+    reference them separately).
+
+    One read of the compacted files, tagged with input_file_name, a
+    broadcast join to the O(files) plan for group ids, then
+    ``repartitionByRange(group_id)`` so each output partition (and file)
+    holds whole groups. Row-preserving, pinned by test."""
+    to_compact = plan.filter(F.col("action") == "compact").select(
+        F.element_at(F.split("file", "/"), -1).alias("_base"), "group_id"
+    )
+    n_groups = to_compact.select("group_id").distinct().count()
+    if n_groups == 0:
+        return
+    df = spark.read.parquet(src_path).withColumn(
+        "_base", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    (
+        df.join(F.broadcast(to_compact), "_base", "inner")
+        .drop("_base")
+        .repartitionByRange(n_groups, F.col("group_id"))
+        .drop("group_id")
+        .write.mode("append")
+        .parquet(dest)
+    )

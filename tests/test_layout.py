@@ -128,3 +128,73 @@ def test_cluster_write_roundtrip_content(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.columns == ["id", "x", "y"]
     assert back.agg(F.sum("id")).first()[0] == 500 * 499 // 2
+
+
+def test_compaction_plan_matches_greedy_oracle(spark, tmp_path):
+    from anomaly_detector_spark.operators.layout import compaction_plan, file_sizes
+
+    src = str(tmp_path / "small")
+    spark.range(0, 20000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).repartition(16).write.parquet(src)
+    import glob
+
+    files = sorted(glob.glob(src + "/*.parquet"))
+    assert len(files) == 16
+    sizes = file_sizes(spark, files)
+    rows = {r["file"]: (r["n_rows"], r["n_bytes"]) for r in sizes.collect()}
+    assert sum(n for n, _ in rows.values()) == 20000
+
+    target = 3 * max(b for _, b in rows.values())
+    plan = compaction_plan(sizes, target).collect()
+    got = {r["file"]: (r["action"], r["group_id"]) for r in plan}
+    assert all(a == "compact" for a, _ in got.values())  # all below target
+
+    # greedy oracle over the same (xxhash64(file), file) total order
+    hashed = {
+        r["file"]: r["h"]
+        for r in spark.createDataFrame([(f,) for f in files], "file string")
+        .select("file", F.xxhash64("file").alias("h"))
+        .collect()
+    }
+    ordered = sorted(files, key=lambda f: (hashed[f], f))
+    cum, expect = 0, {}
+    for f in ordered:
+        expect[f] = cum // target
+        cum += rows[f][1]
+    assert {f: g for f, (_, g) in got.items()} == expect
+    # bin property: every group's bytes <= target + largest member
+    by_group: dict = {}
+    for f, (_, g) in got.items():
+        by_group.setdefault(g, []).append(rows[f][1])
+    for g, sizes_g in by_group.items():
+        assert sum(sizes_g) <= target + max(sizes_g)
+
+    # keep-action: raise the bar so every file is already healthy
+    plan2 = compaction_plan(file_sizes(spark, files), target_bytes=1).collect()
+    assert all(r["action"] == "keep" and r["group_id"] is None for r in plan2)
+
+
+def test_rewrite_compacted_preserves_rows(spark, tmp_path):
+    from anomaly_detector_spark.operators.layout import (
+        compaction_plan,
+        file_sizes,
+        rewrite_compacted,
+    )
+
+    src = str(tmp_path / "small")
+    spark.range(0, 9000).selectExpr("id", "id % 7 AS k").repartition(12).write.parquet(src)
+    import glob
+
+    files = sorted(glob.glob(src + "/*.parquet"))
+    sizes = file_sizes(spark, files)
+    target = 4 * max(r["n_bytes"] for r in sizes.collect())
+    plan = compaction_plan(sizes, target)
+    dest = str(tmp_path / "compacted")
+    rewrite_compacted(spark, src, plan, dest)
+    out = spark.read.parquet(dest)
+    assert out.count() == 9000
+    assert sorted(r["id"] for r in out.collect()) == list(range(9000))
+    n_out = len(glob.glob(dest + "/*.parquet"))
+    n_groups = plan.filter("action = 'compact'").select("group_id").distinct().count()
+    assert n_out <= 12 and n_out >= n_groups  # fewer, ~target-sized files
