@@ -539,6 +539,26 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
 
 
+def q_docs_topk_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Heavy-hitter sketch merge (checks/profile.py topk_sketches/topk_union)
+    # in store-free form: the two doc_id parities play two ingest runs'
+    # persisted sketch frames. k=5 over a ~40-value item domain, so items
+    # are dropped per run and the Misra-Gries undercount bounds are
+    # exercised for real (upper > est wherever a run dropped the item).
+    from anomaly_detector_spark.checks.profile import topk_sketches, topk_union
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "item_src", (F.length("text") % 40).cast("string")
+    )
+    halves = [
+        topk_sketches(
+            d.filter(F.col("doc_id") % 2 == i), "lang", "item_src", k=5, run_id=f"r{i}"
+        )
+        for i in (0, 1)
+    ]
+    return topk_union(halves[0].unionByName(halves[1]), k=5)
+
+
 def q_docs_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Incremental cross-run LSH (operators/dedup.py incremental_lsh_candidates)
     # in its store-free form: even doc_ids play the already-ingested corpus
@@ -1557,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint_sha": q_docs_fingerprint_sha,
         "minhash_pairs": q_minhash_pairs,
         "docs_incr_dedup": q_docs_incr_dedup,
+        "docs_topk_merge": q_docs_topk_merge,
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
@@ -3519,6 +3540,56 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_clean_corpus"] = _clean_corpus_oracle()
     out["minhash_pairs"] = _minhash_oracle()
     out["docs_incr_dedup"] = _incr_dedup_oracle()
+    out["docs_topk_merge"] = """
+        WITH base AS (
+          SELECT doc_id % 2 AS run, lang AS partition_key,
+                 CAST(length(text) % 40 AS VARCHAR) AS item
+          FROM documents
+        ),
+        counts AS (
+          SELECT run, partition_key, item, count(*) AS n
+          FROM base GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY run, partition_key ORDER BY n DESC, item ASC
+                 ) AS rk
+          FROM counts
+        ),
+        bounds AS (
+          SELECT run, partition_key,
+                 coalesce(max(CASE WHEN rk = 6 THEN n END), 0) AS bound
+          FROM ranked GROUP BY 1, 2
+        ),
+        sk AS (
+          SELECT k.run, k.partition_key, k.item, k.n, b.bound
+          FROM (SELECT * FROM ranked WHERE rk <= 5) k
+          JOIN bounds b USING (run, partition_key)
+        ),
+        run_bounds AS (
+          SELECT partition_key, sum(bound) AS total_bound
+          FROM (SELECT DISTINCT run, partition_key, bound FROM sk) GROUP BY 1
+        ),
+        per_item AS (
+          SELECT partition_key, item, sum(n) AS est, sum(bound) AS present_bound
+          FROM sk GROUP BY 1, 2
+        ),
+        merged AS (
+          SELECT p.partition_key, p.item, p.est,
+                 p.est + r.total_bound - p.present_bound AS upper
+          FROM per_item p JOIN run_bounds r USING (partition_key)
+        ),
+        fin AS (
+          SELECT partition_key, item, est, upper,
+                 row_number() OVER (
+                   PARTITION BY partition_key ORDER BY est DESC, item ASC
+                 ) AS rank
+          FROM merged
+        )
+        SELECT partition_key, CAST(rank AS INT) AS rank, item,
+               CAST(est AS BIGINT) AS est, CAST(upper AS BIGINT) AS upper
+        FROM fin WHERE rank <= 5
+    """
     out["simhash_pairs"] = _simhash_oracle()
     out["emb_near_dups_lsh"] = _emb_near_dups_lsh_oracle()
     out["lsh_topk"] = _lsh_topk_oracle()
