@@ -559,6 +559,35 @@ def q_docs_topk_merge(spark: SparkSession, sf: str) -> DataFrame:
     return topk_union(halves[0].unionByName(halves[1]), k=5)
 
 
+def q_manifest_revalidation(spark: SparkSession, sf: str) -> DataFrame:
+    # Revalidation planner (plans/manifest.py revalidation_plan) over an
+    # in-plan synthetic manifest: 3 runs per lang; 'zh' FAILs on its
+    # LATEST run (-> failed), 'en' FAILs only on an older run (must NOT
+    # appear — pins latest-run selection), 'de' commits 10h earlier than
+    # everyone (-> stale against the replay anchor).
+    from anomaly_detector_spark.plans.manifest import revalidation_plan
+
+    langs = load_table(spark, sf, "documents").select("lang").distinct()
+    runs = spark.range(3).select(F.col("id").cast("int").alias("r"))
+    man = langs.crossJoin(runs).select(
+        F.concat(F.lit("run"), F.col("r")).alias("run_id"),
+        F.lit("sid0").alias("suite_id"),
+        F.col("lang").alias("partition_key"),
+        F.lit("chk").alias("check_id"),
+        F.when((F.col("lang") == "zh") & (F.col("r") == 2), F.lit("FAIL"))
+        .when((F.col("lang") == "en") & (F.col("r") == 1), F.lit("FAIL"))
+        .otherwise(F.lit("PASS"))
+        .alias("verdict"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.expr("make_interval(0,0,0,0, CAST(r + IF(lang = 'de', 0, 10) AS INT), 0, 0)")
+        ).alias("committed_at"),
+    )
+    return revalidation_plan(
+        man, max_age_hours=5.0, now="2026-01-01 16:00:00", suite_sid="sid0"
+    )
+
+
 def q_docs_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Incremental cross-run LSH (operators/dedup.py incremental_lsh_candidates)
     # in its store-free form: even doc_ids play the already-ingested corpus
@@ -1578,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "docs_incr_dedup": q_docs_incr_dedup,
         "docs_topk_merge": q_docs_topk_merge,
+        "manifest_revalidation": q_manifest_revalidation,
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
@@ -3540,6 +3570,39 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_clean_corpus"] = _clean_corpus_oracle()
     out["minhash_pairs"] = _minhash_oracle()
     out["docs_incr_dedup"] = _incr_dedup_oracle()
+    out["manifest_revalidation"] = """
+        WITH langs AS (SELECT DISTINCT lang FROM documents),
+        runs AS (SELECT r FROM (VALUES (0),(1),(2)) t(r)),
+        man AS (
+          SELECT lang AS partition_key,
+                 CASE WHEN lang = 'zh' AND r = 2 THEN 'FAIL'
+                      WHEN lang = 'en' AND r = 1 THEN 'FAIL'
+                      ELSE 'PASS' END AS verdict,
+                 TIMESTAMP '2026-01-01 00:00:00'
+                   + (r + CASE WHEN lang = 'de' THEN 0 ELSE 10 END)
+                     * INTERVAL 1 HOUR AS committed_at
+          FROM langs, runs
+        ),
+        latest AS (
+          SELECT partition_key, max(committed_at) AS last_committed_at
+          FROM man GROUP BY 1
+        ),
+        failed AS (
+          SELECT DISTINCT m.partition_key, 'failed' AS reason, l.last_committed_at
+          FROM man m JOIN latest l
+            ON m.partition_key = l.partition_key
+           AND m.committed_at = l.last_committed_at
+          WHERE m.verdict = 'FAIL'
+        ),
+        stale AS (
+          SELECT partition_key, 'stale' AS reason, last_committed_at
+          FROM latest
+          WHERE last_committed_at < TIMESTAMP '2026-01-01 16:00:00' - INTERVAL 5 HOUR
+        )
+        SELECT partition_key, reason, last_committed_at FROM failed
+        UNION ALL
+        SELECT partition_key, reason, last_committed_at FROM stale
+    """
     out["docs_topk_merge"] = """
         WITH base AS (
           SELECT doc_id % 2 AS run, lang AS partition_key,
