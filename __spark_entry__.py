@@ -957,6 +957,14 @@ def q_events_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table(load_table(spark, sf, "events"), exact=True)
 
 
+def q_events_profile_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped profiler: one (event_type, column, metric) row stream off
+    ONE aggregate over ONE scan (checks/profile.py profile_table(by=...))."""
+    from anomaly_detector_spark.checks.profile import profile_table
+
+    return profile_table(load_table(spark, sf, "events"), exact=True, by="event_type")
+
+
 def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
     """checks/history.py over a deterministic synthetic run history: six
     'runs' sliced from files by doc_id mod 6, the last run a double-width
@@ -1592,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_viol_diff": q_files_viol_diff,
         "files_snapshot_diff": q_files_snapshot_diff,
         "events_profile": q_events_profile,
+        "events_profile_by_type": q_events_profile_by_type,
         "events_freshness": q_events_freshness,
         "files_quarantine": q_files_quarantine,
         "events_json_rule": q_events_json_rule,
@@ -2545,6 +2554,44 @@ def _events_profile_oracle() -> str:
     )
 
 
+def _events_profile_by_oracle() -> str:
+    """Grouped twin of _events_profile_oracle: the same generated metric
+    selects off ONE per-group aggregate (GROUP BY event_type), mirroring
+    profile_table(by=...)'s single partial-aggregated groupBy."""
+    cols = {
+        "event_id": "CAST(event_id AS DOUBLE)",
+        "ts": "CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)",
+        "user_id": "CAST(user_id AS DOUBLE)",
+        "value": "value",
+        "props": "CAST(length(props) AS DOUBLE)",
+    }
+    aggs = ["event_type", "count(*) AS n"]
+    sels = []
+    for c, v in cols.items():
+        aggs += [
+            f"count({c}) AS c_{c}",
+            f"count(DISTINCT {c}) AS d_{c}",
+            f"min({v}) AS mn_{c}",
+            f"max({v}) AS mx_{c}",
+            f"avg({v}) AS av_{c}",
+        ]
+        sels.append(
+            f"""SELECT event_type, '{c}' AS "column", 'n_rows' AS metric, CAST(n AS DOUBLE) AS value FROM a
+        UNION ALL SELECT event_type, '{c}', 'n_null', CAST(n - c_{c} AS DOUBLE) FROM a
+        UNION ALL SELECT event_type, '{c}', 'null_frac', round((n - c_{c}) / CAST(n AS DOUBLE), 4) FROM a
+        UNION ALL SELECT event_type, '{c}', 'n_distinct', CAST(d_{c} AS DOUBLE) FROM a
+        UNION ALL SELECT event_type, '{c}', 'min', round(mn_{c}, 4) FROM a
+        UNION ALL SELECT event_type, '{c}', 'max', round(mx_{c}, 4) FROM a
+        UNION ALL SELECT event_type, '{c}', 'mean', round(av_{c}, 4) FROM a"""
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM events GROUP BY event_type) "
+        + " UNION ALL ".join(sels)
+    )
+
+
 def _viol_diff_oracle() -> str:
     return f"""
         WITH {FILES_CTE_SQL},
@@ -3473,6 +3520,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         GROUP BY 1
     """
     out["events_profile"] = _events_profile_oracle()
+    out["events_profile_by_type"] = _events_profile_by_oracle()
     out["events_json_rule"] = """
         WITH e AS (
           SELECT event_type,
