@@ -54,6 +54,11 @@ class CheckResult:
     # invocations (streaming micro-batches, bench loops) don't leak
     # executor storage memory for the session lifetime.
     caches: list[DataFrame] = field(default_factory=list)
+    # The drift check's cached pre-aggregated histogram (partition_key,
+    # bucket, n) — exposed so run_with_manifest can persist the run's
+    # pooled histogram for rolling baselines WITHOUT a second scan of
+    # the input (the frame is already cached for the scoring plan).
+    hist: DataFrame | None = None
     # When several checks' verdicts come off ONE shared plan (the fused
     # row-check family: stats + referential + rules over a single
     # aggregate), every member carries the SAME combined frame here and

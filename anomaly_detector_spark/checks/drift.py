@@ -156,6 +156,7 @@ def flag_outliers(
     abs_thresh: float | None = 0.25,
     min_gap: float = 0.1,
     noise_c: float = 3.0,
+    gate_mode: str = "relative",
 ) -> DataFrame:
     """z-score / IQR / absolute outlier flags over per-partition scores,
     gated by the median plus a sampling-noise floor.
@@ -166,6 +167,16 @@ def flag_outliers(
     of PSI under the null for a partition with n_obs samples over
     n_buckets bins — small partitions have genuinely noisy histograms and
     must clear a proportionally higher bar, large partitions a lower one.
+
+    ``gate_mode='relative'`` (default) is the K4 semantic and is RIGHT
+    when partitions baseline against their own run's pooled distribution
+    — each partition is judged against its peers. It is structurally
+    BLIND to a wholesale shift (every partition drifting together stays
+    at the median). ``gate_mode='absolute'`` drops the peer-relative
+    machinery and flags any partition with score > abs_thresh (noise
+    floor still applies) — the right gate when a TRUSTED external
+    baseline is injected (frozen T2 or rolling history), where "all
+    partitions moved" is exactly the signal, not the null.
     """
     # Global stats via a 1-row aggregate broadcast-joined back — NOT a
     # Window.partitionBy(lit(1)), which funnels every score row into one
@@ -182,11 +193,18 @@ def flag_outliers(
         F.expr(f"percentile({score_col}, 0.75)").alias("_q3"),
         F.count(s).alias("_n_scored"),
     )
+    if gate_mode not in ("relative", "absolute"):
+        raise ValueError(f"gate_mode must be 'relative' or 'absolute', got {gate_mode!r}")
     stats = scores.crossJoin(F.broadcast(g))
     z = F.when(F.col("_std") > 0, F.abs(s - F.col("_mean")) / F.col("_std")).otherwise(F.lit(0.0))
     iqr = F.col("_q3") - F.col("_q1")
     relative = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
     noise_floor = noise_c * (F.col("n_buckets") - 1) / F.greatest(F.col("n_obs"), F.lit(1))
+    if gate_mode == "absolute":
+        flagged = (s > F.lit(abs_thresh if abs_thresh is not None else 0.25)) & (s > noise_floor)
+        return stats.withColumn("z_score", z).withColumn("is_drifted", flagged).drop(
+            "_mean", "_std", "_q1", "_q3", "_n_scored"
+        ).withColumnRenamed("_med", "median_score")
     # All outlier paths must clear the median gate (K4 semantics) — EXCEPT
     # when the run scored a single partition (e.g. one new partition on an
     # incremental resume against a frozen baseline): there the median IS
@@ -325,6 +343,7 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         abs_thresh=spec.config.get("abs_thresh", 0.25),
         min_gap=spec.config.get("min_gap", 0.1),
         noise_c=spec.config.get("noise_c", 3.0),
+        gate_mode=spec.config.get("gate_mode", "relative"),
     )
 
     verdicts = verdict_frame(
@@ -345,6 +364,7 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         verdicts=verdicts,
         metrics=flagged,
         caches=[hist, scores],
+        hist=hist,
     )
 
 

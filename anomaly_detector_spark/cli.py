@@ -77,6 +77,17 @@ def build_parser() -> argparse.ArgumentParser:
         "all-time heavy hitters with sound bounds (plans/manifest.py global_topk)",
     )
     p.add_argument(
+        "--hist-store", default=None,
+        help="per-run pooled drift-histogram table (parquet dir) — the "
+        "rolling-baseline store (plans/manifest.py rolling_baseline)",
+    )
+    p.add_argument(
+        "--rolling-baseline-k", type=int, default=None,
+        help="baseline drift against the mean histogram of the last K "
+        "committed runs (requires --hist-store); pair with the drift "
+        "check's gate_mode=absolute to catch wholesale shifts",
+    )
+    p.add_argument(
         "--sample-frac", type=float, default=None,
         help="run the SAMPLED tier (plans/sampled.py): distribution checks "
         "over a deterministic hash-sample of the input at this keep-rate; "
@@ -140,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         sketches_dir=args.sketches,
         quantile_sketches_dir=args.quantile_sketches,
         topk_sketches_dir=args.topk_sketches,
+        hist_dir=args.hist_store,
+        rolling_baseline_k=args.rolling_baseline_k,
         revalidate=args.revalidate,
         max_violations_per_check=args.max_violations_per_check,
     )

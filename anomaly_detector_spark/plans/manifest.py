@@ -227,6 +227,59 @@ def global_topk(
     return topk_union(as_runs, k=k).select("rank", "item", "est", "upper")
 
 
+def rolling_baseline(
+    spark: SparkSession,
+    hist_dir: str,
+    sid: str,
+    last_k: int = 5,
+    exclude_run_id: str | None = None,
+):
+    """Pooled drift baseline from the last ``last_k`` committed runs'
+    persisted histograms — the T3 re-baseline lifecycle's third member
+    next to per-run SELF (each run vs its own pooled distribution) and
+    FROZEN (T2: first run forever). A rolling baseline catches what
+    self-baselining structurally cannot: a WHOLESALE shift — every
+    partition drifting together — leaves each partition close to the
+    run's own pooled histogram (PASS) but far from the history (FAIL).
+
+    Reads the O(runs x buckets) histogram table (appended by
+    run_with_manifest's ``hist_dir``), keeps the ``last_k`` most recent
+    runs by commit time, and AVERAGES bucket counts across them (the
+    PSI/KS kernel normalizes to shares, so mean vs sum only changes the
+    Laplace smoothing weight; mean keeps it comparable to a single run).
+    Retry-appended rows collapse via (run_id, bucket) dedupe
+    (histograms are deterministic); ``exclude_run_id`` keeps a crashed
+    run's own partial append out of its retry's baseline. Returns a
+    (bucket, base_n) frame SNAPSHOTTED eagerly — O(buckets) rows — so
+    the caller's later append to hist_dir cannot poison plans built on
+    it (the done-set lesson), or None when no history exists yet.
+    """
+    try:
+        df = spark.read.parquet(hist_dir)
+    except Exception:
+        return None
+    rows = df.filter(F.col("suite_id") == sid)
+    if exclude_run_id is not None:
+        rows = rows.filter(F.col("run_id") != exclude_run_id)
+    rows = rows.dropDuplicates(["run_id", "bucket"])
+    last = (
+        rows.groupBy("run_id")
+        .agg(F.max("committed_at").alias("_at"))
+        .orderBy(F.col("_at").desc(), F.col("run_id").desc())
+        .limit(last_k)
+        .select("run_id")
+    )
+    base = (
+        rows.join(F.broadcast(last), "run_id")
+        .groupBy("bucket")
+        .agg(F.avg("n").alias("base_n"))
+    )
+    collected = base.collect()
+    if not collected:
+        return None
+    return spark.createDataFrame(collected, base.schema)
+
+
 def revalidation_plan(
     manifest: DataFrame,
     max_age_hours: float | None = None,
@@ -323,6 +376,8 @@ def run_with_manifest(
     sketches_dir: str | None = None,
     quantile_sketches_dir: str | None = None,
     topk_sketches_dir: str | None = None,
+    hist_dir: str | None = None,
+    rolling_baseline_k: int | None = None,
     cache_pending: bool = False,
     revalidate: bool = False,
     max_violations_per_check: int | None = None,
@@ -385,6 +440,13 @@ def run_with_manifest(
     (e.g. an incremental tail) and the source scan is expensive (slow
     object store).
     """
+    if freeze_drift_baseline and rolling_baseline_k:
+        raise ValueError(
+            "freeze_drift_baseline and rolling_baseline_k are mutually "
+            "exclusive baseline lifecycles (T2 frozen vs rolling history)"
+        )
+    if rolling_baseline_k and hist_dir is None:
+        raise ValueError("rolling_baseline_k requires hist_dir (the histogram store)")
     spark = df.sparkSession
     suite = suite or default_suite(partition_col=partition_col)
     sid = suite_id(suite)
@@ -428,6 +490,15 @@ def run_with_manifest(
         if cache_pending:
             pending.unpersist()
         return ManifestRun(rid, sid, 0, None, skipped_rows=skipped)
+
+    if rolling_baseline_k:
+        drift_specs = [s for s in suite if s.name == "drift"]
+        if drift_specs:
+            base = rolling_baseline(
+                spark, hist_dir, sid, rolling_baseline_k, exclude_run_id=rid
+            )
+            if base is not None:
+                drift_specs[0].config = {**drift_specs[0].config, "baseline_df": base}
 
     if freeze_drift_baseline:
         from ..checks.drift import length_histogram
@@ -530,6 +601,29 @@ def run_with_manifest(
             .write.mode("append")
             .parquet(topk_sketches_dir)
         )
+
+    if hist_dir is not None:
+        # Per-run POOLED drift histogram — the rolling-baseline store.
+        # Reuses the drift check's already-cached O(partitions x buckets)
+        # frame (CheckResult.hist), so this costs one tiny aggregate, not
+        # a second scan. Appended before the manifest commit; same
+        # at-least-once + dedupe-on-read story as the sketch tables
+        # (histogram rows are deterministic in the input).
+        dr = res.per_check.get("drift")
+        if dr is not None and dr.hist is not None:
+            (
+                dr.hist.groupBy("bucket")
+                .agg(F.sum("n").alias("n"))
+                .select(
+                    F.lit(rid).alias("run_id"),
+                    F.lit(sid).alias("suite_id"),
+                    "bucket",
+                    "n",
+                    F.current_timestamp().alias("committed_at"),
+                )
+                .write.mode("append")
+                .parquet(hist_dir)
+            )
 
     manifest_rows = (
         res.verdicts.select("partition_key", "check_id", "verdict", "metrics")

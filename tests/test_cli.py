@@ -118,3 +118,19 @@ def test_cli_sampled_tier_separate_manifest_stream(spark, dirs, capsys):
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["noop_resume"] is True
+
+
+def test_cli_rolling_baseline_store(spark, dirs, tmp_path, capsys):
+    hd = str(tmp_path / "hists")
+    for rid in ("b1", "b2"):
+        rc = main([
+            "--input", dirs["input"], "--manifest", dirs["manifest"],
+            "--run-id", rid, "--revalidate",
+            "--hist-store", hd, "--rolling-baseline-k", "2",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sum(out["verdicts"].values()) > 0
+    # the store accumulated one pooled histogram per run
+    hist = spark.read.parquet(hd)
+    assert hist.select("run_id").distinct().count() == 2

@@ -418,3 +418,67 @@ def test_result_frames_survive_the_commit_on_a_second_run(spark, manifest_dir):
     assert run2.verdict_counts and sum(run2.verdict_counts.values()) > 0
     # post-return consumption of the result frames is also safe
     assert run2.result.verdicts.count() == sum(run2.verdict_counts.values())
+
+
+def test_rolling_baseline_catches_wholesale_shift(spark, manifest_dir, tmp_path):
+    """Self-baselining is structurally blind to every partition drifting
+    together; the rolling-history baseline (hist_dir + rolling_baseline_k)
+    with the absolute gate catches it. Also pins: first run self-baselines
+    (empty store), retry-appended histogram rows don't change the baseline."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_drift
+    from anomaly_detector_spark.plans.manifest import rolling_baseline
+    from anomaly_detector_spark.plans.suite import run_suite
+
+    def mk(shift):
+        return spark.range(900).select(
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+            F.expr(f"repeat('x', 100 + CAST(id % 200 AS INT) + {shift})").alias("content"),
+        )
+
+    def mk_suite():
+        return [CheckSpec("drift", run_drift, {"column": "content", "gate_mode": "absolute"},
+                          "lang", 25)]
+
+    hd = str(tmp_path / "hists")
+    counts = []
+    for rid in ("h1", "h2"):
+        r = run_with_manifest(
+            mk(0), manifest_dir, suite=mk_suite(), run_id=rid, hist_dir=hd,
+            rolling_baseline_k=2, revalidate=True, collect_verdict_counts=True,
+        )
+        counts.append(r.verdict_counts)
+    # unshifted history: PASS everywhere (run 1 self-baselines off the
+    # empty store; run 2 baselines against run 1 — same distribution)
+    assert counts == [{"PASS": 3}, {"PASS": 3}]
+
+    sid = suite_id(mk_suite())
+    base = rolling_baseline(spark, hd, sid, 2)
+    assert base is not None and base.count() > 0
+
+    # retry: re-append h2's rows; (run_id, bucket) dedupe keeps the baseline
+    run_with_manifest(mk(0), manifest_dir, suite=mk_suite(), run_id="h2",
+                      hist_dir=hd, rolling_baseline_k=2, revalidate=True)
+    base2 = rolling_baseline(spark, hd, sid, 2)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, base2.collect()))
+
+    # wholesale +400 shift: every partition moves together
+    shifted = mk(400)
+    self_res = run_suite(shifted, mk_suite())  # no baseline -> self-pooled
+    self_counts = {r["verdict"]: r["n"] for r in
+                   self_res.verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+    assert self_counts == {"PASS": 3}  # blind, as designed
+    self_res.unpersist()
+    r3 = run_with_manifest(
+        shifted, manifest_dir, suite=mk_suite(), run_id="h3", hist_dir=hd,
+        rolling_baseline_k=2, revalidate=True, collect_verdict_counts=True,
+    )
+    assert r3.verdict_counts == {"FAIL": 3}
+
+    # mutually-exclusive lifecycles are rejected
+    with pytest.raises(ValueError, match="mutually"):
+        run_with_manifest(mk(0), manifest_dir, suite=mk_suite(), run_id="x",
+                          hist_dir=hd, rolling_baseline_k=2, freeze_drift_baseline=True)
