@@ -1,0 +1,103 @@
+"""Incremental vs full-batch LSH dedup cost (the band-store claim).
+
+Simulates K ingest cycles of N docs each. The full-batch strategy
+re-runs banded LSH over the whole corpus every cycle (cost grows with
+corpus size); the incremental strategy signatures only the new batch
+and equi-joins it against the persisted band rows (cost ~flat per
+cycle). Prints one JSON line with per-cycle wall times and the pair
+totals; candidate-pair parity between the two strategies is asserted.
+
+Usage: python tools/incr_dedup_bench.py [docs_per_cycle] [cycles]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_docs(spark, n: int, offset: int):
+    """Deterministic ~30-token docs over a 400-word vocab (hash-drawn).
+
+    Every 50th doc is a near-dup of its predecessor (same tokens, one
+    appended word) — so the parity assertion compares non-empty pair
+    sets, including cross-cycle pairs when a batch boundary splits a
+    (base, near-dup) pair."""
+    words = F.array(*[F.lit(f"w{i}") for i in range(400)])
+    base_id = F.col("id") - (F.col("id") % 50 == 1).cast("long")
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda i: F.element_at(
+                        words, (F.pmod(F.xxhash64(base_id, i), F.lit(400)) + 1).cast("int")
+                    ),
+                ),
+                F.when(F.col("id") % 50 == 1, F.array(F.lit("zz"))).otherwise(F.array()),
+            ),
+        ).alias("text"),
+    )
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    from anomaly_detector_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+    from anomaly_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="incr_dedup_bench", cores=32)
+    store = tempfile.mkdtemp(prefix="bands_")
+    shutil.rmtree(store, ignore_errors=True)
+
+    batches = [synth_docs(spark, n, k * n).localCheckpoint() for k in range(cycles)]
+    # warmup: JIT + python workers
+    minhash_lsh_candidates(batches[0].limit(2_000)).count()
+
+    incr_times, full_times = [], []
+    incr_pairs = set()
+    corpus = None
+    for k in range(cycles):
+        t0 = time.perf_counter()
+        got = incremental_lsh_candidates(spark, batches[k], store, f"r{k}")
+        incr_pairs |= {(r.id_a, r.id_b) for r in got.collect()}
+        incr_times.append(round(time.perf_counter() - t0, 2))
+
+        corpus = batches[k] if corpus is None else corpus.unionByName(batches[k])
+        t0 = time.perf_counter()
+        full = minhash_lsh_candidates(corpus)
+        n_full = full.count()
+        full_times.append(round(time.perf_counter() - t0, 2))
+
+    full_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(corpus).collect()}
+    assert incr_pairs == full_pairs, (
+        f"parity broken: {len(incr_pairs)} incremental vs {len(full_pairs)} full"
+    )
+    print(json.dumps({
+        "docs_per_cycle": n,
+        "cycles": cycles,
+        "incremental_sec_per_cycle": incr_times,
+        "fullbatch_sec_per_cycle": full_times,
+        "incremental_total_sec": round(sum(incr_times), 2),
+        "fullbatch_total_sec": round(sum(full_times), 2),
+        "pairs": len(full_pairs),
+    }))
+    shutil.rmtree(store, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
