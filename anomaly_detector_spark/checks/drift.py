@@ -141,10 +141,22 @@ def drift_scores(hist: DataFrame, baseline: DataFrame) -> DataFrame:
         hist.select("bucket").union(baseline.select("bucket")).distinct()
     )
     grid = parts.crossJoin(F.broadcast(buckets))
-    joined = (
-        grid.join(hist, on=["partition_key", "bucket"], how="left")
-        .join(F.broadcast(baseline), on="bucket", how="left")
-    )
+    # A baseline carrying partition_key is per-partition history
+    # (plans/manifest.py rolling_baseline(per_partition=True)): each
+    # partition is compared to ITS OWN past distribution, so the join is
+    # keyed on both columns. A partition with no history rows scores
+    # against the all-smoothing (uniform) null — gate new partitions with
+    # min_rows / warm-up semantics upstream if that is not wanted.
+    if "partition_key" in baseline.columns:
+        joined = (
+            grid.join(hist, on=["partition_key", "bucket"], how="left")
+            .join(F.broadcast(baseline), on=["partition_key", "bucket"], how="left")
+        )
+    else:
+        joined = (
+            grid.join(hist, on=["partition_key", "bucket"], how="left")
+            .join(F.broadcast(baseline), on="bucket", how="left")
+        )
     return joined.groupBy("partition_key").applyInPandas(_make_kernel(), SCORE_SCHEMA)
 
 

@@ -233,6 +233,7 @@ def rolling_baseline(
     sid: str,
     last_k: int = 5,
     exclude_run_id: str | None = None,
+    per_partition: bool = False,
 ):
     """Pooled drift baseline from the last ``last_k`` committed runs'
     persisted histograms — the T3 re-baseline lifecycle's third member
@@ -247,12 +248,23 @@ def rolling_baseline(
     runs by commit time, and AVERAGES bucket counts across them (the
     PSI/KS kernel normalizes to shares, so mean vs sum only changes the
     Laplace smoothing weight; mean keeps it comparable to a single run).
-    Retry-appended rows collapse via (run_id, bucket) dedupe
-    (histograms are deterministic); ``exclude_run_id`` keeps a crashed
-    run's own partial append out of its retry's baseline. Returns a
-    (bucket, base_n) frame SNAPSHOTTED eagerly — O(buckets) rows — so
-    the caller's later append to hist_dir cannot poison plans built on
-    it (the done-set lesson), or None when no history exists yet.
+    ``per_partition=False`` (default) pools each run's histogram across
+    partitions before averaging — one (bucket, base_n) frame every
+    partition drifts against. ``per_partition=True`` keeps the store's
+    per-partition resolution: a (partition_key, bucket, base_n) frame
+    where each partition is compared to ITS OWN history (the reference's
+    per-device semantic, /root/reference/algo/operator.py:106-118, lifted
+    from scalar metrics to full distributions); a partition averages over
+    the runs it actually appeared in. drift_scores switches to the
+    per-partition join automatically when the baseline carries a
+    partition_key column.
+
+    Retry-appended rows collapse via (run_id, partition_key, bucket)
+    dedupe (histograms are deterministic); ``exclude_run_id`` keeps a
+    crashed run's own partial append out of its retry's baseline.
+    Returns a frame SNAPSHOTTED eagerly — O(partitions x buckets) rows —
+    so the caller's later append to hist_dir cannot poison plans built
+    on it (the done-set lesson), or None when no history exists yet.
     """
     try:
         df = spark.read.parquet(hist_dir)
@@ -261,7 +273,7 @@ def rolling_baseline(
     rows = df.filter(F.col("suite_id") == sid)
     if exclude_run_id is not None:
         rows = rows.filter(F.col("run_id") != exclude_run_id)
-    rows = rows.dropDuplicates(["run_id", "bucket"])
+    rows = rows.dropDuplicates(["run_id", "partition_key", "bucket"])
     last = (
         rows.groupBy("run_id")
         .agg(F.max("committed_at").alias("_at"))
@@ -269,11 +281,12 @@ def rolling_baseline(
         .limit(last_k)
         .select("run_id")
     )
-    base = (
-        rows.join(F.broadcast(last), "run_id")
-        .groupBy("bucket")
-        .agg(F.avg("n").alias("base_n"))
-    )
+    kept = rows.join(F.broadcast(last), "run_id")
+    if per_partition:
+        base = kept.groupBy("partition_key", "bucket").agg(F.avg("n").alias("base_n"))
+    else:
+        pooled = kept.groupBy("run_id", "bucket").agg(F.sum("n").alias("_pn"))
+        base = pooled.groupBy("bucket").agg(F.avg("_pn").alias("base_n"))
     collected = base.collect()
     if not collected:
         return None
@@ -494,8 +507,13 @@ def run_with_manifest(
     if rolling_baseline_k:
         drift_specs = [s for s in suite if s.name == "drift"]
         if drift_specs:
+            # baseline_scope: 'pooled' (default) or 'partition' — the
+            # latter compares each partition to ITS OWN history. Plain
+            # config, so it is JSON-suite-declarable like gate_mode.
+            scope = drift_specs[0].config.get("baseline_scope", "pooled")
             base = rolling_baseline(
-                spark, hist_dir, sid, rolling_baseline_k, exclude_run_id=rid
+                spark, hist_dir, sid, rolling_baseline_k, exclude_run_id=rid,
+                per_partition=(scope == "partition"),
             )
             if base is not None:
                 drift_specs[0].config = {**drift_specs[0].config, "baseline_df": base}
@@ -603,20 +621,23 @@ def run_with_manifest(
         )
 
     if hist_dir is not None:
-        # Per-run POOLED drift histogram — the rolling-baseline store.
-        # Reuses the drift check's already-cached O(partitions x buckets)
-        # frame (CheckResult.hist), so this costs one tiny aggregate, not
-        # a second scan. Appended before the manifest commit; same
+        # Per-run PER-PARTITION drift histogram — the rolling-baseline
+        # store. Reuses the drift check's already-cached
+        # O(partitions x buckets) frame (CheckResult.hist), so this costs
+        # one write, not a second scan. Per-partition rows carry strictly
+        # more information than a pooled histogram at the same tiny
+        # order: the pooled baseline derives by summing (rolling_baseline
+        # default), the per-partition baseline by grouping
+        # (per_partition=True). Appended before the manifest commit; same
         # at-least-once + dedupe-on-read story as the sketch tables
         # (histogram rows are deterministic in the input).
         dr = res.per_check.get("drift")
         if dr is not None and dr.hist is not None:
             (
-                dr.hist.groupBy("bucket")
-                .agg(F.sum("n").alias("n"))
-                .select(
+                dr.hist.select(
                     F.lit(rid).alias("run_id"),
                     F.lit(sid).alias("suite_id"),
+                    "partition_key",
                     "bucket",
                     "n",
                     F.current_timestamp().alias("committed_at"),

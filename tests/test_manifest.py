@@ -482,3 +482,43 @@ def test_rolling_baseline_catches_wholesale_shift(spark, manifest_dir, tmp_path)
     with pytest.raises(ValueError, match="mutually"):
         run_with_manifest(mk(0), manifest_dir, suite=mk_suite(), run_id="x",
                           hist_dir=hd, rolling_baseline_k=2, freeze_drift_baseline=True)
+
+
+def test_per_partition_rolling_baseline_swap(spark, manifest_dir, tmp_path):
+    """baseline_scope='partition': each partition drifts against ITS OWN
+    history. Heterogeneous partitions (en short, de long) pass against
+    their per-partition history; when en silently takes de's length
+    distribution, en FAILs while de (unchanged) PASSes — a swap a pooled
+    mixture baseline cannot localize."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_drift
+
+    def mk(swap_en):
+        en_len = "400 + CAST(id % 60 AS INT)" if swap_en else "100 + CAST(id % 60 AS INT)"
+        return spark.range(600).select(
+            F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+            F.expr(
+                f"CASE WHEN id % 2 = 0 THEN repeat('x', {en_len}) "
+                f"ELSE repeat('x', 400 + CAST(id % 60 AS INT)) END"
+            ).alias("content"),
+        )
+
+    def mk_suite():
+        return [CheckSpec(
+            "drift", run_drift,
+            {"column": "content", "gate_mode": "absolute", "baseline_scope": "partition"},
+            "lang", 25,
+        )]
+
+    hd = str(tmp_path / "hists")
+    run_with_manifest(mk(False), manifest_dir, suite=mk_suite(), run_id="p1",
+                      hist_dir=hd, rolling_baseline_k=3, revalidate=True)
+    r2 = run_with_manifest(mk(False), manifest_dir, suite=mk_suite(), run_id="p2",
+                           hist_dir=hd, rolling_baseline_k=3, revalidate=True,
+                           collect_verdict_counts=True)
+    # same distributions as their own history: clean
+    assert r2.verdict_counts == {"PASS": 2}
+    r3 = run_with_manifest(mk(True), manifest_dir, suite=mk_suite(), run_id="p3",
+                           hist_dir=hd, rolling_baseline_k=3, revalidate=True)
+    verd = {r["partition_key"]: r["verdict"] for r in r3.result.verdicts.collect()}
+    assert verd == {"en": "FAIL", "de": "PASS"}
