@@ -345,6 +345,28 @@ def run_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
     # branches. Without these two caches the check re-scanned the input
     # five times and anti-scaled with parallelism.
     hist = length_histogram(df, part, col, bucket_width, mode=mode).cache()
+    if baseline is None and spec.config.get("require_baseline", False):
+        # T1 warm-up semantics for external-baseline configs: with no
+        # history yet (first rolling-baseline run / missing frozen
+        # table), emit SKIPPED for every partition instead of silently
+        # self-baselining — under gate_mode='absolute' a self-pooled
+        # mixture would flag every heterogeneous partition on day one.
+        per_part = hist.groupBy("partition_key").agg(F.sum("n").alias("n_obs"))
+        verdicts = verdict_frame(
+            per_part,
+            cid,
+            "partition_key",
+            fail_when=F.lit(False),
+            skip_when=F.lit(True),
+            metric_cols=["n_obs"],
+        )
+        return CheckResult(
+            violations=empty_violations(df),
+            verdicts=verdicts,
+            metrics=per_part,
+            caches=[hist],
+            hist=hist,
+        )
     base = baseline if baseline is not None else global_baseline(hist)
     scores = drift_scores(hist, base).cache()
     flagged = flag_outliers(

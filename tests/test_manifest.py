@@ -522,3 +522,43 @@ def test_per_partition_rolling_baseline_swap(spark, manifest_dir, tmp_path):
                            hist_dir=hd, rolling_baseline_k=3, revalidate=True)
     verd = {r["partition_key"]: r["verdict"] for r in r3.result.verdicts.collect()}
     assert verd == {"en": "FAIL", "de": "PASS"}
+
+
+def test_require_baseline_skips_first_run_but_seeds_store(spark, manifest_dir, tmp_path):
+    """require_baseline: with no history, drift emits SKIPPED (T1 warm-up)
+    instead of self-baselining — which under the absolute gate would flag
+    every heterogeneous partition on day one — while STILL seeding the
+    histogram store so run 2 has a real baseline."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_drift
+
+    df = spark.range(600).select(
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+        F.expr(
+            "CASE WHEN id % 2 = 0 THEN repeat('x', 100 + CAST(id % 60 AS INT)) "
+            "ELSE repeat('x', 400 + CAST(id % 60 AS INT)) END"
+        ).alias("content"),
+    )
+
+    def mk_suite(require):
+        cfg = {"column": "content", "gate_mode": "absolute",
+               "baseline_scope": "partition"}
+        if require:
+            cfg["require_baseline"] = True
+        return [CheckSpec("drift", run_drift, cfg, "lang", 25)]
+
+    hd = str(tmp_path / "hists")
+    # control: WITHOUT the guard, day one self-pools a mixture and the
+    # absolute gate flags both heterogeneous partitions — false positives
+    ctl = run_with_manifest(df, str(tmp_path / "m0"), suite=mk_suite(False),
+                            run_id="c1", collect_verdict_counts=True)
+    assert ctl.verdict_counts == {"FAIL": 2}
+    # with the guard: day one SKIPPED, day two PASS off the seeded store
+    r1 = run_with_manifest(df, manifest_dir, suite=mk_suite(True), run_id="w1",
+                           hist_dir=hd, rolling_baseline_k=3, revalidate=True,
+                           collect_verdict_counts=True)
+    assert r1.verdict_counts == {"SKIPPED": 2}
+    r2 = run_with_manifest(df, manifest_dir, suite=mk_suite(True), run_id="w2",
+                           hist_dir=hd, rolling_baseline_k=3, revalidate=True,
+                           collect_verdict_counts=True)
+    assert r2.verdict_counts == {"PASS": 2}
