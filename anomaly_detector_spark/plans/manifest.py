@@ -293,6 +293,20 @@ def rolling_baseline(
     return spark.createDataFrame(collected, base.schema)
 
 
+def rolling_baseline_dict(
+    spark: SparkSession, hist_dir: str, sid: str, last_k: int = 5
+) -> dict[int, float] | None:
+    """The rolling baseline as the {bucket: count} dict
+    streaming/drift.py drift_stream ships in its closure — the bridge
+    from the batch-maintained histogram store to the continuous scorer:
+    batch runs keep appending history, the stream drifts every trigger
+    against the last K runs' mean."""
+    base = rolling_baseline(spark, hist_dir, sid, last_k)
+    if base is None:
+        return None
+    return {int(r["bucket"]): float(r["base_n"]) for r in base.collect()}
+
+
 def revalidation_plan(
     manifest: DataFrame,
     max_age_hours: float | None = None,

@@ -458,6 +458,11 @@ def test_rolling_baseline_catches_wholesale_shift(spark, manifest_dir, tmp_path)
     sid = suite_id(mk_suite())
     base = rolling_baseline(spark, hd, sid, 2)
     assert base is not None and base.count() > 0
+    # the streaming bridge form matches the frame bit for bit
+    from anomaly_detector_spark.plans.manifest import rolling_baseline_dict
+
+    d = rolling_baseline_dict(spark, hd, sid, 2)
+    assert d == {int(r["bucket"]): float(r["base_n"]) for r in base.collect()}
 
     # retry: re-append h2's rows; (run_id, bucket) dedupe keeps the baseline
     run_with_manifest(mk(0), manifest_dir, suite=mk_suite(), run_id="h2",
