@@ -22,15 +22,17 @@ validation engine's productionization of that signal.
 Scale shape: the staged input is scanned by the rule map (once per
 consumer — quarantine write + clean write + suite scans, each
 column-pruned) and never joined or shuffled for routing; the publish
-decision reads O(partitions x checks) verdict rows. At 10^12 rows the
-cost is the suite itself plus the two writes.
+decision reads O(partitions x checks) verdict rows. The row counts the
+result reports ride the writes themselves (an ``Observation`` metric on
+the write action — never a second scan just to count). At 10^12 rows
+the cost is the suite itself plus the two writes.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..checks.base import CheckSpec
@@ -77,8 +79,15 @@ def audit_publish(
     n_quarantined = 0
     if quarantined is not None:
         if quarantine_dir is not None:
-            quarantined.write.mode("append").parquet(quarantine_dir)
-        n_quarantined = quarantined.count()
+            # count DURING the write (Observation rides the write action's
+            # scan) — a separate .count() would re-run the rule map over the
+            # whole staged input a second time, doubling the row-audit cost
+            # at 10^12 rows
+            n_quarantined = _write_counted(
+                quarantined, quarantine_dir, mode="append"
+            )
+        else:
+            n_quarantined = quarantined.count()
 
     res = run_suite(clean, table_specs) if table_specs else None
     blocking: list[tuple[str, str]] = []
@@ -97,8 +106,16 @@ def audit_publish(
             res.unpersist()
         return PublishResult(False, 0, n_quarantined, blocking, res)
 
-    clean.write.mode(mode).parquet(dest)
-    n_published = clean.count()
+    n_published = _write_counted(clean, dest, mode=mode)
     if res is not None:
         res.unpersist()
     return PublishResult(True, n_published, n_quarantined, blocking, res)
+
+
+def _write_counted(df: DataFrame, path: str, mode: str) -> int:
+    """Parquet write + row count in ONE action: an ``Observation`` metric
+    rides the write's own scan, so the input is never re-scanned just to
+    report how many rows landed."""
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(mode).parquet(path)
+    return int(obs.get["n"])
