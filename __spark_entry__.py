@@ -1559,6 +1559,46 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic training-epoch shuffle: (shard, pos) depends only on
+    # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
+    from anomaly_detector_spark.operators.corpus import epoch_shuffle
+
+    d = load_table(spark, sf, "documents")
+    return epoch_shuffle(d, key_col="doc_id", epoch=1).select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )
+
+
+def q_cust_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    # reverse-referential coverage: dim keys no fact row references,
+    # aggregated before the anti-join ever sees a fact row. The fact
+    # side is date-filtered in-plan (customers INACTIVE since 2000 —
+    # the synthetic TPC-H tables have full FK coverage unfiltered)
+    from anomaly_detector_spark.checks.referential import orphan_dim_keys
+
+    cust = load_table(spark, sf, "customer")
+    recent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return orphan_dim_keys(cust, "c_custkey", recent, "o_custkey").groupBy(
+        F.col("c_nationkey").cast("long").alias("nation_key")
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def q_orders_fk_missing(spark: SparkSession, sf: str) -> DataFrame:
+    # FK-integrity scale path (fk_missing_keys): planted bad keys since
+    # TPC-H holds integrity — two -1 rows and one NULL, added IN-PLAN
+    # identically on both engines
+    from anomaly_detector_spark.checks.referential import fk_missing_keys
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    bad = spark.createDataFrame([(-1,), (-1,), (None,)], "o_custkey long")
+    fact = orders.select("o_custkey").unionByName(bad)
+    return fk_missing_keys(fact, "o_custkey", cust, "c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "files_stats": q_files_stats,
@@ -1606,6 +1646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_rule": q_events_json_rule,
         "docs_clean_corpus": q_docs_clean_corpus,
         "docs_chunks": q_docs_chunks,
+        "docs_epoch_shuffle": q_docs_epoch_shuffle,
+        "cust_orphans": q_cust_orphans,
+        "orders_fk_missing": q_orders_fk_missing,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -4080,6 +4123,43 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["events_meta_stats"] = " UNION ALL ".join(
         _meta_col.format(c=c) for c in ("event_id", "user_id", "value")
     )
+    # docs_epoch_shuffle: deterministic per-epoch permutation — both
+    # engines derive (shard, pos) from the same sha256 draw
+    out["docs_epoch_shuffle"] = """
+        WITH drawn AS (
+          SELECT doc_id,
+                 sha256(concat('shuf1|1|', CAST(doc_id AS VARCHAR))) AS draw
+          FROM documents
+        )
+        SELECT doc_id,
+               substr(draw, 1, 2) AS shard,
+               CAST(row_number() OVER (
+                    PARTITION BY substr(draw, 1, 2)
+                    ORDER BY draw, doc_id) AS BIGINT) AS pos
+        FROM drawn
+    """
+    out["cust_orphans"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+               CAST(count(*) AS BIGINT) AS n_orphans
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """
+    out["orders_fk_missing"] = """
+        WITH fact AS (
+          SELECT o_custkey FROM orders
+          UNION ALL SELECT -1 UNION ALL SELECT -1 UNION ALL SELECT NULL
+        ),
+        agg AS (
+          SELECT o_custkey AS fk_value, CAST(count(*) AS BIGINT) AS n_rows
+          FROM fact GROUP BY 1
+        )
+        SELECT a.fk_value, a.n_rows
+        FROM agg a
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.fk_value)
+    """
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp

@@ -413,6 +413,54 @@ def pack_sequences(
     return out.drop("_grp", "_gsum", "_off", "_pre")
 
 
+# ------------------------------------------------------- epoch shuffle
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    shard_hex_chars: int = 2,
+    salt: str = "shuf1",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: a (shard, pos) ordering of
+    the corpus that depends only on (salt, epoch, key) — the reader
+    consumes shards in shard order and rows in ``pos`` order within
+    each, and gets a pseudo-random document order that is bit-identical
+    across task retries, repartitionings, and re-runs (the property a
+    resumable multi-epoch data loader needs), with a different
+    permutation per ``epoch``.
+
+    Adds: ``shuffle_draw`` (hex sha256 of salt|epoch|key — the sort
+    key), ``shard`` (its first ``shard_hex_chars`` chars: 16^k shards,
+    uniform by construction since the draw is uniform), and ``pos``
+    (row_number within the shard by (draw, key) — the key tiebreak
+    makes colliding draws deterministic too).
+
+    Scale shape: the ONLY global-order structure is the shard prefix —
+    there is no single-partition global rank. The window partitions by
+    shard (16^k-way parallel; pick k so 16^k ~ the cluster's task
+    count — k=4 is 65,536 shards), and each shard sorts ~n/16^k rows.
+    Writing with partitionBy("shard") gives the reader one file group
+    per shard and a globally shuffled stream for free. The draw reuses
+    sample_hash's sha256 construction, so any ANSI engine reproduces
+    the exact permutation (no engine-private RNG anywhere).
+    """
+    if not 1 <= shard_hex_chars <= 8:
+        raise ValueError("shard_hex_chars must be in 1..8")
+    draw = F.sha2(
+        F.concat(
+            F.lit(f"{salt}|{int(epoch)}|"), F.col(key_col).cast("string")
+        ),
+        256,
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_draw", key_col)
+    return (
+        df.withColumn("shuffle_draw", draw)
+        .withColumn("shard", F.substring("shuffle_draw", 1, shard_hex_chars))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
 # ------------------------------------------------------ decontamination
 
 def decontaminate(

@@ -383,3 +383,23 @@ def test_drift_value_mode_catches_numeric_shift(spark):
     for res in (vres, lres):
         for c in res.caches:
             c.unpersist()
+
+
+def test_fk_missing_and_orphan_keys(spark):
+    from anomaly_detector_spark.checks.referential import fk_missing_keys, orphan_dim_keys
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 99), (5, 99), (6, None)],
+        "row_id long, fk long",
+    )
+    dim = spark.createDataFrame([(10,), (11,), (12,)], "k long")
+
+    missing = {
+        r["fk_value"]: r["n_rows"]
+        for r in fk_missing_keys(fact, "fk", dim, "k").collect()
+    }
+    # 99 twice, NULL once (NULL matches nothing -> violation)
+    assert missing == {99: 2, None: 1}
+
+    orphans = sorted(r["k"] for r in orphan_dim_keys(dim, "k", fact, "fk").collect())
+    assert orphans == [12]

@@ -332,3 +332,34 @@ def test_top_fraction_by_group(spark):
         for r in top_fraction_by_group(df, "g", "score", frac=0.5, tiebreak_col="doc_id").collect()
     )
     assert kept == [1, 2, 5, 6]
+
+
+# ------------------------------------------------------- epoch shuffle
+
+def test_epoch_shuffle_deterministic_and_uniform(spark):
+    from anomaly_detector_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = epoch_shuffle(df, epoch=0).collect()
+    b = epoch_shuffle(df.repartition(7), epoch=0).collect()
+    # identical assignment regardless of input partitioning
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a) == key(b)
+    # pos is a dense 1..n_shard rank within each shard
+    by_shard: dict[str, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # 256 shards over 400 uniform draws: no shard grabs a gross share
+    assert max(len(v) for v in by_shard.values()) <= 12
+
+
+def test_epoch_shuffle_epochs_differ(spark):
+    from anomaly_detector_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    e0 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(df, epoch=0).collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(df, epoch=1).collect()}
+    assert e0 != e1  # a different permutation per epoch
+    assert set(e0) == set(e1)  # ... over the same documents
