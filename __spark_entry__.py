@@ -1599,6 +1599,15 @@ def q_orders_fk_missing(spark: SparkSession, sf: str) -> DataFrame:
     return fk_missing_keys(fact, "o_custkey", cust, "c_custkey")
 
 
+def q_docs_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    # one-pass multi-column shuffle-key skew audit (broadcast/salt
+    # decision input): heaviest values of lang and source with shares
+    from anomaly_detector_spark.checks.profile import skew_profile
+
+    d = load_table(spark, sf, "documents")
+    return skew_profile(d, ["lang", "source"], k=3, min_share=0.001)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "files_stats": q_files_stats,
@@ -1649,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_epoch_shuffle": q_docs_epoch_shuffle,
         "cust_orphans": q_cust_orphans,
         "orders_fk_missing": q_orders_fk_missing,
+        "docs_key_skew": q_docs_key_skew,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -4159,6 +4169,32 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         SELECT a.fk_value, a.n_rows
         FROM agg a
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.fk_value)
+    """
+    out["docs_key_skew"] = """
+        WITH pairs AS (
+          SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value FROM documents
+          UNION ALL
+          SELECT 'source', CAST(source AS VARCHAR) FROM documents
+        ),
+        counts AS (
+          SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY 1, 2
+        ),
+        per_col AS (
+          SELECT col_name, SUM(n) AS n_rows, count(*) AS n_distinct
+          FROM counts GROUP BY 1
+        ),
+        ranked AS (
+          SELECT c.col_name, c.value, c.n, p.n_rows, p.n_distinct,
+                 row_number() OVER (PARTITION BY c.col_name
+                                    ORDER BY c.n DESC, c.value ASC NULLS LAST) AS rank
+          FROM counts c JOIN per_col p USING (col_name)
+          WHERE c.n >= p.n_rows * 0.001
+        )
+        SELECT col_name, value, n, CAST(rank AS BIGINT) AS rank,
+               round(CAST(n AS DOUBLE) / n_rows, 6) AS share,
+               round(CAST(n AS DOUBLE) * n_distinct / n_rows, 4) AS skew_x
+        FROM ranked WHERE rank <= 3
     """
     fp = _fingerprint_oracle()
     if fp is not None:

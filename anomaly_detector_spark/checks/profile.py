@@ -221,6 +221,73 @@ def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:
     )
 
 
+def skew_profile(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 10,
+    min_share: float = 1e-4,
+) -> DataFrame:
+    """Join/shuffle-key skew audit: the heaviest values of each
+    candidate key column with their row share — the numbers that decide
+    broadcast vs shuffle vs salting BEFORE a 100-TB join, and the
+    fixture evidence behind uniqueness's ``salt_buckets`` knob.
+
+    Output per (col_name, value): ``n``, ``rank`` (1..k by count desc,
+    value asc — deterministic ties), ``share`` (n / column rows) and
+    ``skew_x`` = share x n_distinct — a uniform key scores 1.0; 50
+    means that value carries 50x a uniform key's share, which is the
+    threshold family AQE's skew-join split and the salting decision
+    key off.
+
+    Scale shape: ONE pass for all columns — each row explodes to
+    (col_name, value) pairs and one map-side-combined groupBy counts
+    them, so the shuffle carries O(sum of per-column distincts) rows,
+    never O(rows x cols). Totals and distincts per column derive from
+    the SAME counts frame (broadcast back — O(cols) rows). The only
+    rank structure is a per-column window over counts PRE-FILTERED to
+    ``share >= min_share`` — by pigeonhole at most 1/min_share rows per
+    column survive (10^4 at the default), so the window never sorts a
+    high-cardinality column's full distinct set; a key below min_share
+    cannot be a skew problem by definition. Fewer than k survivors IS
+    the healthy answer.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.value")
+    counts = pairs.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    per_col = counts.groupBy("col_name").agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    heavy = counts.join(F.broadcast(per_col), "col_name").filter(
+        F.col("n") >= F.col("n_rows") * F.lit(min_share)
+    )
+    w = Window.partitionBy("col_name").orderBy(F.desc("n"), F.asc_nulls_last("value"))
+    return (
+        heavy.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "col_name",
+            "value",
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n_distinct") / F.col("n_rows"), 4).alias("skew_x"),
+        )
+    )
+
+
 def topk_sketches(
     df: DataFrame,
     partition_col: str,

@@ -163,3 +163,27 @@ def test_topk_sketches_merge_with_sound_bounds(spark):
     assert rows["c"]["est"] == 12 and rows["c"]["upper"] == 15  # true = 15
     assert rows["b"]["est"] == 10 and rows["b"]["upper"] == 14  # true = 14
     assert [r["item"] for r in sorted(rows.values(), key=lambda r: r["rank"])] == ["a", "c", "b"]
+
+
+def test_skew_profile_flags_hot_key(spark):
+    from anomaly_detector_spark.checks.profile import skew_profile
+
+    # col a: 'hot' on 60 of 100 rows, the rest spread over 40 values;
+    # col b: uniform over 4 values (skew_x == 1 for every value)
+    rows = [("hot" if i < 60 else f"v{i}", f"u{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = skew_profile(df, ["a", "b"], k=3, min_share=0.01)
+    got = {(r["col_name"], r["rank"]): r for r in out.collect()}
+
+    hot = got[("a", 1)]
+    assert hot["value"] == "hot" and hot["n"] == 60
+    assert abs(hot["share"] - 0.6) < 1e-9
+    # 41 distinct values in a -> skew_x = 0.6 * 41
+    assert abs(hot["skew_x"] - 24.6) < 1e-6
+    for rk in (1, 2, 3):
+        assert abs(got[("b", rk)]["skew_x"] - 1.0) < 1e-6
+
+    # min_share pre-filter: a's singleton values (share 0.01) survive at
+    # 0.01 but are cut at 0.02 — fewer than k survivors is the answer
+    cut = skew_profile(df, ["a"], k=3, min_share=0.02).collect()
+    assert [r["value"] for r in cut] == ["hot"]
