@@ -1599,6 +1599,24 @@ def q_orders_fk_missing(spark: SparkSession, sf: str) -> DataFrame:
     return fk_missing_keys(fact, "o_custkey", cust, "c_custkey")
 
 
+def q_files_fd(spark: SparkSession, sf: str) -> DataFrame:
+    # functional dependency repo -> lang: a repo spanning several langs
+    # taints its rows in every partition it touches (table-level fact,
+    # per-partition attribution)
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.fd import run_fd
+
+    files = files_view(spark, sf)
+    spec = CheckSpec("fd_repo_lang", run_fd, {"lhs": ["repo"], "rhs": "lang"}, "lang", 1)
+    res = run_fd(files, spec)
+    return res.verdicts.select(
+        "partition_key",
+        "verdict",
+        F.col("metrics")["n_rows"].cast("long").alias("n_rows"),
+        F.col("metrics")["n_fd_bad_rows"].cast("long").alias("n_fd_bad_rows"),
+    )
+
+
 def q_docs_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     # one-pass multi-column shuffle-key skew audit (broadcast/salt
     # decision input): heaviest values of lang and source with shares
@@ -1659,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_orphans": q_cust_orphans,
         "orders_fk_missing": q_orders_fk_missing,
         "docs_key_skew": q_docs_key_skew,
+        "files_fd": q_files_fd,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -4169,6 +4188,30 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         SELECT a.fk_value, a.n_rows
         FROM agg a
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.fk_value)
+    """
+    out["files_fd"] = f"""
+        WITH {FILES_CTE_SQL},
+        cells AS (
+          SELECT repo, lang, CAST(count(*) AS BIGINT) AS n
+          FROM files GROUP BY 1, 2
+        ),
+        keys AS (
+          SELECT repo, count(*) AS n_rhs
+          FROM (SELECT DISTINCT repo, lang FROM cells) GROUP BY 1
+        ),
+        parts AS (
+          SELECT c.lang AS partition_key,
+                 SUM(c.n) AS n_rows,
+                 SUM(CASE WHEN k.n_rhs > 1 THEN c.n ELSE 0 END) AS n_fd_bad_rows
+          FROM cells c JOIN keys k USING (repo)
+          GROUP BY 1
+        )
+        SELECT partition_key,
+               CASE WHEN n_rows < 1 THEN 'SKIPPED'
+                    WHEN n_fd_bad_rows > 0 THEN 'FAIL' ELSE 'PASS' END AS verdict,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_fd_bad_rows AS BIGINT) AS n_fd_bad_rows
+        FROM parts
     """
     out["docs_key_skew"] = """
         WITH pairs AS (

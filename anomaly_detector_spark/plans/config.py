@@ -59,6 +59,7 @@ def _registry() -> dict[str, Callable]:
         run_json_schema,
         run_row_predicate,
     )
+    from ..checks.fd import run_fd
     from ..checks.metadata import run_metadata_stats
     from ..checks.quantiles import run_quantile_drift
     from ..checks.reconcile import run_reconcile
@@ -78,6 +79,7 @@ def _registry() -> dict[str, Callable]:
         "drift": run_drift,
         "count_drift": run_count_drift,
         "freshness": run_freshness,
+        "fd": run_fd,
         "schema_contract": run_schema_contract,
         "format": run_format,
         "accepted_values": run_accepted_values,

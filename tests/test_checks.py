@@ -403,3 +403,32 @@ def test_fk_missing_and_orphan_keys(spark):
 
     orphans = sorted(r["k"] for r in orphan_dim_keys(dim, "k", fact, "fk").collect())
     assert orphans == [12]
+
+
+def test_fd_check(spark):
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.fd import fd_violating_keys, run_fd
+
+    # repo r1 spans two langs (violating), r2/r3 are clean; NULL repo
+    # appears with two langs -> NULL keys group together and violate
+    rows = [
+        ("r1", "a.py", "c1", "py"), ("r1", "b.go", "c2", "go"),
+        ("r2", "c.py", "c3", "py"), ("r2", "d.py", "c4", "py"),
+        ("r3", "e.go", "c5", "go"),
+        (None, "f.py", "c6", "py"), (None, "g.go", "c7", "go"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string")
+
+    keys = {r["repo"]: r["n_rhs"] for r in fd_violating_keys(df, ["repo"], "lang").collect()}
+    assert keys == {"r1": 2, None: 2}
+
+    spec = CheckSpec("fd_repo_lang", run_fd, {"lhs": ["repo"], "rhs": "lang"}, "lang", 1)
+    res = run_fd(df, spec)
+    got = {r["partition_key"]: (r["verdict"], r["metrics"]["n_fd_bad_rows"]) for r in res.verdicts.collect()}
+    # py: 4 rows, 2 under violating keys (r1 + NULL); go: 3 rows, 2 bad
+    assert got == {"py": ("FAIL", 2.0), "go": ("FAIL", 2.0)}
+
+    # clean table passes
+    clean = df.filter(F.col("repo").isin("r2", "r3"))
+    res2 = run_fd(clean, spec)
+    assert {r["verdict"] for r in res2.verdicts.collect()} == {"PASS"}

@@ -122,3 +122,25 @@ def test_cli_suite_config(spark, tmp_path, capsys):
     ]) == 0
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["noop_resume"]
+
+
+def test_config_declares_fd_check(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from anomaly_detector_spark.synth import synth_files
+
+    doc = {
+        "checks": [
+            {"check": "fd", "name": "fd_repo_lang",
+             "lhs": ["repo"], "rhs": "lang", "partition_col": "lang"},
+        ]
+    }
+    suite = suite_from_config(doc)
+    assert [s.name for s in suite] == ["fd_repo_lang"]
+    df = synth_files(spark, 3000, seed=5)
+    res = run_suite(df, suite=suite, cache=False)
+    rows = res.verdicts.collect()
+    res.unpersist()
+    # synth repos span langs -> the dependency is violated somewhere,
+    # and every partition gets exactly one verdict row
+    assert len(rows) == len({r["partition_key"] for r in rows})
+    assert "FAIL" in {r["verdict"] for r in rows}
