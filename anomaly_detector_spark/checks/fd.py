@@ -60,6 +60,14 @@ def run_fd(df: DataFrame, spec: CheckSpec) -> CheckResult:
     cells = df.groupBy(
         *lhs, F.col(part).alias("_part"), F.col(rhs).alias("_rhs")
     ).agg(F.count(F.lit(1)).alias("_n"))
+    # the cell frame feeds TWO aggregates (per-key distinct-rhs and the
+    # per-partition attribution join) — without materialization each
+    # branch re-runs the aggregate and the SOURCE is scanned twice
+    # (confirmed in the plan audit). The frame is O(distinct cells)
+    # narrow rows; one localCheckpoint beats a second 100-TB scan.
+    # config {"materialize": False} keeps the pure plan for tiny inputs.
+    if spec.config.get("materialize", True):
+        cells = cells.localCheckpoint()
 
     # distinct rhs per key: dedup the cell frame over partitions first —
     # O(cells) rows both stages, never the source
