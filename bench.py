@@ -74,6 +74,10 @@ def main() -> int:
         "files_sampled_stats",  # sampled tier: hash-sample + CI estimates
         "files_snapshot_diff", # CDC-style snapshot diff (one shuffle)
         "emb_outliers",        # per-cluster median-gated outlier triage
+        # session additions
+        "docs_epoch_shuffle",  # deterministic per-epoch (shard, pos) ordering
+        "docs_key_skew",       # one-pass multi-column key-skew audit
+        "files_fd",            # functional-dependency check (repo -> lang)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
