@@ -1599,6 +1599,30 @@ def q_orders_fk_missing(spark: SparkSession, sf: str) -> DataFrame:
     return fk_missing_keys(fact, "o_custkey", cust, "c_custkey")
 
 
+def q_events_seq_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # the three per-key sequence pathologies over the same window pass:
+    # counter decreases, reporting gaps (> ~1.16 days), stuck-sensor
+    # runs of the decile-binned value — one row per event_type
+    from anomaly_detector_spark.checks.sequence import sequence_profile
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "v10", F.floor(F.col("value") / 10)
+    )
+    prof = sequence_profile(
+        ev, key="user_id", order="ts", value="value", part="event_type",
+        flat_value="v10", max_gap_s=100_000.0, min_run=3, tiebreak="event_id",
+    )
+    return prof.select(
+        "event_type",
+        "n_rows",
+        "n_decreases",
+        "n_gaps",
+        F.round("max_gap_s", 4).alias("max_gap_s"),
+        "n_stuck_runs",
+        "max_run_len",
+    )
+
+
 def q_files_fd(spark: SparkSession, sf: str) -> DataFrame:
     # functional dependency repo -> lang: a repo spanning several langs
     # taints its rows in every partition it touches (table-level fact,
@@ -1678,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fk_missing": q_orders_fk_missing,
         "docs_key_skew": q_docs_key_skew,
         "files_fd": q_files_fd,
+        "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "ivf_topk": q_ivf_topk,
@@ -4188,6 +4213,53 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         SELECT a.fk_value, a.n_rows
         FROM agg a
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.fk_value)
+    """
+    out["events_seq_profile"] = """
+        WITH f AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 floor(value / 10) AS v10
+          FROM events
+        ),
+        l AS (
+          SELECT *,
+                 lag(value) OVER w AS pv,
+                 epoch(ts) - lag(epoch(ts)) OVER w AS gap_s,
+                 CASE WHEN lag(v10) OVER w IS NULL OR v10 IS NULL
+                           OR v10 != lag(v10) OVER w THEN 1 ELSE 0 END AS chg
+          FROM f
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        r AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS run
+          FROM l
+        ),
+        runs AS (
+          SELECT event_type, user_id, run, v10,
+                 CAST(count(*) AS BIGINT) AS run_len
+          FROM r WHERE v10 IS NOT NULL
+          GROUP BY 1, 2, 3, 4
+        ),
+        per_flat AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_stuck_runs,
+                 max(run_len) AS max_run_len
+          FROM runs GROUP BY 1
+        ),
+        per_seq AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_decreases,
+                 CAST(sum(CASE WHEN gap_s > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gaps,
+                 round(CAST(max(gap_s) AS DOUBLE), 4) AS max_gap_s
+          FROM r GROUP BY 1
+        )
+        SELECT s.event_type, s.n_rows, s.n_decreases, s.n_gaps, s.max_gap_s,
+               p.n_stuck_runs, p.max_run_len
+        FROM per_seq s JOIN per_flat p USING (event_type)
     """
     out["files_fd"] = f"""
         WITH {FILES_CTE_SQL},

@@ -61,6 +61,7 @@ def _registry() -> dict[str, Callable]:
     )
     from ..checks.fd import run_fd
     from ..checks.metadata import run_metadata_stats
+    from ..checks.sequence import run_flatline, run_gaps, run_monotonic
     from ..checks.quantiles import run_quantile_drift
     from ..checks.reconcile import run_reconcile
     from ..checks.stats import run_stats
@@ -80,6 +81,9 @@ def _registry() -> dict[str, Callable]:
         "count_drift": run_count_drift,
         "freshness": run_freshness,
         "fd": run_fd,
+        "monotonic": run_monotonic,
+        "gaps": run_gaps,
+        "flatline": run_flatline,
         "schema_contract": run_schema_contract,
         "format": run_format,
         "accepted_values": run_accepted_values,

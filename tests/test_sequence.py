@@ -1,0 +1,132 @@
+"""Sequence checks (checks/sequence.py): monotonicity, gaps, flatlines."""
+
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.checks.base import CheckSpec
+from anomaly_detector_spark.checks.sequence import (
+    flatline_runs,
+    run_flatline,
+    run_gaps,
+    run_monotonic,
+)
+
+
+def _series(spark):
+    # device d1 (part A): 1,2,2,2,1(NULL ts gap),3 — one decrease (2->1),
+    # one flatline run of three 2s; readings 600s apart except one 7200s gap.
+    # device d2 (part B): clean increasing, no gaps, no runs.
+    rows = []
+    vals = [1.0, 2.0, 2.0, 2.0, 1.0, 3.0]
+    t = 0
+    for i, v in enumerate(vals):
+        rows.append(("d1", "A", i, t, v))
+        t += 7200 if i == 3 else 600
+    t = 0
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("d2", "B", 100 + i, t, v))
+        t += 600
+    df = spark.createDataFrame(
+        rows, "device string, part string, event_id long, secs long, value double"
+    )
+    return df.withColumn("ts", F.timestamp_seconds("secs"))
+
+
+def test_monotonic_counts_decreases(spark):
+    df = _series(spark)
+    spec = CheckSpec(
+        "mono", run_monotonic,
+        {"key": "device", "order": "ts", "value": "value", "tiebreak": "event_id"},
+        "part", 1,
+    )
+    got = {r["partition_key"]: (r["verdict"], r["metrics"]["n_decreases"]) for r in run_monotonic(df, spec).verdicts.collect()}
+    assert got == {"A": ("FAIL", 1.0), "B": ("PASS", 0.0)}
+
+
+def test_gaps_flags_only_the_gap(spark):
+    df = _series(spark)
+    spec = CheckSpec(
+        "gaps", run_gaps,
+        {"key": "device", "order": "ts", "max_gap_s": 3600.0, "tiebreak": "event_id"},
+        "part", 1,
+    )
+    got = {r["partition_key"]: (r["verdict"], r["metrics"]["n_gaps"], r["metrics"]["max_gap_s"]) for r in run_gaps(df, spec).verdicts.collect()}
+    assert got == {"A": ("FAIL", 1.0, 7200.0), "B": ("PASS", 0.0, 600.0)}
+
+
+def test_flatline_runs_and_check(spark):
+    df = _series(spark)
+    runs = flatline_runs(df, "device", "ts", "value", min_run=3, tiebreak="event_id").collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert (r["device"], r["value"], r["run_len"]) == ("d1", 2.0, 3)
+
+    spec = CheckSpec(
+        "flat", run_flatline,
+        {"key": "device", "order": "ts", "value": "value", "min_run": 3,
+         "tiebreak": "event_id"},
+        "part", 1,
+    )
+    got = {r["partition_key"]: (r["verdict"], r["metrics"]["n_stuck_runs"]) for r in run_flatline(df, spec).verdicts.collect()}
+    assert got == {"A": ("FAIL", 1.0), "B": ("PASS", 0.0)}
+
+
+def test_flatline_null_breaks_runs(spark):
+    # 2,2,NULL,2,2 -> two runs of 2, neither reaching min_run 3
+    rows = [("d", "A", i, i * 60, v) for i, v in enumerate([2.0, 2.0, None, 2.0, 2.0])]
+    df = spark.createDataFrame(
+        rows, "device string, part string, event_id long, secs long, value double"
+    ).withColumn("ts", F.timestamp_seconds("secs"))
+    assert flatline_runs(df, "device", "ts", "value", min_run=3, tiebreak="event_id").count() == 0
+
+
+def test_sequence_checks_declarable_in_config(spark):
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    doc = {
+        "min_rows": 1,
+        "checks": [
+            {"check": "monotonic", "name": "m", "key": "device", "order": "ts",
+             "value": "value", "tiebreak": "event_id", "partition_col": "part"},
+            {"check": "gaps", "name": "g", "key": "device", "order": "ts",
+             "max_gap_s": 3600.0, "tiebreak": "event_id", "partition_col": "part"},
+            {"check": "flatline", "name": "f", "key": "device", "order": "ts",
+             "value": "value", "min_run": 3, "tiebreak": "event_id",
+             "partition_col": "part"},
+        ]
+    }
+    suite = suite_from_config(doc)
+    df = _series(spark)
+    verdicts = {(s.name, r["partition_key"]): r["verdict"] for s in suite for r in s.run(df).verdicts.collect()}
+    assert verdicts[("m", "A")] == "FAIL" and verdicts[("m", "B")] == "PASS"
+    assert verdicts[("g", "A")] == "FAIL" and verdicts[("f", "A")] == "FAIL"
+
+
+def test_sequence_profile_matches_composed_checks(spark):
+    from anomaly_detector_spark.checks.sequence import sequence_profile
+
+    df = _series(spark)
+    prof = {r["part"]: r for r in sequence_profile(
+        df, key="device", order="ts", value="value", part="part",
+        max_gap_s=3600.0, min_run=3, tiebreak="event_id",
+    ).collect()}
+
+    mono = {r[0]: r for r in run_monotonic(df, CheckSpec(
+        "m", run_monotonic,
+        {"key": "device", "order": "ts", "value": "value", "tiebreak": "event_id"},
+        "part", 1)).metrics.collect()}
+    gaps = {r[0]: r for r in run_gaps(df, CheckSpec(
+        "g", run_gaps,
+        {"key": "device", "order": "ts", "max_gap_s": 3600.0, "tiebreak": "event_id"},
+        "part", 1)).metrics.collect()}
+    flat = {r[0]: r for r in run_flatline(df, CheckSpec(
+        "f", run_flatline,
+        {"key": "device", "order": "ts", "value": "value", "min_run": 3,
+         "tiebreak": "event_id"}, "part", 1)).metrics.collect()}
+
+    for p in prof:
+        assert prof[p]["n_rows"] == mono[p]["n_rows"]
+        assert prof[p]["n_decreases"] == mono[p]["n_decreases"]
+        assert prof[p]["n_gaps"] == gaps[p]["n_gaps"]
+        assert prof[p]["max_gap_s"] == gaps[p]["max_gap_s"]
+        assert prof[p]["n_stuck_runs"] == flat[p]["n_stuck_runs"]
+        assert prof[p]["max_run_len"] == flat[p]["max_run_len"]
