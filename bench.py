@@ -78,6 +78,7 @@ def main() -> int:
         "docs_epoch_shuffle",  # deterministic per-epoch (shard, pos) ordering
         "docs_key_skew",       # one-pass multi-column key-skew audit
         "files_fd",            # functional-dependency check (repo -> lang)
+        "events_seq_profile",  # fused sequence pathologies (1 window pass)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

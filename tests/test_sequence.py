@@ -130,3 +130,86 @@ def test_sequence_profile_matches_composed_checks(spark):
         assert prof[p]["max_gap_s"] == gaps[p]["max_gap_s"]
         assert prof[p]["n_stuck_runs"] == flat[p]["n_stuck_runs"]
         assert prof[p]["max_run_len"] == flat[p]["max_run_len"]
+
+
+def _alert_rows(spark, tmp_path, files_per_trigger, rows, schema):
+    """Drive sequence_alerts_stream over time-ordered parquet files
+    (one micro-batch per file at files_per_trigger=1)."""
+    import os
+    import pathlib
+
+    from anomaly_detector_spark.streaming.sequence import sequence_alerts_stream
+
+    inp = tmp_path / f"seq_in_{files_per_trigger}"
+    inp.mkdir()
+    for bi, chunk in enumerate(rows):
+        pdir = str(inp / f"b{bi}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(pdir)
+        for p in pathlib.Path(pdir).rglob("*"):
+            os.utime(p, (1700000000 + bi, 1700000000 + bi))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(str(inp) + "/*")
+    )
+    out = sequence_alerts_stream(
+        stream, "device", "ts", "value",
+        max_gap_s=3600.0, min_run=3, tiebreak_col="event_id",
+    )
+    sink = str(tmp_path / f"seq_sink_{files_per_trigger}")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / f"seq_ckpt_{files_per_trigger}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sorted(
+        (r["key"], r["kind"], r["ts"], r["value"], r["detail"])
+        for r in spark.read.parquet(sink).collect()
+    )
+
+
+def test_sequence_alerts_stream_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(minute, v, dev="d1", eid=None):
+        return (dev, eid if eid is not None else minute, t0 + dt.timedelta(minutes=minute), v)
+
+    schema = "device string, event_id long, ts timestamp, value double"
+    # d1: flatline run of 2s spans b0->b1 (fires at minute 3), decrease at
+    # minute 4, a >1h gap ending at minute 120, and a run of 1s spanning
+    # b1->b2 (fires at minute 121). d2 stays clean.
+    b0 = [r(0, 1.0), r(1, 2.0), r(2, 2.0), r(0, 10.0, "d2", 1000), r(1, 11.0, "d2", 1001)]
+    b1 = [r(3, 2.0), r(4, 1.0), r(2, 12.0, "d2", 1002)]
+    b2 = [r(120, 1.0), r(121, 1.0), r(3, 13.0, "d2", 1003)]
+
+    expected = sorted([
+        ("d1", "flatline", t0 + dt.timedelta(minutes=3), 2.0, 3.0),
+        ("d1", "decrease", t0 + dt.timedelta(minutes=4), 1.0, 2.0),
+        ("d1", "gap", t0 + dt.timedelta(minutes=120), 1.0, 116 * 60.0),
+        ("d1", "flatline", t0 + dt.timedelta(minutes=121), 1.0, 3.0),
+    ])
+
+    got = _alert_rows(spark, tmp_path, 1, [b0, b1, b2], schema)
+    assert got == expected
+
+    # batch-split invariance: all files in ONE trigger -> same alerts
+    got_one = _alert_rows(spark, tmp_path, 16, [b0, b1, b2], schema)
+    assert got_one == expected
+
+
+def test_sequence_alerts_null_clears_run_state(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "device string, event_id long, ts timestamp, value double"
+    # 2,2,NULL,2,2,2 -> the NULL breaks the first run; the second run of
+    # three fires once at its third member
+    rows = [[("d", i, t0 + dt.timedelta(minutes=i), v)
+             for i, v in enumerate([2.0, 2.0, None, 2.0, 2.0, 2.0])]]
+    got = _alert_rows(spark, tmp_path, 16, rows, schema)
+    assert got == [("d", "flatline", t0 + dt.timedelta(minutes=5), 2.0, 3.0)]
