@@ -213,3 +213,63 @@ def test_sequence_alerts_null_clears_run_state(spark, tmp_path):
              for i, v in enumerate([2.0, 2.0, None, 2.0, 2.0, 2.0])]]
     got = _alert_rows(spark, tmp_path, 16, rows, schema)
     assert got == [("d", "flatline", t0 + dt.timedelta(minutes=5), 2.0, 3.0)]
+
+
+def test_sequence_alerts_idle_state_evicted(spark, tmp_path):
+    # idle_ttl_ms: an idle key's run state is evicted, so a 2-reading run
+    # before the idle period plus 1 reading after does NOT fire a
+    # min_run=3 flatline (the run restarts at 1 post-eviction) — and no
+    # spurious gap/decrease fires either (last_v/last_ts evicted too).
+    import datetime as dt
+    import time as _time
+
+    from anomaly_detector_spark.streaming.sequence import sequence_alerts_stream
+
+    inp = str(tmp_path / "in")
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "device string, event_id long, ts timestamp, value double"
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # NOTE: minute-spaced readings with max_gap_s=30 -> the FIRST batch
+    # legitimately fires one gap alert (row 1 is 60s after row 0)
+    rows_df([("d", 0, t0, 2.0), ("d", 1, t0 + dt.timedelta(minutes=1), 2.0)]).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    out = sequence_alerts_stream(
+        stream, "device", "ts", "value",
+        max_gap_s=30.0, min_run=3, tiebreak_col="event_id", idle_ttl_ms=1500,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def alerts():
+            return sorted(
+                (r["kind"], r["detail"])
+                for r in spark.sql("SELECT kind, detail FROM seq_evict").collect()
+            )
+
+        t_wait = _time.time()
+        while not alerts() and _time.time() - t_wait < 60:
+            _time.sleep(0.5)
+        assert alerts() == [("gap", 60.0)]  # the first batch's own gap
+        _time.sleep(4)  # idle >> 1.5s TTL -> state evicted
+        # minute-2 reading: WITH surviving state it would fire run_len-3
+        # flatline AND a second 60s gap; post-eviction it is a fresh key
+        rows_df([("d", 2, t0 + dt.timedelta(minutes=2), 2.0)]).write.mode(
+            "append"
+        ).parquet(inp)
+        t_wait = _time.time()
+        while _time.time() - t_wait < 12:
+            _time.sleep(1.0)
+        assert alerts() == [("gap", 60.0)]
+    finally:
+        q.stop()
