@@ -41,6 +41,64 @@ from pyspark.sql import functions as F
 OUT_SCHEMA = "key string, kind string, ts timestamp, value double, detail double"
 STATE_SCHEMA = "last_v double, last_ts double, run_v double, run_len long"
 
+# state tuple: (last_v, last_ts, run_v, run_len) — None/None/None/0 fresh
+FRESH_STATE = (None, None, None, 0)
+
+
+def scan_batch(v, t, state, max_gap_s: float, min_run: int):
+    """Pure vectorized scan of ONE ordered batch of a key's readings.
+
+    ``v``: float64 values (NaN = NULL), ``t``: epoch seconds, ``state``:
+    (last_v, last_ts, run_v, run_len) carried from the previous batch
+    (FRESH_STATE for a new key). Returns (alerts, new_state) where
+    alerts is a list of (row_idx, kind, value, detail). Split-invariant:
+    scanning any concatenation split of a series through the carried
+    state yields the same alert sequence as one scan (pinned by a
+    hypothesis property test against a naive row-loop reference)."""
+    v = np.asarray(v, dtype="float64")
+    t = np.asarray(t, dtype="float64")
+    n = len(v)
+    last_v, last_ts, run_v, run_len = state
+    if n == 0:
+        return [], state
+
+    prev_v = np.concatenate(([np.nan if last_v is None else last_v], v[:-1]))
+    prev_t = np.concatenate(([np.nan if last_ts is None else last_ts], t[:-1]))
+    dec = v < prev_v  # NaN on either side -> False
+    gaps = (t - prev_t) > max_gap_s
+
+    # run lengths: rl[i] = length of the identical-value run ending at i
+    # (NaN is never a run member). A change at i starts a run there;
+    # positions before the first change continue the carried run.
+    carry = (
+        run_len
+        if run_v is not None and not np.isnan(v[0]) and v[0] == run_v
+        else 0
+    )
+    chg = np.empty(n, dtype=bool)
+    chg[0] = carry == 0
+    chg[1:] = ~(v[1:] == v[:-1])  # NaN != anything -> change
+    idx = np.arange(n)
+    last_chg = np.maximum.accumulate(np.where(chg, idx, -1))
+    rl = np.where(last_chg >= 0, idx - last_chg + 1, idx + 1 + carry)
+    rl = np.where(np.isnan(v), 0, rl)
+    flat = rl == min_run
+
+    alerts = []
+    for mask, kind, detail in (
+        (dec, "decrease", prev_v),
+        (gaps, "gap", t - prev_t),
+        (flat, "flatline", rl.astype("float64")),
+    ):
+        for i in np.flatnonzero(mask):
+            alerts.append((int(i), kind, float(v[i]), float(detail[i])))
+
+    if np.isnan(v[-1]):
+        new_state = (None, float(t[-1]), None, 0)
+    else:
+        new_state = (float(v[-1]), float(t[-1]), float(v[-1]), int(rl[-1]))
+    return alerts, new_state
+
 
 def sequence_alerts_stream(
     stream_df: DataFrame,
@@ -66,10 +124,7 @@ def sequence_alerts_stream(
         if ttl is not None and state.hasTimedOut:
             state.remove()
             return
-        if state.exists:
-            last_v, last_ts, run_v, run_len = state.get
-        else:
-            last_v, last_ts, run_v, run_len = None, None, None, 0
+        st = tuple(state.get) if state.exists else FRESH_STATE
 
         frames = [pdf.sort_values(sort_cols, kind="mergesort") for pdf in pdfs]
         frames = [f for f in frames if len(f)]
@@ -80,78 +135,21 @@ def sequence_alerts_stream(
             # epoch seconds via an explicit ns cast (pandas may hand the
             # kernel datetime64[ns] or [us] depending on Arrow version)
             t = ts.to_numpy().astype("datetime64[ns]").astype("int64") / 1e9
-            n = len(v)
-            prev_v = np.concatenate(
-                ([np.nan if last_v is None else last_v], v[:-1])
-            )
-            prev_t = np.concatenate(
-                ([np.nan if last_ts is None else last_ts], t[:-1])
-            )
-            dec = v < prev_v  # NaN on either side -> False
-            gaps = (t - prev_t) > gap_b
-
-            # run lengths: rl[i] = length of the identical-value run
-            # ending at i (NaN is never a run member). A change at i
-            # starts a run there; positions before the first change
-            # continue the carried run.
-            carry = (
-                run_len
-                if run_v is not None and not np.isnan(v[0]) and v[0] == run_v
-                else 0
-            )
-            chg = np.empty(n, dtype=bool)
-            chg[0] = carry == 0
-            chg[1:] = ~(v[1:] == v[:-1])  # NaN != anything -> change
-            idx = np.arange(n)
-            last_chg = np.maximum.accumulate(np.where(chg, idx, -1))
-            rl = np.where(last_chg >= 0, idx - last_chg + 1, idx + 1 + run_len)
-            rl = np.where(np.isnan(v), 0, rl)
-            flat = rl == run_b
-
-            rows = {
-                "kind": [], "ts": [], "value": [], "detail": [],
-            }
-            for mask, kind, detail in (
-                (dec, "decrease", prev_v),
-                (gaps, "gap", t - prev_t),
-                (flat, "flatline", rl.astype("float64")),
-            ):
-                hits = np.flatnonzero(mask)
-                rows["kind"].extend([kind] * len(hits))
-                rows["ts"].extend(ts.iloc[hits])
-                rows["value"].extend(v[hits])
-                rows["detail"].extend(detail[hits])
-            if rows["kind"]:
+            alerts, st = scan_batch(v, t, st, gap_b, run_b)
+            if alerts:
                 out_frames.append(
                     pd.DataFrame(
                         {
                             "key": key[0],
-                            "kind": rows["kind"],
-                            "ts": rows["ts"],
-                            "value": rows["value"],
-                            "detail": rows["detail"],
+                            "kind": [a[1] for a in alerts],
+                            "ts": ts.iloc[[a[0] for a in alerts]].to_numpy(),
+                            "value": [a[2] for a in alerts],
+                            "detail": [a[3] for a in alerts],
                         }
                     )
                 )
 
-            # carry state past the batch
-            if np.isnan(v[-1]):
-                run_v, run_len = None, 0
-                last_v = None
-            else:
-                run_v = float(v[-1])
-                run_len = int(rl[-1])
-                last_v = float(v[-1])
-            last_ts = float(t[-1])
-
-        state.update(
-            (
-                last_v,
-                last_ts,
-                run_v,
-                int(run_len),
-            )
-        )
+        state.update(st)
         if ttl is not None:
             state.setTimeoutDuration(ttl)
         yield from out_frames

@@ -273,3 +273,78 @@ def test_sequence_alerts_idle_state_evicted(spark, tmp_path):
         assert alerts() == [("gap", 60.0)]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# scan_batch property tests: vectorized kernel == naive row loop, and
+# split-invariance (any micro-batch split of a series yields the same
+# alert sequence through the carried state).
+# ---------------------------------------------------------------------------
+
+def _naive_scan(v, t, max_gap_s, min_run):
+    """Row-at-a-time reference for the full series from fresh state."""
+    import math
+
+    alerts = []
+    last_v = last_ts = None
+    run_v, run_len = None, 0
+    for i, (x, tt) in enumerate(zip(v, t)):
+        xn = float("nan") if x is None else float(x)
+        if last_v is not None and not math.isnan(xn) and xn < last_v:
+            alerts.append((i, "decrease", xn, last_v))
+        if last_ts is not None and tt - last_ts > max_gap_s:
+            alerts.append((i, "gap", xn, tt - last_ts))
+        if math.isnan(xn):
+            run_v, run_len = None, 0
+        elif run_v is not None and xn == run_v:
+            run_len += 1
+        else:
+            run_v, run_len = xn, 1
+        if run_len == min_run:
+            alerts.append((i, "flatline", xn, float(run_len)))
+        last_v = None if math.isnan(xn) else xn
+        last_ts = tt
+    return alerts
+
+
+def test_scan_batch_matches_naive_and_split_invariant():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from anomaly_detector_spark.streaming.sequence import FRESH_STATE, scan_batch
+
+    vals = st.lists(
+        st.one_of(st.none(), st.sampled_from([0.0, 1.0, 2.0, 5.0])),
+        min_size=1, max_size=24,
+    )
+    steps = st.lists(st.sampled_from([1.0, 50.0, 200.0]), min_size=24, max_size=24)
+    cuts = st.lists(st.integers(0, 23), max_size=4)
+
+    def norm(alerts):
+        import math
+
+        return sorted(
+            (i, k, None if math.isnan(x) else x, d) for i, k, x, d in alerts
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(vals=vals, steps=steps, cuts=cuts)
+    def prop(vals, steps, cuts):
+        n = len(vals)
+        t = list(np.cumsum(steps[:n]))
+        ref = _naive_scan(vals, t, max_gap_s=100.0, min_run=3)
+        vv = np.array([np.nan if x is None else x for x in vals])
+        tt = np.asarray(t)
+
+        one, _ = scan_batch(vv, tt, FRESH_STATE, 100.0, 3)
+        assert norm(one) == norm(ref)
+
+        bounds = sorted({c for c in cuts if 0 < c < n} | {0, n})
+        got, state = [], FRESH_STATE
+        for lo, hi in zip(bounds, bounds[1:]):
+            alerts, state = scan_batch(vv[lo:hi], tt[lo:hi], state, 100.0, 3)
+            got.extend((lo + i, k, x, d) for i, k, x, d in alerts)
+        assert norm(got) == norm(ref)
+
+    prop()
