@@ -1641,6 +1641,37 @@ def q_files_fd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_bloom_seen(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run key membership via the relational bloom store
+    (checks/membership.py, sha mode so DuckDB reproduces every position):
+    a deterministic ~11/16 key split plays 'committed history', the rest
+    probe it; per-lang counts of probed keys, maybe-seen candidates
+    (pure false positives here — the split is disjoint by construction),
+    and the filter's set-bit count."""
+    from anomaly_detector_spark.checks.membership import (
+        bloom_probe,
+        bloom_stats,
+        bloom_words,
+    )
+
+    files = files_view(spark, sf)
+    key = F.concat_ws("\x1f", "repo", "path", "commit")
+    split = F.conv(F.substring(F.sha2(key, 256), 57, 1), 16, 10).cast("int") < 11
+    hist, new = files.filter(split), files.filter(~split)
+    keys = ["repo", "path", "commit"]
+    kw = dict(n_bits=512, k=3, mode="sha")
+    words = bloom_words(hist, "lang", keys, **kw)
+    probed = bloom_probe(new, words, "lang", keys, **kw)
+    agg = probed.groupBy(F.col("partition_key").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("n_maybe_seen"),
+    )
+    sb = bloom_stats(words, n_bits=512, k=3).select(
+        F.col("partition_key").alias("lang"), F.col("set_bits").cast("long").alias("set_bits")
+    )
+    return agg.join(sb, "lang")
+
+
 def q_docs_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     # one-pass multi-column shuffle-key skew audit (broadcast/salt
     # decision input): heaviest values of lang and source with shares
@@ -1702,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fk_missing": q_orders_fk_missing,
         "docs_key_skew": q_docs_key_skew,
         "files_fd": q_files_fd,
+        "files_bloom_seen": q_files_bloom_seen,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -4311,7 +4343,62 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                round(CAST(n AS DOUBLE) * n_distinct / n_rows, 4) AS skew_x
         FROM ranked WHERE rank <= 3
     """
+    out["files_bloom_seen"] = _bloom_seen_oracle()
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp
     return out
+
+
+def _bloom_seen_oracle() -> str:
+    """files_bloom_seen twin: a bloom's 'all k bits set' is equivalent to
+    'every probe position appears in the set of history positions', so
+    DuckDB needs no word/mask packing — only the identical sha-derived
+    positions (8-hex-char slices valued via a strpos digit sum, matching
+    Spark's conv(substr(sha2(key),..),16,10))."""
+
+    def hexval(start: int) -> str:  # value of 8 hex chars at 1-based start
+        return "+".join(
+            f"(strpos('0123456789abcdef', substr(h,{start + j},1))-1)*{16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    slices = " UNION ALL ".join(
+        f"SELECT lang, k, is_hist, ({hexval(1 + 8 * i)}) % 512 AS pos FROM tagged"
+        for i in range(3)
+    )
+    return f"""
+        WITH {FILES_CTE_SQL},
+        keyed AS (
+          SELECT DISTINCT lang,
+                 repo || chr(31) || path || chr(31) || "commit" AS k
+          FROM files
+        ),
+        tagged AS (
+          SELECT lang, k, sha256(k) AS h,
+                 (strpos('0123456789abcdef', substr(sha256(k),57,1))-1) < 11
+                   AS is_hist
+          FROM keyed
+        ),
+        pos AS ({slices}),
+        hpos AS (SELECT DISTINCT lang, pos FROM pos WHERE is_hist),
+        hits AS (
+          SELECT p.lang, p.k,
+                 count(*) FILTER (WHERE hp.pos IS NOT NULL) AS n_hit
+          FROM pos p LEFT JOIN hpos hp ON p.lang = hp.lang AND p.pos = hp.pos
+          WHERE NOT p.is_hist
+          GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_maybe_seen
+          FROM hits GROUP BY 1
+        ),
+        sb AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS set_bits
+          FROM hpos GROUP BY 1
+        )
+        SELECT agg.lang, agg.n_new, agg.n_maybe_seen, sb.set_bits
+        FROM agg JOIN sb USING (lang)
+    """

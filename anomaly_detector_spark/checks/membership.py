@@ -1,0 +1,196 @@
+"""Mergeable Bloom-filter membership sketches — the fourth member of the
+sketch family (HLL = distincts, t-digest = quantiles, top-k = heavy
+hitters, bloom = membership).
+
+Answers the incremental-uniqueness question the in-run checks can't:
+"has THIS (repo, path, commit) key ever been committed by a PREVIOUS
+run?" — without rescanning committed history. The reference's batch
+uniqueness (checks/uniqueness.py) sees one run's rows; at 10^12 files
+with manifest resume, cross-run duplicate detection needs a persisted,
+mergeable summary of every committed run's keys.
+
+Representation: a RELATIONAL bloom — sparse rows
+``(partition_key, word_idx, bits)`` where ``bits`` is a 64-bit word of
+the partition's filter. Spark's own ``bloom_filter_agg`` is not
+SQL-registered and materializes one driver-side object; the relational
+form is strictly better here:
+
+* **mergeable & idempotent** — cross-run merge is
+  ``groupBy(partition_key, word_idx).agg(bit_or(bits))``; replaying a
+  crashed run's append changes nothing (OR is idempotent), so unlike the
+  HLL/t-digest/top-k rows there is NO at-least-once dedupe step.
+* **partition-parallel** — one bloom per table partition, sized to the
+  partition's key count, so no single filter needs 10^12 keys; probes
+  join on ``(partition_key, word_idx)`` and touch only the partitions
+  the new data lands in (partition pruning applies to the store scan).
+* **never collected** — build, merge, and probe are all DataFrame ops;
+  nothing driver-side at any scale.
+
+Probe plan shape: k probe rows per distinct key (explode of k codegen'd
+hash positions) -> join to the store on (partition_key, word_idx)
+(broadcast when the store is small, shuffle-on-uniform-word_idx
+otherwise) -> groupBy key with ``min(bit set)``. A key is ``maybe_seen``
+only if ALL k bits are set; false positives are bounded by
+``fill_ratio^k`` (``bloom_stats`` reports the measured fill per
+partition), false negatives impossible — so candidates can be exactly
+verified by an anti-join against history restricted to the flagged keys,
+which at scale is a semi-join-pruned fraction of the table.
+
+Hash modes mirror the dedup/ANN family (operators/dedup.py): production
+``xxhash64`` (seeded, JVM codegen); ``sha`` derives the k positions from
+non-overlapping 8-hex-char slices of sha256(key) so a DuckDB oracle can
+reproduce every bit exactly (k <= 8).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# unit separator — same composite-key convention as checks/uniqueness.py
+_SEP = "\x1f"
+
+
+def _key_expr(key_cols: list[str]) -> F.Column:
+    return F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+
+
+def _positions(key: F.Column, n_bits: int, k: int, mode: str) -> list[F.Column]:
+    """k bit positions in [0, n_bits) for one key — pure codegen'd
+    column expressions, no UDF."""
+    if mode == "xxhash64":
+        return [
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)).cast("long")
+            for i in range(k)
+        ]
+    if mode == "sha":
+        if k > 8:
+            raise ValueError("sha mode derives positions from 8 hex chars each; k <= 8")
+        h = F.sha2(key, 256)
+        return [
+            F.pmod(
+                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+                F.lit(n_bits),
+            )
+            for i in range(k)
+        ]
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def bloom_words(
+    df: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+    n_bits: int = 1 << 22,
+    k: int = 5,
+    mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-partition bloom word rows (partition_key, word_idx, bits) for
+    the rows' composite keys.
+
+    One narrow projection + explode(k) + one hash aggregate; the shuffle
+    carries at most n_bits/64 rows per partition after map-side
+    combining, independent of row count. Key dedup is NOT needed first —
+    bit_or makes duplicate keys free."""
+    pos = F.explode(
+        F.array(*_positions(_key_expr(key_cols), n_bits, k, mode))
+    ).alias("pos")
+    return (
+        df.select(F.col(partition_col).cast("string").alias("partition_key"), pos)
+        .select(
+            "partition_key",
+            F.expr("pos DIV 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("partition_key", "word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(words: DataFrame) -> DataFrame:
+    """Merge word rows across runs/appends into one filter per
+    (partition_key, word_idx). Idempotent: replayed appends are no-ops."""
+    return words.groupBy("partition_key", "word_idx").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    words: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+    n_bits: int = 1 << 22,
+    k: int = 5,
+    mode: str = "xxhash64",
+    broadcast_store: bool = True,
+) -> DataFrame:
+    """One row per distinct probed key:
+    (partition_key, key_cols..., maybe_seen boolean).
+
+    ``maybe_seen=False`` is definitive (no false negatives with the SAME
+    n_bits/k/mode the store was built with); ``maybe_seen=True`` is a
+    candidate to verify exactly. ``broadcast_store=False`` switches the
+    store join to a shuffle on (partition_key, word_idx) — word_idx is
+    uniform by construction, so the join never skews."""
+    key = _key_expr(key_cols)
+    pos_struct = F.explode(
+        F.array(*_positions(key, n_bits, k, mode))
+    ).alias("pos")
+    probes = df.select(
+        F.col(partition_col).cast("string").alias("partition_key"),
+        *[F.col(c) for c in key_cols],
+        pos_struct,
+    ).select(
+        "partition_key",
+        *key_cols,
+        F.expr("pos DIV 64").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "mask"
+        ),
+    )
+    store = bloom_merge(words)
+    if broadcast_store:
+        store = F.broadcast(store)
+    joined = probes.join(store, ["partition_key", "word_idx"], "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask"))
+    return joined.groupBy("partition_key", *key_cols).agg(
+        F.min(hit.cast("int")).cast("boolean").alias("maybe_seen")
+    )
+
+
+def bloom_stats(words: DataFrame, n_bits: int, k: int) -> DataFrame:
+    """Per-partition fill and false-positive estimate:
+    (partition_key, set_bits, fill_ratio, fpp_est). fpp_est =
+    fill_ratio^k — the probability an absent key finds all k bits set.
+    Use it to decide when a partition's filter needs a rebuild at larger
+    n_bits (fill > ~0.5 means fpp_est > ~3% at k=5)."""
+    merged = bloom_merge(words)
+    return (
+        merged.groupBy("partition_key")
+        .agg(F.sum(F.bit_count("bits")).alias("set_bits"))
+        .select(
+            "partition_key",
+            "set_bits",
+            F.round(F.col("set_bits") / F.lit(float(n_bits)), 6).alias("fill_ratio"),
+            F.round(
+                F.pow(F.col("set_bits") / F.lit(float(n_bits)), F.lit(k)), 6
+            ).alias("fpp_est"),
+        )
+    )
+
+
+def suggest_n_bits(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Classic bloom sizing: (n_bits, k) for a target false-positive
+    rate. n_bits = -n*ln(p)/ln(2)^2 rounded up to a multiple of 64;
+    k = round(n_bits/n * ln 2), floored at 1."""
+    if expected_keys <= 0:
+        return 64, 1
+    m = -expected_keys * math.log(fpp) / (math.log(2) ** 2)
+    n_bits = int(math.ceil(m / 64.0)) * 64
+    k = max(1, round(n_bits / expected_keys * math.log(2)))
+    return n_bits, k

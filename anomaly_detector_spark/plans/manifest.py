@@ -227,6 +227,49 @@ def global_topk(
     return topk_union(as_runs, k=k).select("rank", "item", "est", "upper")
 
 
+def seen_before(
+    spark: SparkSession,
+    membership_dir: str,
+    df: DataFrame,
+    partition_col: str = "lang",
+    key_cols: list[str] | None = None,
+    suite_sid: str | None = None,
+    broadcast_store: bool = True,
+) -> DataFrame:
+    """Probe new rows' keys against every committed run's bloom store —
+    the membership member of the sketch family: one row per distinct
+    (partition_key, key) with ``maybe_seen``. False is definitive (the
+    key was never committed); True is a candidate for exact verification
+    (checks/membership.py bloom_probe docstring has the fp bound and the
+    semi-join verification pattern).
+
+    The store's n_bits/k/mode ride in its rows; a store mixing
+    parameter sets (from a config change between runs) is rejected
+    rather than silently probed wrong — rebuild the store instead."""
+    from ..checks.membership import bloom_probe
+
+    words = spark.read.parquet(membership_dir)
+    if suite_sid is not None:
+        words = words.filter(F.col("suite_id") == suite_sid)
+    params = words.select("n_bits", "k", "mode").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"membership store holds {len(params)} (n_bits, k, mode) parameter "
+            "sets; probes are only sound against one — rebuild the store"
+        )
+    p = params[0]
+    return bloom_probe(
+        df,
+        words.select("partition_key", "word_idx", "bits"),
+        partition_col,
+        key_cols or ["repo", "path", "commit"],
+        n_bits=p["n_bits"],
+        k=p["k"],
+        mode=p["mode"],
+        broadcast_store=broadcast_store,
+    )
+
+
 def rolling_baseline(
     spark: SparkSession,
     hist_dir: str,
@@ -403,6 +446,7 @@ def run_with_manifest(
     sketches_dir: str | None = None,
     quantile_sketches_dir: str | None = None,
     topk_sketches_dir: str | None = None,
+    membership_dir: str | None = None,
     hist_dir: str | None = None,
     rolling_baseline_k: int | None = None,
     cache_pending: bool = False,
@@ -632,6 +676,36 @@ def run_with_manifest(
             .withColumn("suite_id", F.lit(sid))
             .write.mode("append")
             .parquet(topk_sketches_dir)
+        )
+
+    if membership_dir is not None:
+        # Per-partition bloom word rows — the MEMBERSHIP member of the
+        # sketch family (checks/membership.py): "has any committed run
+        # seen this (repo, path, commit) key" via seen_before, no rescan
+        # of history. Unlike the other three sketch tables this one
+        # needs NO dedupe-on-read: bit_or is idempotent, so an
+        # at-least-once replay of a crashed run's append is a no-op.
+        # n_bits/k/mode ride in the rows so the probe side can never
+        # silently mismatch the build parameters.
+        from ..checks.membership import bloom_words
+
+        uniq_specs = [s for s in suite if s.name == "uniqueness"]
+        m_keys = uniq_specs[0].config.get("key", ["repo", "path", "commit"]) if uniq_specs else ["repo", "path", "commit"]
+        m_bits, m_k, m_mode = 1 << 22, 5, "xxhash64"
+        (
+            bloom_words(pending, partition_col, m_keys, n_bits=m_bits, k=m_k, mode=m_mode)
+            .select(
+                F.lit(rid).alias("run_id"),
+                F.lit(sid).alias("suite_id"),
+                "partition_key",
+                "word_idx",
+                "bits",
+                F.lit(m_bits).alias("n_bits"),
+                F.lit(m_k).alias("k"),
+                F.lit(m_mode).alias("mode"),
+            )
+            .write.mode("append")
+            .parquet(membership_dir)
         )
 
     if hist_dir is not None:

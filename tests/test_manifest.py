@@ -567,3 +567,42 @@ def test_require_baseline_skips_first_run_but_seeds_store(spark, manifest_dir, t
                            hist_dir=hd, rolling_baseline_k=3, revalidate=True,
                            collect_verdict_counts=True)
     assert r2.verdict_counts == {"PASS": 2}
+
+
+def test_membership_store_probes_across_runs(spark, manifest_dir, tmp_path):
+    # two incremental runs append bloom word rows for their pending
+    # partitions; seen_before answers membership across both WITHOUT
+    # rescanning history: every committed key probes maybe_seen=True
+    # (no false negatives), fresh keys (new commit ids) probe ~False,
+    # and a replayed append (crash retry) changes nothing (bit_or is
+    # idempotent — no dedupe-on-read needed, unlike the other sketches).
+    from anomaly_detector_spark.plans.manifest import seen_before
+
+    files = files_view(spark, SF).drop("doc_id")
+    langs = sorted(r[0] for r in files.select("lang").distinct().collect())
+    first = files.filter(F.col("lang").isin(langs[:2]))
+    mb_dir = str(tmp_path / "membership")
+    run_with_manifest(first, manifest_dir, membership_dir=mb_dir)
+    run_with_manifest(files, manifest_dir, membership_dir=mb_dir)
+
+    committed = seen_before(spark, mb_dir, files)
+    assert committed.filter(~F.col("maybe_seen")).count() == 0
+
+    fresh = files.withColumn("commit", F.concat(F.lit("never-"), F.col("commit")))
+    probed = seen_before(spark, mb_dir, fresh)
+    n = probed.count()
+    fp = probed.filter(F.col("maybe_seen")).count()
+    assert fp / n < 0.01  # 2^22 bits per partition vs a few hundred keys
+
+    replay = spark.read.parquet(mb_dir).withColumn("run_id", F.lit("retry_run"))
+    replay.write.mode("append").parquet(mb_dir)
+    again = seen_before(spark, mb_dir, fresh)
+    assert again.filter(F.col("maybe_seen")).count() == fp
+
+    # a store mixing build parameters is rejected, not probed wrong
+    import pytest as _pytest
+
+    bad = spark.read.parquet(mb_dir).withColumn("n_bits", F.lit(1 << 10))
+    bad.write.mode("append").parquet(mb_dir)
+    with _pytest.raises(ValueError, match="parameter"):
+        seen_before(spark, mb_dir, fresh).count()
