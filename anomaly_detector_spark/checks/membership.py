@@ -184,6 +184,118 @@ def bloom_stats(words: DataFrame, n_bits: int, k: int) -> DataFrame:
     )
 
 
+def read_store(spark, membership_dir: str, suite_sid: str | None = None):
+    """Load a persisted bloom word store and its build parameters.
+
+    Returns (words_df(partition_key, word_idx, bits), n_bits, k, mode).
+    A store mixing (n_bits, k, mode) parameter sets — a config change
+    between runs — is REJECTED rather than silently probed wrong:
+    positions derived under different parameters are meaningless against
+    each other's words; rebuild the store instead."""
+    from pyspark.sql import functions as _F
+
+    words = spark.read.parquet(membership_dir)
+    if suite_sid is not None:
+        words = words.filter(_F.col("suite_id") == suite_sid)
+    params = words.select("n_bits", "k", "mode").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"membership store holds {len(params)} (n_bits, k, mode) parameter "
+            "sets; probes are only sound against one — rebuild the store"
+        )
+    p = params[0]
+    return (
+        words.select("partition_key", "word_idx", "bits"),
+        p["n_bits"],
+        p["k"],
+        p["mode"],
+    )
+
+
+def run_seen_before(df: DataFrame, spec) -> "CheckResult":
+    """Declarable cross-run key-membership check: FAIL a partition when
+    more than ``max_seen`` of its keys were already committed by a
+    PREVIOUS run (per the persisted bloom store at ``config['store']``).
+
+    Config:
+    * ``store`` (required) — membership_dir a prior
+      run_with_manifest(membership_dir=...) appended to. The store's
+      partition_key values must come from the same partition column.
+    * ``key`` — composite key columns (default (repo, path, commit)).
+    * ``history`` — optional parquet path of the committed history
+      table; when given, bloom candidates are EXACTLY verified by a
+      semi-join restricted to the flagged keys, so n_dup is precise and
+      violations are real duplicates. Without it, n_dup is the bloom
+      candidate count — an upper bound that includes false positives at
+      ~fill_ratio^k (size the store, or set max_seen, accordingly).
+    * ``max_seen`` — FAIL threshold on n_dup (default 0).
+    * ``broadcast_store`` — probe-join strategy (default True).
+
+    The store path participates in the check id (unlike injected
+    DataFrames): two suites probing different stores are different
+    checks with separate manifest streams."""
+    from .base import CheckResult, as_violations, empty_violations, verdict_frame
+
+    spark = df.sparkSession
+    keys = list(spec.config.get("key", ["repo", "path", "commit"]))
+    words, n_bits, k, mode = read_store(spark, spec.config["store"])
+    probed = bloom_probe(
+        df,
+        words,
+        spec.partition_col,
+        keys,
+        n_bits=n_bits,
+        k=k,
+        mode=mode,
+        broadcast_store=spec.config.get("broadcast_store", True),
+    )
+    cand = probed.filter(F.col("maybe_seen"))
+
+    history = spec.config.get("history")
+    if history is not None:
+        hist_keys = spark.read.parquet(history).select(*keys).distinct()
+        dup = cand.join(hist_keys, keys, "left_semi")
+        observed, expected = "key committed by a previous run", "key never committed before"
+    else:
+        dup = cand
+        observed = "bloom candidate: key maybe committed by a previous run (unverified)"
+        expected = "key never committed before"
+
+    per = (
+        probed.groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("maybe_seen").cast("long")).alias("n_candidates"),
+        )
+        .join(
+            dup.groupBy("partition_key").agg(F.count(F.lit(1)).alias("n_dup")),
+            "partition_key",
+            "left",
+        )
+        .fillna(0, ["n_dup"])
+    )
+    verdicts = verdict_frame(
+        per,
+        spec.id,
+        "partition_key",
+        fail_when=F.col("n_dup") > spec.config.get("max_seen", 0),
+        skip_when=F.col("n_keys") < spec.min_rows,
+        metric_cols=["n_keys", "n_candidates", "n_dup"],
+    )
+    violations = (
+        as_violations(
+            dup,
+            spec.id,
+            observed=F.lit(observed),
+            expected=F.lit(expected),
+            partition_key=F.col("partition_key"),
+        )
+        if keys == ["repo", "path", "commit"]
+        else empty_violations(df)
+    )
+    return CheckResult(violations=violations, verdicts=verdicts, metrics=per)
+
+
 def suggest_n_bits(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """Classic bloom sizing: (n_bits, k) for a target false-positive
     rate. n_bits = -n*ln(p)/ln(2)^2 rounded up to a multiple of 64;

@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
         "all-time heavy hitters with sound bounds (plans/manifest.py global_topk)",
     )
     p.add_argument(
+        "--membership", default=None,
+        help="per-run bloom word table (parquet dir) for cross-run key "
+        "membership — 'was this (repo,path,commit) ever committed' via "
+        "plans/manifest.py seen_before, no history rescan",
+    )
+    p.add_argument(
         "--hist-store", default=None,
         help="per-run pooled drift-histogram table (parquet dir) — the "
         "rolling-baseline store (plans/manifest.py rolling_baseline)",
@@ -151,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         sketches_dir=args.sketches,
         quantile_sketches_dir=args.quantile_sketches,
         topk_sketches_dir=args.topk_sketches,
+        membership_dir=args.membership,
         hist_dir=args.hist_store,
         rolling_baseline_k=args.rolling_baseline_k,
         revalidate=args.revalidate,

@@ -60,6 +60,7 @@ def _registry() -> dict[str, Callable]:
         run_row_predicate,
     )
     from ..checks.fd import run_fd
+    from ..checks.membership import run_seen_before
     from ..checks.metadata import run_metadata_stats
     from ..checks.sequence import run_flatline, run_gaps, run_monotonic
     from ..checks.quantiles import run_quantile_drift
@@ -72,6 +73,10 @@ def _registry() -> dict[str, Callable]:
         "metadata_stats": run_metadata_stats,
         "quantile_drift": run_quantile_drift,
         "uniqueness": run_uniqueness,
+        # cross-run key membership: config carries the persisted bloom
+        # store PATH (part of the check id — different store, different
+        # check), never a frame
+        "seen_before": run_seen_before,
         "referential": run_referential,
         # reconcile's other_df is runtime state injected at run time (the
         # baseline_df/dim_df rule): the config document carries measure/

@@ -246,26 +246,17 @@ def seen_before(
     The store's n_bits/k/mode ride in its rows; a store mixing
     parameter sets (from a config change between runs) is rejected
     rather than silently probed wrong — rebuild the store instead."""
-    from ..checks.membership import bloom_probe
+    from ..checks.membership import bloom_probe, read_store
 
-    words = spark.read.parquet(membership_dir)
-    if suite_sid is not None:
-        words = words.filter(F.col("suite_id") == suite_sid)
-    params = words.select("n_bits", "k", "mode").distinct().collect()
-    if len(params) != 1:
-        raise ValueError(
-            f"membership store holds {len(params)} (n_bits, k, mode) parameter "
-            "sets; probes are only sound against one — rebuild the store"
-        )
-    p = params[0]
+    words, n_bits, k, mode = read_store(spark, membership_dir, suite_sid)
     return bloom_probe(
         df,
-        words.select("partition_key", "word_idx", "bits"),
+        words,
         partition_col,
         key_cols or ["repo", "path", "commit"],
-        n_bits=p["n_bits"],
-        k=p["k"],
-        mode=p["mode"],
+        n_bits=n_bits,
+        k=k,
+        mode=mode,
         broadcast_store=broadcast_store,
     )
 

@@ -79,6 +79,7 @@ def main() -> int:
         "docs_key_skew",       # one-pass multi-column key-skew audit
         "files_fd",            # functional-dependency check (repo -> lang)
         "events_seq_profile",  # fused sequence pathologies (1 window pass)
+        "files_bloom_seen",    # relational bloom build + broadcast probe
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -69,6 +69,23 @@ def test_cli_topk_sketches(spark, dirs, tmp_path, capsys):
     assert all(r["est"] <= r["upper"] for r in rows)
 
 
+def test_cli_membership_store(spark, dirs, tmp_path, capsys):
+    mdir = str(tmp_path / "mb")
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--membership", mdir, "--run-id", "tm",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_spark.plans.manifest import seen_before
+
+    committed = spark.read.parquet(dirs["input"])
+    probed = seen_before(spark, mdir, committed)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_cli_constraint_revalidate_history(spark, dirs, capsys):
     # three revalidated runs under the constraint suite build metric
     # history; --history-flags reports the newest run's anomalies (none

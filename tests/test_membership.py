@@ -87,3 +87,59 @@ def test_suggest_n_bits():
     assert n_bits % 64 == 0
     assert 9_000_000 < n_bits < 10_300_000  # ~9.59 bits/key at 1% fpp
     assert k in (6, 7)
+
+
+def test_run_seen_before_check_json_declarable(spark, tmp_path):
+    # run 1 commits history + its bloom store; run 2's input re-sends
+    # some committed keys plus fresh ones — the JSON-declared check
+    # FAILs exactly the partitions holding re-sent keys, with exact
+    # verification against the history path
+    from anomaly_detector_spark.plans.config import suite_from_config
+    from anomaly_detector_spark.plans.manifest import run_with_manifest
+
+    hist = (
+        _files(spark, 0, 300)
+        .withColumn(
+            "lang",
+            F.when(F.col("path").substr(2, 10).cast("long") % 2 == 0, "py").otherwise("go"),
+        )
+        .withColumn("content", F.concat(F.lit("body of "), F.col("path")))
+    )
+    hist_path, mb_dir = str(tmp_path / "hist"), str(tmp_path / "mb")
+    hist.write.parquet(hist_path)
+    run_with_manifest(
+        spark.read.parquet(hist_path),
+        str(tmp_path / "manifest"),
+        membership_dir=mb_dir,
+        partition_col="lang",
+    )
+
+    resent = _files(spark, 100, 110).withColumn(
+        "lang", F.when(F.col("path").substr(2, 10).cast("long") % 2 == 0, "py").otherwise("go")
+    )
+    fresh = _files(spark, 5000, 5100).withColumn("lang", F.lit("rs"))
+    new = resent.unionByName(fresh)
+
+    suite = suite_from_config(
+        {
+            "partition_col": "lang",
+            "min_rows": 1,
+            "checks": [
+                {
+                    "check": "seen_before",
+                    "store": mb_dir,
+                    "history": hist_path,
+                }
+            ],
+        }
+    )
+    res = suite[0].run(new)
+    got = {
+        r["partition_key"]: (r["verdict"], r["metrics"]["n_dup"])
+        for r in res.verdicts.collect()
+    }
+    assert got["rs"] == ("PASS", 0.0)
+    assert got["py"][0] == "FAIL" and got["go"][0] == "FAIL"
+    assert got["py"][1] + got["go"][1] == 10.0  # the 10 re-sent keys, exactly
+    # violations carry the real duplicate keys
+    assert res.violations.count() == 10
