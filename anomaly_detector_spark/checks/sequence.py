@@ -161,7 +161,12 @@ def run_flatline(df: DataFrame, spec: CheckSpec) -> CheckResult:
     """config: ``key``, ``order``, ``value``, ``min_run`` (default 3),
     ``max_runs`` (default 0). Counts stuck runs per partition (a run is
     attributed to the partition of its key's rows; partition_col must be
-    constant per key — e.g. the key itself or a device attribute)."""
+    constant per key — e.g. the key itself or a device attribute).
+
+    ``n_rows`` here counts NON-NULL readings (NULL values can't form
+    runs and are filtered before the run collapse), so the SKIPPED
+    guard is against comparable readings — unlike run_monotonic/
+    run_gaps, whose n_rows counts every row."""
     key = spec.config["key"]
     order = spec.config["order"]
     value = spec.config["value"]

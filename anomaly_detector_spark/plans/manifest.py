@@ -227,6 +227,22 @@ def global_topk(
     return topk_union(as_runs, k=k).select("rank", "item", "est", "upper")
 
 
+def membership_stats(
+    spark: SparkSession,
+    membership_dir: str,
+    suite_sid: str | None = None,
+) -> DataFrame:
+    """Operational health of the persisted bloom store: per-partition
+    (partition_key, set_bits, fill_ratio, fpp_est) over every committed
+    run's word rows. fpp_est rising past the suite's tolerance is the
+    rebuild signal — rebuild at a larger n_bits (checks/membership.py
+    suggest_n_bits) rather than probing a saturated filter."""
+    from ..checks.membership import bloom_stats, read_store
+
+    words, n_bits, k, _mode = read_store(spark, membership_dir, suite_sid)
+    return bloom_stats(words, n_bits=n_bits, k=k)
+
+
 def seen_before(
     spark: SparkSession,
     membership_dir: str,

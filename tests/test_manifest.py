@@ -602,7 +602,15 @@ def test_membership_store_probes_across_runs(spark, manifest_dir, tmp_path):
     # a store mixing build parameters is rejected, not probed wrong
     import pytest as _pytest
 
+    # store health: fill/fpp per partition from the persisted rows
+    from anomaly_detector_spark.plans.manifest import membership_stats
+
+    stats = {r["partition_key"]: r for r in membership_stats(spark, mb_dir).collect()}
+    assert stats and all(0 < r["fill_ratio"] < 0.01 for r in stats.values())
+
     bad = spark.read.parquet(mb_dir).withColumn("n_bits", F.lit(1 << 10))
     bad.write.mode("append").parquet(mb_dir)
     with _pytest.raises(ValueError, match="parameter"):
         seen_before(spark, mb_dir, fresh).count()
+    with _pytest.raises(ValueError, match="parameter"):
+        membership_stats(spark, mb_dir).count()

@@ -143,3 +143,16 @@ def test_run_seen_before_check_json_declarable(spark, tmp_path):
     assert got["py"][1] + got["go"][1] == 10.0  # the 10 re-sent keys, exactly
     # violations carry the real duplicate keys
     assert res.violations.count() == 10
+
+
+def test_probe_plan_shape(spark):
+    # the 100x-scale pin: with broadcast_store the probed side never
+    # shuffles for the join (BroadcastHashJoin), and the only exchange
+    # on the probe path is the final per-key aggregate
+    hist = _files(spark, 0, 200)
+    new = _files(spark, 100, 300)
+    words = bloom_words(hist, "lang", KEYS, n_bits=1 << 14, k=5)
+    p = bloom_probe(new, words, "lang", KEYS, n_bits=1 << 14, k=5)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Sort " not in plan
