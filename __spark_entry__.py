@@ -1473,6 +1473,42 @@ def q_events_zorder(spark: SparkSession, sf: str) -> DataFrame:
     return add_zorder(src, ["x", "y"], bits=16).select("event_id", "zkey")
 
 
+def q_events_read_amp(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout read-amplification audit (operators/layout.py sweep_depth
+    / clustering_health): interval-stabbing depth of per-file ts ranges
+    under two synthetic layouts of the events table — 'hashed' (file =
+    event_id % 32: every file spans ~the whole time domain, nothing
+    prunes) vs 'time_ranged' (file = hour bucket: near-disjoint ranges,
+    depth ~1). avg_depth IS the expected number of files a point-in-time
+    predicate must open under that layout, i.e. the number that
+    schedules a cluster_write rewrite. The sweep is the engine's
+    two-phase prefix sum (no global window); the oracle re-runs the
+    identical sweep with a plain SQL window."""
+    from anomaly_detector_spark.operators.layout import sweep_depth
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("v"),
+    )
+    hashed = (
+        ev.groupBy(F.pmod(F.col("eid"), F.lit(32)).alias("fid"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .select(F.lit("hashed").alias("layout"), "lo", "hi")
+    )
+    ranged = (
+        ev.groupBy(F.expr("v div 3600000000").alias("fid"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .select(F.lit("time_ranged").alias("layout"), "lo", "hi")
+    )
+    out = sweep_depth(hashed.unionByName(ranged), group_cols=["layout"], chunks=32)
+    return out.select(
+        "layout",
+        F.col("n_intervals").cast("long").alias("n_files"),
+        F.round("avg_depth", 4).alias("avg_depth"),
+        F.col("max_depth").cast("long").alias("max_depth"),
+    )
+
+
 def q_files_quantile_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile-vector drift (checks/quantiles.py run_quantile_drift,
     exact backend): per-lang (p25,p50,p75,p99) of content length vs the
@@ -1772,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "events_meta_stats": q_events_meta_stats,
         "files_quantile_drift": q_files_quantile_drift,
+        "events_read_amp": q_events_read_amp,
     }
 
 
@@ -4344,6 +4381,48 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM ranked WHERE rank <= 3
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
+    # events_read_amp: the identical boundary-event sweep, but with a
+    # plain SQL running-sum window instead of the engine's two-phase
+    # prefix sum. Starts sort before ends at equal v (inclusive
+    # intervals); tied starts take max over the tie group, so both
+    # engines are deterministic despite arbitrary within-tie order.
+    out["events_read_amp"] = """
+        WITH hashedr AS (
+          SELECT event_id % 32 AS fid,
+                 min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events GROUP BY 1
+        ),
+        rangedr AS (
+          SELECT epoch_us(ts) // 3600000000 AS fid,
+                 min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events GROUP BY 1
+        ),
+        r AS (
+          SELECT 'hashed' AS layout, lo, hi FROM hashedr
+          UNION ALL
+          SELECT 'time_ranged' AS layout, lo, hi FROM rangedr
+        ),
+        ev AS (
+          SELECT layout, CAST(lo AS DOUBLE) AS v, 0 AS e, 1 AS d FROM r
+          UNION ALL
+          SELECT layout, CAST(hi AS DOUBLE) AS v, 1 AS e, -1 AS d FROM r
+        ),
+        run AS (
+          SELECT layout, v, e,
+                 sum(d) OVER (PARTITION BY layout ORDER BY v, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+          FROM ev
+        ),
+        probes AS (
+          SELECT layout, v, max(rs) AS depth, count(*) AS n
+          FROM run WHERE e = 0 GROUP BY 1, 2
+        )
+        SELECT layout,
+               CAST(sum(n) AS BIGINT) AS n_files,
+               round(sum(depth * n) / sum(n), 4) AS avg_depth,
+               CAST(max(depth) AS BIGINT) AS max_depth
+        FROM probes GROUP BY 1
+    """
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp

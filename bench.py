@@ -80,6 +80,7 @@ def main() -> int:
         "files_fd",            # functional-dependency check (repo -> lang)
         "events_seq_profile",  # fused sequence pathologies (1 window pass)
         "files_bloom_seen",    # relational bloom build + broadcast probe
+        "events_read_amp",     # layout read-amplification sweep (two-phase)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

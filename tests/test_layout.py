@@ -198,3 +198,80 @@ def test_rewrite_compacted_preserves_rows(spark, tmp_path):
     n_out = len(glob.glob(dest + "/*.parquet"))
     n_groups = plan.filter("action = 'compact'").select("group_id").distinct().count()
     assert n_out <= 12 and n_out >= n_groups  # fewer, ~target-sized files
+
+
+def _brute_depth(intervals):
+    """Brute-force stabbing stats: probe every interval start."""
+    depths = {}
+    for lo, _ in intervals:
+        depths[lo] = sum(1 for a, b in intervals if a <= lo <= b)
+    probes = [depths[lo] for lo, _ in intervals]
+    return len(probes), sum(probes) / len(probes), max(probes)
+
+
+def test_sweep_depth_matches_bruteforce(spark):
+    from anomaly_detector_spark.operators.layout import sweep_depth
+
+    rng = np.random.default_rng(11)
+    cases = {}
+    rows = []
+    for g in range(4):
+        ivs = []
+        for _ in range(60):
+            lo = float(rng.integers(0, 50))
+            hi = lo + float(rng.integers(0, 30))
+            ivs.append((lo, hi))
+            rows.append((f"g{g}", lo, hi))
+        cases[f"g{g}"] = _brute_depth(ivs)
+    df = spark.createDataFrame(rows, "grp string, lo double, hi double")
+    got = {
+        r["grp"]: (r["n_intervals"], r["avg_depth"], r["max_depth"])
+        for r in sweep_depth(df, group_cols=["grp"], chunks=8).collect()
+    }
+    for g, (n, avg, mx) in cases.items():
+        assert got[g][0] == n
+        assert abs(got[g][1] - avg) < 1e-9
+        assert got[g][2] == mx
+
+
+def test_sweep_depth_disjoint_and_nested(spark):
+    from anomaly_detector_spark.operators.layout import sweep_depth
+
+    # disjoint: depth 1 everywhere; fully nested: depth = rank from outside
+    dis = [(float(i * 10), float(i * 10 + 5)) for i in range(8)]
+    nest = [(float(i), float(100 - i)) for i in range(8)]
+    df = spark.createDataFrame(
+        [("d", a, b) for a, b in dis] + [("n", a, b) for a, b in nest],
+        "grp string, lo double, hi double",
+    )
+    got = {r["grp"]: r for r in sweep_depth(df, group_cols=["grp"], chunks=4).collect()}
+    assert got["d"]["avg_depth"] == 1.0 and got["d"]["max_depth"] == 1
+    # nested starts: start i sees i+1 open intervals
+    assert got["n"]["max_depth"] == 8
+    assert abs(got["n"]["avg_depth"] - (sum(range(1, 9)) / 8)) < 1e-9
+
+
+def test_clustering_health_before_after_zorder(spark, tmp_path):
+    from anomaly_detector_spark.operators.layout import clustering_health
+
+    n = 20_000
+    df = (
+        spark.range(0, n)
+        .select("id", F.xxhash64(F.col("id")).alias("h"))
+        .select(
+            "id",
+            F.pmod(F.col("h"), F.lit(1000)).cast("double").alias("x"),
+            F.pmod(F.xxhash64(F.col("h")), F.lit(1000)).cast("double").alias("y"),
+        )
+    )
+    flat_dir, z_dir = str(tmp_path / "flat"), str(tmp_path / "z")
+    df.repartition(16).write.parquet(flat_dir)
+    cluster_write(df, ["x", "y"], z_dir, n_files=16)
+    flat = {r["col_name"]: r for r in clustering_health(spark, flat_dir, ["x", "y"]).collect()}
+    z = {r["col_name"]: r for r in clustering_health(spark, z_dir, ["x", "y"]).collect()}
+    # random layout: every file spans ~the whole domain -> depth near n_files
+    assert flat["x"]["avg_depth"] >= 0.7 * flat["x"]["n_files"]
+    # z-ordered: both dims prune; read amplification drops by > 2x
+    for c in ("x", "y"):
+        assert z[c]["avg_depth"] <= flat[c]["avg_depth"] / 2
+        assert z[c]["n_files"] == 16
