@@ -193,3 +193,78 @@ def run_metadata_stats(df_or_files, spec: CheckSpec) -> CheckResult:
         )
     )
     return CheckResult(violations=empty, verdicts=verdicts, metrics=per_file)
+
+
+def run_layout_health(df_or_files, spec: CheckSpec) -> CheckResult:
+    """Clustering-health gate: FAIL a clustered dimension whose per-file
+    ranges overlap so much that point predicates stop pruning.
+
+    The metric is ``operators/layout.py clustering_health``: avg_depth =
+    mean interval-stabbing depth of the per-file [min, max] footer
+    ranges = the number of files a point predicate on that column must
+    open under the current layout (1 = perfectly clustered, n_files =
+    layout uncorrelated with the column). Incremental ingest erodes a
+    clustered layout — every appended file spans fresh ranges — so this
+    check is the SCHEDULER for the ``cluster_write`` / compaction
+    rewrites: declare it in the suite and a drifted layout surfaces as a
+    FAIL with the measured amplification in the metrics map, instead of
+    as an unexplained scan-cost regression. Footer-only, O(files)
+    metadata reads, zero data pages; the sweep itself is the two-phase
+    prefix sum (no global window).
+
+    config:
+      ``path`` | ``files``   file inventory (at manifest scale pass the
+                             table format's file list, never a glob)
+      ``cols``               clustered dimensions to grade (required;
+                             numeric/temporal)
+      ``max_avg_depth``      absolute gate: FAIL when avg_depth exceeds
+                             this many files (optional)
+      ``max_depth_ratio``    relative gate: FAIL when avg_depth /
+                             n_files exceeds this fraction (default 0.5
+                             when no absolute gate is given — scale-free
+                             "uncorrelated layout" detector)
+
+    The partition unit is the COLUMN (one verdict per dimension);
+    ``spec.min_rows`` guards on the file count (depth over a handful of
+    files is not evidence of layout health either way).
+    """
+    from ..operators.layout import clustering_health
+
+    spark = (
+        df_or_files.sparkSession
+        if isinstance(df_or_files, DataFrame)
+        else SparkSession.getActiveSession()
+    )
+    files = spec.config.get("files") or list_parquet_files(spec.config["path"])
+    cols = list(spec.config["cols"])
+    max_avg = spec.config.get("max_avg_depth")
+    ratio_gate = spec.config.get(
+        "max_depth_ratio", 0.5 if max_avg is None else None
+    )
+
+    h = clustering_health(spark, files, cols).withColumn(
+        "depth_ratio", F.col("avg_depth") / F.col("n_files")
+    )
+    fail = F.lit(False)
+    if max_avg is not None:
+        fail = fail | (F.col("avg_depth") > float(max_avg))
+    if ratio_gate is not None:
+        fail = fail | (F.col("depth_ratio") > float(ratio_gate))
+    verdicts = verdict_frame(
+        h,
+        spec.id,
+        "col_name",
+        fail_when=fail,
+        skip_when=F.col("n_files") < spec.min_rows,
+        metric_cols=["n_files", "avg_depth", "max_depth", "depth_ratio"],
+    )
+    empty = (
+        empty_violations(df_or_files)
+        if isinstance(df_or_files, DataFrame)
+        else spark.createDataFrame(
+            [],
+            "repo string, path string, commit string, partition_key string, "
+            "check_id string, observed string, expected string",
+        )
+    )
+    return CheckResult(violations=empty, verdicts=verdicts, metrics=h)

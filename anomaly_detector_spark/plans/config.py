@@ -61,7 +61,7 @@ def _registry() -> dict[str, Callable]:
     )
     from ..checks.fd import run_fd
     from ..checks.membership import run_seen_before
-    from ..checks.metadata import run_metadata_stats
+    from ..checks.metadata import run_layout_health, run_metadata_stats
     from ..checks.sequence import run_flatline, run_gaps, run_monotonic
     from ..checks.quantiles import run_quantile_drift
     from ..checks.reconcile import run_reconcile
@@ -71,6 +71,9 @@ def _registry() -> dict[str, Callable]:
     return {
         "stats": run_stats,
         "metadata_stats": run_metadata_stats,
+        # layout-health gate: config carries the file inventory PATH and
+        # the clustered dims; footer-only, schedules cluster_write
+        "layout_health": run_layout_health,
         "quantile_drift": run_quantile_drift,
         "uniqueness": run_uniqueness,
         # cross-run key membership: config carries the persisted bloom

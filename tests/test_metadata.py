@@ -169,3 +169,71 @@ def test_tiered_validate_escalates_only_uncleared_files(spark, tmp_path):
     assert len(tiers) == len(files)
     # the scan tier saw ONLY the escalated files (one rule x two files)
     assert res.scan is not None and res.scan.verdicts.count() == 2
+
+
+def test_layout_health_flat_fails_clustered_passes(spark, tmp_path):
+    from anomaly_detector_spark.checks.metadata import run_layout_health
+    from anomaly_detector_spark.operators.layout import cluster_write
+
+    n = 20_000
+    df = (
+        spark.range(0, n)
+        .select("id", F.xxhash64(F.col("id")).alias("h"))
+        .select(
+            "id",
+            F.pmod(F.col("h"), F.lit(1000)).cast("double").alias("x"),
+            F.pmod(F.xxhash64(F.col("h")), F.lit(1000)).cast("double").alias("y"),
+        )
+    )
+    flat, z = str(tmp_path / "flat"), str(tmp_path / "z")
+    df.repartition(16).write.parquet(flat)
+    cluster_write(df, ["x", "y"], z, n_files=16)
+
+    def verdicts(path):
+        spec = CheckSpec(
+            "layout", run_layout_health, {"path": path, "cols": ["x", "y"]}, "col_name", 2
+        )
+        res = run_layout_health(spark.range(1), spec)
+        return {r["partition_key"]: r for r in res.verdicts.collect()}
+
+    f, c = verdicts(flat), verdicts(z)
+    # hash layout: depth_ratio near 1 on both dims -> FAIL the 0.5 gate
+    assert {f["x"]["verdict"], f["y"]["verdict"]} == {"FAIL"}
+    assert f["x"]["metrics"]["depth_ratio"] > 0.5
+    # z-ordered: both dims prune -> PASS, measured amplification recorded
+    assert {c["x"]["verdict"], c["y"]["verdict"]} == {"PASS"}
+    assert c["x"]["metrics"]["avg_depth"] < f["x"]["metrics"]["avg_depth"]
+    assert c["x"]["metrics"]["n_files"] == 16.0
+
+
+def test_layout_health_gates_and_skip(spark, tmp_path):
+    from anomaly_detector_spark.checks.metadata import run_layout_health
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    path = str(tmp_path / "two")
+    spark.range(0, 100).select(F.col("id").cast("double").alias("x")).coalesce(
+        2
+    ).write.parquet(path)
+    # 2 files < min_rows=25 -> SKIPPED regardless of layout
+    suite = suite_from_config(
+        {
+            "checks": [
+                {"check": "layout_health", "partition_col": "col_name",
+                 "path": path, "cols": ["x"]}
+            ]
+        }
+    )
+    res = suite[0].run(spark.range(1))
+    assert [r["verdict"] for r in res.verdicts.collect()] == ["SKIPPED"]
+    # absolute gate: avg_depth of a 2-file range layout is 1.0 -> PASS at
+    # max_avg_depth=1.5 with the relative gate disabled; FAIL at 0.9
+    ok = CheckSpec(
+        "layout", run_layout_health,
+        {"path": path, "cols": ["x"], "max_avg_depth": 1.5}, "col_name", 2,
+    )
+    bad = CheckSpec(
+        "layout", run_layout_health,
+        {"path": path, "cols": ["x"], "max_avg_depth": 0.9}, "col_name", 2,
+    )
+    assert [r["verdict"] for r in run_layout_health(spark.range(1), ok).verdicts.collect()] == ["PASS"]
+    assert [r["verdict"] for r in run_layout_health(spark.range(1), bad).verdicts.collect()] == ["FAIL"]
