@@ -539,6 +539,25 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
 
 
+def q_docs_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-contamination guard (operators/corpus.py split_assign +
+    split_leakage): deterministic sha256-threshold train/valid/test
+    split, then the banded MinHash-LSH near-dup pass labels every
+    surviving pair with both members' splits — ``leak`` marks pairs
+    straddling the split (a train near-dup of a test doc inflates every
+    eval on it). sha256 hash mode so the oracle re-derives the whole
+    pipeline: the split CASE thresholds are the same plan-folded hex
+    literals, and the pair set is the minhash_pairs oracle verbatim."""
+    from anomaly_detector_spark.operators.corpus import split_assign, split_leakage
+
+    d = load_table(spark, sf, "documents")
+    d = split_assign(d, {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split1")
+    return split_leakage(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3,
+        threshold=0.4, hash_fn="sha256",
+    )
+
+
 def q_docs_topk_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Heavy-hitter sketch merge (checks/profile.py topk_sketches/topk_union)
     # in store-free form: the two doc_id parities play two ingest runs'
@@ -1809,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_meta_stats": q_events_meta_stats,
         "files_quantile_drift": q_files_quantile_drift,
         "events_read_amp": q_events_read_amp,
+        "docs_split_leakage": q_docs_split_leakage,
     }
 
 
@@ -4381,6 +4401,34 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM ranked WHERE rank <= 3
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
+    # docs_split_leakage: the minhash_pairs oracle verbatim as a CTE,
+    # joined to the split assignment — the SAME sha256-threshold CASE
+    # the Spark split_assign plan folds (cumulative-fraction hex
+    # literals; fixed-width hex compares like its integer value).
+    from anomaly_detector_spark.operators.corpus import rate_to_hex_threshold
+
+    _t_train = rate_to_hex_threshold(0.9)
+    _t_valid = rate_to_hex_threshold(0.95)
+    out["docs_split_leakage"] = f"""
+        WITH pairs AS (
+          {_minhash_oracle()}
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN substr(sha256('split1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           < '{_t_train}' THEN 'train'
+                      WHEN substr(sha256('split1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           < '{_t_valid}' THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT p.id_a, p.id_b, p.jaccard,
+               a.split AS split_a, b.split AS split_b,
+               a.split <> b.split AS leak
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.id_a
+        JOIN sp b ON b.doc_id = p.id_b
+    """
     # events_read_amp: the identical boundary-event sweep, but with a
     # plain SQL running-sum window instead of the engine's two-phase
     # prefix sum. Starts sort before ends at equal v (inclusive

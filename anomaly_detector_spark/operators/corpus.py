@@ -249,6 +249,97 @@ def temperature_resample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    fracs: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by hash threshold.
+
+    Every row gets exactly one split label from ``fracs`` (an ordered
+    name -> fraction dict summing to ~1; the LAST split takes the
+    remainder, so rounding never drops a row). Assignment depends only
+    on (salt, key) — the same sha256-threshold draw as
+    ``stratified_sample`` — so it is reproducible across runs, retries,
+    partitionings, and engines (fixed-width hex compares like its
+    integer value; the thresholds are plan-folded literals any ANSI
+    oracle can evaluate). Changing the salt re-rolls the split;
+    changing a fraction moves only the boundary region, because the
+    draw is a fixed uniform per key (the standard hash-split stability
+    property — growing train from 0.90 to 0.95 never moves a train row
+    to test). Zero shuffle: one codegen'd CASE over a hash expression.
+    """
+    names = list(fracs)
+    if len(names) < 2:
+        raise ValueError("split_assign needs at least two splits")
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    draw = sample_hash(F.col(key_col), salt)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fracs[name]
+        cond = draw < F.lit(rate_to_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr.otherwise(F.lit(names[-1])))
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Eval-contamination guard: near-duplicate pairs that STRADDLE a
+    train/valid/test split.
+
+    A near-dup of a test document sitting in train silently inflates
+    every evaluation on that test set — the leak decontaminate() can't
+    see because it only checks the EXPLICIT eval inventory, not the
+    held-out slice of the corpus itself. This runs the engine's banded
+    MinHash-LSH + exact-Jaccard verification (operators/dedup.py — the
+    bucketed kind, never all-pairs) over the whole corpus and labels
+    each surviving pair with both members' splits: ``leak = split_a !=
+    split_b``. Returns (id_a, id_b, jaccard, split_a, split_b, leak) —
+    the full near-dup pair set, so the same pass answers both "how much
+    leakage" and "what to drop/re-home before training".
+
+    Scale shape: identical to minhash_lsh_candidates/jaccard_pairs
+    (explode -> K codegen'd min-aggs, band self-join with oversized-
+    bucket capping, semi-join-pruned shingle verification); the split
+    labels ride two equi-joins of the O(pairs) result against the
+    narrow (id, split) projection — the raw corpus never meets itself
+    outside the banded join.
+    """
+    from .dedup import jaccard_pairs, minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        hash_fn=hash_fn, max_bucket=max_bucket,
+    )
+    pairs = jaccard_pairs(df, cand, text_col, id_col, shingle_k=shingle_k, threshold=threshold)
+    sp = df.select(F.col(id_col), F.col(split_col))
+    a = sp.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a"))
+    b = sp.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard", "split_a", "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leak"),
+        )
+    )
+
+
 def top_fraction_by_group(
     df: DataFrame,
     group_col: str,

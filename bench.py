@@ -81,6 +81,7 @@ def main() -> int:
         "events_seq_profile",  # fused sequence pathologies (1 window pass)
         "files_bloom_seen",    # relational bloom build + broadcast probe
         "events_read_amp",     # layout read-amplification sweep (two-phase)
+        "docs_split_leakage",  # cross-split near-dup contamination guard
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -363,3 +363,60 @@ def test_epoch_shuffle_epochs_differ(spark):
     e1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(df, epoch=1).collect()}
     assert e0 != e1  # a different permutation per epoch
     assert set(e0) == set(e1)  # ... over the same documents
+
+
+# ------------------------------------------------------ split leakage
+
+def test_split_assign_fractions_determinism_stability(spark):
+    from anomaly_detector_spark.operators.corpus import split_assign
+
+    df = spark.range(0, 20_000).select(F.col("id").alias("doc_id"))
+    fr = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    got = split_assign(df, fr).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in got}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.02
+    assert abs(counts["valid"] / 20_000 - 0.05) < 0.01
+    # deterministic and partitioning-invariant
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df.repartition(13), fr).collect()}
+    assert a == b
+    # threshold-growth stability: enlarging train never evicts a train row
+    wide = {r["doc_id"]: r["split"] for r in
+            split_assign(df, {"train": 0.95, "valid": 0.03, "test": 0.02}).collect()}
+    assert all(wide[k] == "train" for k, v in a.items() if v == "train")
+    # different salt re-rolls
+    c = {r["doc_id"]: r["split"] for r in split_assign(df, fr, salt="other").collect()}
+    assert a != c
+
+
+def test_split_assign_validates(spark):
+    import pytest
+
+    from anomaly_detector_spark.operators.corpus import split_assign
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        split_assign(df, {"train": 1.0})
+    with pytest.raises(ValueError):
+        split_assign(df, {"train": 0.7, "test": 0.2})
+
+
+def test_split_leakage_flags_cross_split_near_dups(spark):
+    from anomaly_detector_spark.operators.corpus import split_leakage
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [
+        (1, base + "alpha", "train"),
+        (2, base + "omega", "test"),     # near-dup of 1, other split -> leak
+        (3, base + "gamma", "train"),    # near-dup of 1/2, same split as 1
+        (4, "completely different content with no shared shingles at all "
+            "whatsoever in any window of three tokens", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           split_leakage(df, threshold=0.5, bands=32, num_hashes=64).collect()}
+    assert (1, 2) in out and out[(1, 2)]["leak"] is True
+    assert out[(1, 2)]["split_a"] == "train" and out[(1, 2)]["split_b"] == "test"
+    assert (1, 3) in out and out[(1, 3)]["leak"] is False
+    assert all(4 not in k for k in out)
