@@ -43,12 +43,25 @@ def metric_history(manifest: DataFrame, suite_sid: str | None = None) -> DataFra
     )
 
 
+def season_slot(kind: str, ts_col: str = "committed_at") -> F.Column:
+    """Seasonal slot expression: 'hour' (0-23), 'dow' (1-7), or
+    'dow_hour' (dow*100 + hour) of the commit timestamp."""
+    if kind == "hour":
+        return F.hour(ts_col)
+    if kind == "dow":
+        return F.dayofweek(ts_col)
+    if kind == "dow_hour":
+        return F.dayofweek(ts_col) * 100 + F.hour(ts_col)
+    raise ValueError(f"unknown season kind {kind!r}: use hour | dow | dow_hour")
+
+
 def flag_metric_anomalies(
     hist: DataFrame,
     order_cols: list[str] | None = None,
     z_thresh: float = 3.0,
     iqr_k: float = 1.5,
     min_history: int = 3,
+    season: str | F.Column | None = None,
 ) -> DataFrame:
     """Flag each series' LATEST value against the distribution of its
     prior values.
@@ -66,20 +79,36 @@ def flag_metric_anomalies(
     partitions — the two checks are complementary axes of the same
     median-gated outlier idea the reference applies per device.
 
+    ``season``: slot-aware baseline for metrics with daily/weekly
+    rhythm (row counts dip every weekend; a flat prior distribution
+    z-flags every Saturday forever). Pass 'hour' | 'dow' | 'dow_hour'
+    (derived from committed_at via ``season_slot``) or any Column
+    expression: the latest value is then compared ONLY against prior
+    runs in the SAME slot, and ``n_history``/``min_history`` count
+    same-slot priors — the warm-up guard automatically demands enough
+    history of the right kind of day. Same plan shape (the slot just
+    joins the series key for the baseline aggregate); the latest row
+    is still the newest overall, seasonality only changes its peers.
+
     Note: the latest/prior split filters the ranked frame twice, so the
     input plan executes twice (union branches never share work — see
     CheckResult.shared_verdicts). Fine here by construction: the input
     is the already-tiny manifest/metric frame, never the data table.
     """
     order_cols = order_cols or ["committed_at", "run_id"]
+    if isinstance(season, str):
+        season = season_slot(season)
+    key = SERIES_KEY + (["_slot"] if season is not None else [])
+    if season is not None:
+        hist = hist.withColumn("_slot", season)
     w = Window.partitionBy(*SERIES_KEY).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
     ranked = hist.withColumn("_rn", F.row_number().over(w))
-    latest = ranked.where(F.col("_rn") == 1).select(*SERIES_KEY, "value")
+    latest = ranked.where(F.col("_rn") == 1).select(*key, "value")
     prior = (
         ranked.where(F.col("_rn") > 1)
-        .groupBy(*SERIES_KEY)
+        .groupBy(*key)
         .agg(
             F.count("value").alias("n_history"),
             F.avg("value").alias("mean_prior"),
@@ -88,7 +117,7 @@ def flag_metric_anomalies(
             F.expr("percentile(value, 0.75)").alias("_q3"),
         )
     )
-    j = latest.join(prior, on=SERIES_KEY, how="left")
+    j = latest.join(prior, on=key, how="left")
     v = F.col("value")
     z = F.when(
         F.col("std_prior") > 0, F.abs(v - F.col("mean_prior")) / F.col("std_prior")
@@ -108,6 +137,7 @@ def flag_metric_anomalies(
         .withColumn("n_history", F.coalesce(F.col("n_history"), F.lit(0)))
         .withColumn("mean_prior", F.round("mean_prior", 4))
         .withColumn("std_prior", F.round("std_prior", 4))
+        .withColumnRenamed("_slot", "slot")  # no-op when season is None
         .drop("_q1", "_q3")
     )
 

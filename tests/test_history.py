@@ -96,3 +96,47 @@ def test_revalidate_builds_history_and_flags(spark, tmp_path):
     assert flags[("python", "null_rate")] is True
     assert flags[("python", "n_rows")] is False
     assert flags[("go", "null_rate")] is False
+
+
+def _daily_hist(spark, values_by_day, pk="python", metric="n_rows"):
+    # one run per day starting Mon 2026-01-05; values_by_day is ordered
+    start = datetime.datetime(2026, 1, 5, 12, 0)  # a Monday
+    rows = [
+        (f"r{i}", start + datetime.timedelta(days=i), pk, "chk", metric, float(v))
+        for i, v in enumerate(values_by_day)
+    ]
+    return spark.createDataFrame(rows, HIST_COLS)
+
+
+def test_seasonal_baseline_kills_weekend_false_alarm(spark):
+    # 4 weeks of daily counts: 100 every day except a low-traffic
+    # Sunday (20). The latest run is a normal Sunday. A flat baseline
+    # IQR-fences it (27 priors, only 3 of them Sundays -> q1 = q3 = 100,
+    # any 20 sits below the fence); the dow-slotted baseline compares
+    # Sundays to Sundays and does not.
+    week = [100, 100, 100, 100, 100, 100, 20]  # Mon..Sun
+    vals = week * 4
+    hist = _daily_hist(spark, vals)
+    flat = flag_metric_anomalies(hist).collect()[0]
+    assert flat["is_anomalous"] is True  # the false alarm
+    seasonal = flag_metric_anomalies(hist, season="dow").collect()[0]
+    assert seasonal["is_anomalous"] is False
+    assert seasonal["slot"] == 1  # Spark dayofweek: Sunday = 1
+    assert seasonal["n_history"] == 3  # the three prior Sundays only
+    assert seasonal["mean_prior"] == 20.0
+
+
+def test_seasonal_baseline_still_catches_real_anomaly(spark):
+    week = [100, 100, 100, 100, 100, 100, 20]
+    vals = week * 4
+    vals[-1] = 95  # latest Sunday looks like a weekday: genuinely wrong
+    hist = _daily_hist(spark, vals)
+    seasonal = flag_metric_anomalies(hist, season="dow").collect()[0]
+    assert seasonal["is_anomalous"] is True
+    # a custom Column expression works too and insufficient same-slot
+    # history yields NULL, not a guess
+    import pyspark.sql.functions as F
+
+    two_weeks = _daily_hist(spark, week * 2)
+    r = flag_metric_anomalies(two_weeks, season=F.dayofweek("committed_at")).collect()[0]
+    assert r["is_anomalous"] is None and r["n_history"] == 1
