@@ -539,6 +539,21 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
 
 
+def q_emb_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-distribution drift (operators/similarity.py
+    embedding_drift): per-label worst-plane PSI of fixed ±1 hyperplane
+    projections vs the pooled baseline — the check that notices an
+    embedding-model version bump or corpus shift before any scalar
+    metric moves. Projections quantize per element to integer micro-
+    units (exact long arithmetic — bucket boundaries cannot flip across
+    engines); the oracle re-derives planes, buckets, smoothing, PSI,
+    and the rounded-psi/min-plane argmax identically in SQL."""
+    from anomaly_detector_spark.operators.similarity import embedding_drift
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_drift(emb, "label", dim=64, n_planes=8, bucket_micro=500_000, table=7)
+
+
 def q_docs_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-contamination guard (operators/corpus.py split_assign +
     split_leakage): deterministic sha256-threshold train/valid/test
@@ -1829,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_quantile_drift": q_files_quantile_drift,
         "events_read_amp": q_events_read_amp,
         "docs_split_leakage": q_docs_split_leakage,
+        "emb_drift": q_emb_drift,
     }
 
 
@@ -4428,6 +4444,62 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM pairs p
         JOIN sp a ON a.doc_id = p.id_a
         JOIN sp b ON b.doc_id = p.id_b
+    """
+    # emb_drift: planes/buckets/smoothed-PSI/argmax re-derived in SQL.
+    # The per-element integer-micro quantization makes bucket membership
+    # exact in both engines; only the psi double sum needs the 6dp round.
+    from anomaly_detector_spark.operators.similarity import hyperplane_signs
+
+    _plane_vals = ",\n          ".join(
+        f"({j}, {[int(s) for s in row]})"
+        for j, row in enumerate(hyperplane_signs(64, 8, 7))
+    )
+    out["emb_drift"] = f"""
+        WITH planes(plane, s) AS (VALUES
+          {_plane_vals}
+        ),
+        pr AS (
+          SELECT CAST(e.label AS VARCHAR) AS partition_key, p.plane,
+                 CAST(floor(list_sum(list_transform(range(1, 65),
+                      i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                           * CAST(p.s[i] AS BIGINT))) / 500000.0) AS BIGINT) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+        ),
+        hist AS (SELECT partition_key, plane, bucket, count(*) AS n FROM pr GROUP BY 1, 2, 3),
+        grid AS (SELECT DISTINCT plane, bucket FROM hist),
+        cnt AS (SELECT partition_key, sum(n) AS n_obs FROM hist WHERE plane = 0 GROUP BY 1),
+        tot AS (SELECT sum(n) AS n_total FROM hist WHERE plane = 0),
+        bp AS (SELECT plane, count(*) AS b FROM grid GROUP BY 1),
+        base AS (SELECT plane, bucket, sum(n) AS base_n FROM hist GROUP BY 1, 2),
+        f AS (
+          SELECT c.partition_key, g.plane, g.bucket,
+                 coalesce(h.n, 0) AS n, ba.base_n, bp.b, c2.n_obs, t.n_total
+          FROM (SELECT partition_key FROM cnt) c
+          CROSS JOIN grid g
+          LEFT JOIN hist h ON h.partition_key = c.partition_key
+                          AND h.plane = g.plane AND h.bucket = g.bucket
+          JOIN base ba ON ba.plane = g.plane AND ba.bucket = g.bucket
+          JOIN bp ON bp.plane = g.plane
+          JOIN cnt c2 ON c2.partition_key = c.partition_key
+          CROSS JOIN tot t
+        ),
+        psis AS (
+          SELECT partition_key, plane, n_obs,
+                 round(sum(
+                   ((n + 0.5) / (n_obs + 0.5 * b) - (base_n + 0.5) / (n_total + 0.5 * b))
+                   * ln(((n + 0.5) / (n_obs + 0.5 * b)) / ((base_n + 0.5) / (n_total + 0.5 * b)))
+                 ), 6) AS psi6
+          FROM f GROUP BY 1, 2, 3
+        ),
+        m AS (SELECT partition_key, n_obs, max(psi6) AS psi FROM psis GROUP BY 1, 2),
+        wp AS (
+          SELECT p.partition_key, min(p.plane) AS worst_plane
+          FROM psis p JOIN m ON m.partition_key = p.partition_key AND p.psi6 = m.psi
+          GROUP BY 1
+        )
+        SELECT m.partition_key, m.psi, CAST(wp.worst_plane AS BIGINT) AS worst_plane,
+               CAST(m.n_obs AS BIGINT) AS n_obs
+        FROM m JOIN wp USING (partition_key)
     """
     # events_read_amp: the identical boundary-event sweep, but with a
     # plain SQL running-sum window instead of the engine's two-phase

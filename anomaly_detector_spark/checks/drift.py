@@ -480,3 +480,44 @@ def drift_attribution(
             "psi_term",
         )
     )
+
+
+def run_embedding_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Embedding-space distribution drift as a declarable check.
+
+    Wraps ``operators/similarity.py embedding_drift`` (fixed ±1
+    hyperplane projections, integer-micro quantized; per-partition
+    worst-plane PSI vs the pooled baseline) in the verdict envelope: a
+    partition whose vector distribution shifted — a model version bump,
+    re-normalization, or corpus change — FAILs when its psi exceeds
+    ``max_psi``. Absolute gate by design: embedding drift is usually
+    GLOBAL (every partition moves when the model changes), which the
+    peer-relative median gate is structurally blind to — same argument
+    as drift's gate_mode='absolute'.
+
+    config: ``vec_col`` (default 'embedding'), ``dim`` (64),
+    ``n_planes`` (8), ``bucket_micro`` (500000), ``table`` (7),
+    ``max_psi`` (0.25). ``spec.min_rows`` guards the per-partition
+    vector count.
+    """
+    from ..operators.similarity import embedding_drift
+
+    c = spec.config
+    scores = embedding_drift(
+        df,
+        spec.partition_col,
+        vec_col=c.get("vec_col", "embedding"),
+        dim=int(c.get("dim", 64)),
+        n_planes=int(c.get("n_planes", 8)),
+        bucket_micro=int(c.get("bucket_micro", 500_000)),
+        table=int(c.get("table", 7)),
+    )
+    verdicts = verdict_frame(
+        scores,
+        spec.id,
+        "partition_key",
+        fail_when=F.col("psi") > float(c.get("max_psi", 0.25)),
+        skip_when=F.col("n_obs") < spec.min_rows,
+        metric_cols=["psi", "worst_plane", "n_obs"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=scores)

@@ -600,3 +600,103 @@ def embedding_outliers(
     return j.select(
         "vec_id", "cluster", "di", F.round(z, 4).alias("z_score"), flagged.alias("is_outlier")
     )
+
+
+def embedding_drift(
+    vectors: DataFrame,
+    partition_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    bucket_micro: int = 500_000,
+    table: int = 7,
+) -> DataFrame:
+    """Per-partition drift of the EMBEDDING DISTRIBUTION itself:
+    (partition_key, psi, worst_plane, n_obs).
+
+    The scalar drift checks watch columns; this watches the vector
+    space — a silent embedding-model version bump, a re-normalization,
+    or a corpus shift moves the DISTRIBUTION of vectors long before any
+    scalar metric notices. Method: project every vector onto
+    ``n_planes`` fixed ±1 hyperplanes (``hyperplane_signs`` — driver-
+    derived, plan-folded literals), histogram each projection, and
+    score each partition's per-plane histogram against the pooled
+    baseline with the drift module's smoothed PSI; a partition's score
+    is its WORST plane (drifted in any direction is drifted).
+
+    Determinism (the perplexity lesson): projections quantize per
+    ELEMENT to integer micro-units before summing — ``sum_i
+    round(1e6 * x_i) * s_i`` is exact long arithmetic, so the bucket a
+    vector lands in is identical in any engine and any partitioning
+    (a raw double dot product could flip a floor() boundary). PSI sums
+    are doubles rounded to 6dp; the worst-plane argmax ties break on
+    the ROUNDED psi then min plane, so the output is engine-exact.
+
+    Scale shape: ONE narrow pass over the vectors (codegen'd zip_with
+    multiply-adds, posexplode to n_planes rows/vector, map-side-combined
+    groupBy) produces the O(partitions x planes x buckets) histogram,
+    localCheckpointed because four tiny consumers fork from it; every
+    later join is broadcast. The vector column never rides a shuffle.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    projs = []
+    for row in hyperplane_signs(dim, n_planes, table):
+        plane = F.array(*[F.lit(int(s)) for s in row])
+        terms = F.zip_with(
+            v, plane, lambda x, s: F.round(x * F.lit(1e6)).cast("long") * s.cast("long")
+        )
+        projs.append(F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t))
+    hist = (
+        vectors.select(
+            F.col(partition_col).cast("string").alias("partition_key"),
+            F.posexplode(F.array(*projs)).alias("plane", "proj"),
+        )
+        .select(
+            "partition_key",
+            "plane",
+            F.floor(F.col("proj").cast("double") / F.lit(float(bucket_micro)))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("partition_key", "plane", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    grid = hist.select("plane", "bucket").distinct()
+    cnt = (
+        hist.filter(F.col("plane") == 0)
+        .groupBy("partition_key")
+        .agg(F.sum("n").alias("n_obs"))
+    )
+    n_total = hist.filter(F.col("plane") == 0).agg(F.sum("n").alias("n_total"))
+    bp = grid.groupBy("plane").agg(F.count(F.lit(1)).alias("b"))
+    base = hist.groupBy("plane", "bucket").agg(F.sum("n").alias("base_n"))
+    f = (
+        cnt.select("partition_key")
+        .crossJoin(F.broadcast(grid))
+        .join(hist, ["partition_key", "plane", "bucket"], "left")
+        .na.fill({"n": 0})
+        .join(F.broadcast(base), ["plane", "bucket"])
+        .join(F.broadcast(bp), "plane")
+        .join(F.broadcast(cnt), "partition_key")
+        .crossJoin(F.broadcast(n_total))
+    )
+    p = (F.col("n") + 0.5) / (F.col("n_obs") + 0.5 * F.col("b"))
+    q = (F.col("base_n") + 0.5) / (F.col("n_total") + 0.5 * F.col("b"))
+    psis = (
+        f.select(
+            "partition_key", "plane", "n_obs", ((p - q) * F.log(p / q)).alias("term")
+        )
+        .groupBy("partition_key", "plane", "n_obs")
+        .agg(F.round(F.sum("term"), 6).alias("psi6"))
+    )
+    m = psis.groupBy("partition_key", "n_obs").agg(F.max("psi6").alias("psi"))
+    wp = (
+        psis.join(m, ["partition_key", "n_obs"])
+        .where(F.col("psi6") == F.col("psi"))
+        .groupBy("partition_key")
+        .agg(F.min("plane").cast("long").alias("worst_plane"))
+    )
+    return m.join(wp, "partition_key").select(
+        "partition_key", "psi", "worst_plane", F.col("n_obs").cast("long").alias("n_obs")
+    )

@@ -49,7 +49,7 @@ def _registry() -> dict[str, Callable]:
     # imported lazily so `import anomaly_detector_spark.plans.config`
     # stays cheap and cycle-free
     from ..checks.contract import run_schema_contract
-    from ..checks.drift import run_count_drift, run_drift
+    from ..checks.drift import run_count_drift, run_drift, run_embedding_drift
     from ..checks.freshness import run_freshness
     from ..checks.referential import run_referential
     from ..checks.rowrules import (
@@ -87,6 +87,7 @@ def _registry() -> dict[str, Callable]:
         "reconcile": run_reconcile,
         "drift": run_drift,
         "count_drift": run_count_drift,
+        "embedding_drift": run_embedding_drift,
         "freshness": run_freshness,
         "fd": run_fd,
         "monotonic": run_monotonic,

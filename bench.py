@@ -82,6 +82,7 @@ def main() -> int:
         "files_bloom_seen",    # relational bloom build + broadcast probe
         "events_read_amp",     # layout read-amplification sweep (two-phase)
         "docs_split_leakage",  # cross-split near-dup contamination guard
+        "emb_drift",           # embedding-space distribution drift (PSI)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

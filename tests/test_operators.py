@@ -580,3 +580,58 @@ def test_incremental_lsh_matches_full_batch(spark, tmp_path):
     p3 = pairset(incremental_lsh_candidates(spark, df3, store, "r3"))
     full3 = pairset(minhash_lsh_candidates(df1.unionByName(df2).unionByName(df3)))
     assert p1 | p2 | p3 == full3
+
+
+def test_embedding_drift_planted_shift(spark):
+    import numpy as np
+
+    from anomaly_detector_spark.operators.similarity import embedding_drift
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    rows = []
+    for i in range(300):
+        v = rng.normal(0, 0.2, dim)
+        rows.append((i, "stable_a", [float(x) for x in v]))
+    for i in range(300, 600):
+        v = rng.normal(0, 0.2, dim)
+        rows.append((i, "stable_b", [float(x) for x in v]))
+    for i in range(600, 900):
+        v = rng.normal(0.35, 0.2, dim)  # shifted mean: projections move
+        rows.append((i, "shifted", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {r["partition_key"]: r for r in
+           embedding_drift(df, "label", dim=dim, n_planes=6, bucket_micro=300_000).collect()}
+    assert out["shifted"]["psi"] > 2 * max(out["stable_a"]["psi"], out["stable_b"]["psi"])
+    assert out["shifted"]["n_obs"] == 300
+    # partitioning invariance: integer-micro buckets + 6dp psi
+    out2 = {r["partition_key"]: r for r in
+            embedding_drift(df.repartition(17), "label", dim=dim, n_planes=6,
+                            bucket_micro=300_000).collect()}
+    assert {k: (v["psi"], v["worst_plane"]) for k, v in out.items()} == \
+           {k: (v["psi"], v["worst_plane"]) for k, v in out2.items()}
+
+
+def test_embedding_drift_check_config_plane(spark):
+    import numpy as np
+
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    rng = np.random.default_rng(9)
+    rows = [(i, "a" if i < 200 else "b",
+             [float(x) for x in rng.normal(0.5 if i >= 200 else 0.0, 0.15, 8)])
+            for i in range(400)]
+    rows += [(400, "tiny", [0.0] * 8)]  # below min_rows -> SKIPPED
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    suite = suite_from_config(
+        {
+            "checks": [
+                {"check": "embedding_drift", "partition_col": "label", "min_rows": 25,
+                 "dim": 8, "n_planes": 4, "bucket_micro": 200000, "max_psi": 0.3}
+            ]
+        }
+    )
+    res = suite[0].run(df)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    # a and b are each half the pool and far apart: both drift vs pooled
+    assert v["a"] == "FAIL" and v["b"] == "FAIL" and v["tiny"] == "SKIPPED"
