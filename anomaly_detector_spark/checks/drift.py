@@ -497,8 +497,11 @@ def run_embedding_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
 
     config: ``vec_col`` (default 'embedding'), ``dim`` (64),
     ``n_planes`` (8), ``bucket_micro`` (500000), ``table`` (7),
-    ``max_psi`` (0.25). ``spec.min_rows`` guards the per-partition
-    vector count.
+    ``max_psi`` (0.25), ``baseline_df`` (runtime-injected external
+    (plane, bucket, base_n) frame from ``embedding_histogram`` — the
+    run-over-run mode that catches GLOBAL drift; without it the pooled
+    in-batch baseline only sees same-batch divergence). ``spec.min_rows``
+    guards the per-partition vector count.
     """
     from ..operators.similarity import embedding_drift
 
@@ -511,6 +514,7 @@ def run_embedding_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:
         n_planes=int(c.get("n_planes", 8)),
         bucket_micro=int(c.get("bucket_micro", 500_000)),
         table=int(c.get("table", 7)),
+        baseline=c.get("baseline_df"),
     )
     verdicts = verdict_frame(
         scores,

@@ -602,6 +602,44 @@ def embedding_outliers(
     )
 
 
+def embedding_histogram(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    bucket_micro: int = 500_000,
+    table: int = 7,
+) -> DataFrame:
+    """Pooled projection histogram (plane, bucket, base_n) — the
+    persistable baseline for ``embedding_drift(baseline=...)``. Same
+    quantization and planes as the drift pass (parameters must match;
+    stamp them into the store path or check id). Persist one per
+    run/model-version next to the manifest: run-over-run embedding
+    drift then needs only this O(planes x buckets) frame, never a
+    rescan of yesterday's vectors — the same mergeable-summary story
+    as the HLL/t-digest/top-k/bloom sketch tables (counts are additive;
+    sum base_n to merge runs)."""
+    v = F.col(vec_col).cast("array<double>")
+    projs = []
+    for row in hyperplane_signs(dim, n_planes, table):
+        plane = F.array(*[F.lit(int(s)) for s in row])
+        terms = F.zip_with(
+            v, plane, lambda x, s: F.round(x * F.lit(1e6)).cast("long") * s.cast("long")
+        )
+        projs.append(F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t))
+    return (
+        vectors.select(F.posexplode(F.array(*projs)).alias("plane", "proj"))
+        .select(
+            "plane",
+            F.floor(F.col("proj").cast("double") / F.lit(float(bucket_micro)))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("plane", "bucket")
+        .agg(F.count(F.lit(1)).alias("base_n"))
+    )
+
+
 def embedding_drift(
     vectors: DataFrame,
     partition_col: str,
@@ -610,6 +648,7 @@ def embedding_drift(
     n_planes: int = 8,
     bucket_micro: int = 500_000,
     table: int = 7,
+    baseline: DataFrame | None = None,
 ) -> DataFrame:
     """Per-partition drift of the EMBEDDING DISTRIBUTION itself:
     (partition_key, psi, worst_plane, n_obs).
@@ -623,6 +662,16 @@ def embedding_drift(
     score each partition's per-plane histogram against the pooled
     baseline with the drift module's smoothed PSI; a partition's score
     is its WORST plane (drifted in any direction is drifted).
+
+    ``baseline``: an external (plane, bucket, base_n) frame — from
+    ``embedding_histogram`` persisted by a previous run or a trusted
+    reference corpus. REQUIRED to catch GLOBAL drift: with the default
+    in-batch pooled baseline, an embedding-model version bump moves
+    every partition together and every partition still matches the
+    pool — only same-batch divergence flags. Same blindness argument as
+    the scalar drift check's peer-relative gate; run-over-run comparison
+    needs the stored histogram, O(planes x buckets) and additive across
+    runs. Parameters (dim/planes/bucket/table) must match the store's.
 
     Determinism (the perplexity lesson): projections quantize per
     ELEMENT to integer micro-units before summing — ``sum_i
@@ -662,24 +711,32 @@ def embedding_drift(
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    grid = hist.select("plane", "bucket").distinct()
+    base = (
+        baseline.select("plane", "bucket", "base_n")
+        if baseline is not None
+        else hist.groupBy("plane", "bucket").agg(F.sum("n").alias("base_n"))
+    )
+    grid = (
+        hist.select("plane", "bucket")
+        .unionByName(base.select("plane", "bucket"))
+        .distinct()
+    )
     cnt = (
         hist.filter(F.col("plane") == 0)
         .groupBy("partition_key")
         .agg(F.sum("n").alias("n_obs"))
     )
-    n_total = hist.filter(F.col("plane") == 0).agg(F.sum("n").alias("n_total"))
+    base_tot = base.groupBy("plane").agg(F.sum("base_n").alias("n_total"))
     bp = grid.groupBy("plane").agg(F.count(F.lit(1)).alias("b"))
-    base = hist.groupBy("plane", "bucket").agg(F.sum("n").alias("base_n"))
     f = (
         cnt.select("partition_key")
         .crossJoin(F.broadcast(grid))
         .join(hist, ["partition_key", "plane", "bucket"], "left")
-        .na.fill({"n": 0})
-        .join(F.broadcast(base), ["plane", "bucket"])
+        .join(F.broadcast(base), ["plane", "bucket"], "left")
+        .na.fill({"n": 0, "base_n": 0})
         .join(F.broadcast(bp), "plane")
         .join(F.broadcast(cnt), "partition_key")
-        .crossJoin(F.broadcast(n_total))
+        .join(F.broadcast(base_tot), "plane")
     )
     p = (F.col("n") + 0.5) / (F.col("n_obs") + 0.5 * F.col("b"))
     q = (F.col("base_n") + 0.5) / (F.col("n_total") + 0.5 * F.col("b"))

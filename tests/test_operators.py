@@ -635,3 +635,36 @@ def test_embedding_drift_check_config_plane(spark):
     v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
     # a and b are each half the pool and far apart: both drift vs pooled
     assert v["a"] == "FAIL" and v["b"] == "FAIL" and v["tiny"] == "SKIPPED"
+
+
+def test_embedding_drift_external_baseline_catches_global_shift(spark):
+    import numpy as np
+
+    from anomaly_detector_spark.operators.similarity import (
+        embedding_drift,
+        embedding_histogram,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 8
+
+    def corpus(mean):
+        return spark.createDataFrame(
+            [(i, f"p{i % 3}", [float(x) for x in rng.normal(mean, 0.15, dim)])
+             for i in range(600)],
+            "vec_id long, label string, embedding array<double>",
+        )
+
+    yesterday = corpus(0.0)
+    today = corpus(0.45)  # model bump: EVERY partition moves together
+    kw = dict(dim=dim, n_planes=4, bucket_micro=200_000)
+    # pooled in-batch baseline is blind: everyone still matches the pool
+    pooled = embedding_drift(today, "label", **kw).collect()
+    assert all(r["psi"] < 0.1 for r in pooled)
+    # yesterday's persisted O(planes x buckets) histogram catches it
+    store = embedding_histogram(yesterday, **kw)
+    vs_store = embedding_drift(today, "label", baseline=store, **kw).collect()
+    assert all(r["psi"] > 1.0 for r in vs_store)
+    # and yesterday vs its own store is clean
+    clean = embedding_drift(yesterday, "label", baseline=store, **kw).collect()
+    assert all(r["psi"] < 0.1 for r in clean)
