@@ -1524,17 +1524,29 @@ def q_events_read_amp(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").cast("long").alias("eid"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("v"),
     )
-    hashed = (
-        ev.groupBy(F.pmod(F.col("eid"), F.lit(32)).alias("fid"))
+    # both layouts from ONE scan + ONE map-side-combined shuffle: each
+    # row explodes to its (layout, file-id) pair before the min/max agg
+    ranges = (
+        ev.select(
+            "v",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hashed").alias("layout"),
+                        F.pmod(F.col("eid"), F.lit(32)).alias("fid"),
+                    ),
+                    F.struct(
+                        F.lit("time_ranged").alias("layout"),
+                        F.expr("v div 3600000000").alias("fid"),
+                    ),
+                )
+            ).alias("lf"),
+        )
+        .groupBy(F.col("lf.layout").alias("layout"), F.col("lf.fid").alias("fid"))
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .select(F.lit("hashed").alias("layout"), "lo", "hi")
+        .select("layout", "lo", "hi")
     )
-    ranged = (
-        ev.groupBy(F.expr("v div 3600000000").alias("fid"))
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .select(F.lit("time_ranged").alias("layout"), "lo", "hi")
-    )
-    out = sweep_depth(hashed.unionByName(ranged), group_cols=["layout"], chunks=32)
+    out = sweep_depth(ranges, group_cols=["layout"], chunks=32)
     return out.select(
         "layout",
         F.col("n_intervals").cast("long").alias("n_files"),
