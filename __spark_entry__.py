@@ -1754,6 +1754,25 @@ def q_files_bloom_seen(spark: SparkSession, sf: str) -> DataFrame:
     return agg.join(sb, "lang")
 
 
+def q_files_kmv_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run distinct-set algebra via KMV bottom-k sketches
+    (checks/kmv.py, sha mode so DuckDB re-derives every draw): the same
+    sha-digit key rule as files_bloom_seen tags two OVERLAPPING runs
+    (A: digit < 11, B: digit >= 6 — keys with digit 6-10 are in both);
+    per-lang estimates of |A|, |B|, union, intersection, Jaccard, and
+    the novelty |B \\ A| come from two O(k) sketches — never a rescan.
+    Small langs degrade to exact set arithmetic (exact flag)."""
+    from anomaly_detector_spark.checks.kmv import kmv_set_stats, kmv_sketch
+
+    files = files_view(spark, sf)
+    key = F.concat_ws("\x1f", "repo", "path", "commit")
+    d = F.conv(F.substring(F.sha2(key, 256), 57, 1), 16, 10).cast("int")
+    keys = ["repo", "path", "commit"]
+    sk_a = kmv_sketch(files.filter(d < 11), keys, "lang", k=64, hash_fn="sha256")
+    sk_b = kmv_sketch(files.filter(d >= 6), keys, "lang", k=64, hash_fn="sha256")
+    return kmv_set_stats(sk_a, sk_b)
+
+
 def q_docs_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     # one-pass multi-column shuffle-key skew audit (broadcast/salt
     # decision input): heaviest values of lang and source with shares
@@ -1816,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_key_skew": q_docs_key_skew,
         "files_fd": q_files_fd,
         "files_bloom_seen": q_files_bloom_seen,
+        "files_kmv_novelty": q_files_kmv_novelty,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -4429,6 +4449,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM ranked WHERE rank <= 3
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
+    out["files_kmv_novelty"] = _kmv_novelty_oracle()
     # docs_split_leakage: the minhash_pairs oracle verbatim as a CTE,
     # joined to the split assignment — the SAME sha256-threshold CASE
     # the Spark split_assign plan folds (cumulative-fraction hex
@@ -4559,6 +4580,89 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     if fp is not None:
         out["docs_fingerprint"] = fp
     return out
+
+
+def _kmv_novelty_oracle(k: int = 64) -> str:
+    """files_kmv_novelty twin: the KMV draw is int(first 13 hex of
+    sha256(key)) / 16^13 (52 bits, exact double; 16^13 a power of two so
+    the division is exact), valued in DuckDB via the bloom oracle's
+    strpos digit sum. Bottom-k per (lang, run) + union re-sketch + the
+    matched-fraction intersection estimator, identical arithmetic to
+    checks/kmv.py including the 4dp/6dp rounding points (est_new_b
+    subtracts the ALREADY-4dp-ROUNDED est_b, as kmv_set_stats does)."""
+
+    hexval13 = "+".join(
+        f"(strpos('0123456789abcdef', substr(hx,{1 + j},1))-1)*{16 ** (12 - j)}"
+        for j in range(13)
+    )
+
+    def bottomk(pred: str) -> str:
+        return f"""(
+    SELECT lang, u FROM (
+      SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+      FROM (SELECT DISTINCT lang, u FROM drawn WHERE {pred})
+    ) WHERE rn <= {k}
+  )"""
+
+    return f"""
+        WITH {FILES_CTE_SQL},
+        keyed AS (
+          SELECT DISTINCT lang,
+                 repo || chr(31) || path || chr(31) || "commit" AS kk
+          FROM files
+        ),
+        hs AS (SELECT lang, sha256(kk) AS hx FROM keyed),
+        drawn AS (
+          SELECT lang,
+                 (strpos('0123456789abcdef', substr(hx,57,1))-1) AS d,
+                 ({hexval13}) / {float(16 ** 13)} AS u
+          FROM hs
+        ),
+        ska AS {bottomk("d < 11")},
+        skb AS {bottomk("d >= 6")},
+        su AS (
+          SELECT lang, u FROM (
+            SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+            FROM (SELECT lang, u FROM ska UNION SELECT lang, u FROM skb)
+          ) WHERE rn <= {k}
+        ),
+        ug AS (SELECT lang, count(*) AS ku, max(u) AS umax FROM su GROUP BY 1),
+        mm AS (
+          SELECT su.lang, count(*) AS m
+          FROM su
+          JOIN ska ON ska.lang = su.lang AND ska.u = su.u
+          JOIN skb ON skb.lang = su.lang AND skb.u = su.u
+          GROUP BY 1
+        ),
+        ea AS (SELECT lang, count(*) AS n_a, max(u) AS amax FROM ska GROUP BY 1),
+        eb AS (SELECT lang, count(*) AS n_b, max(u) AS bmax FROM skb GROUP BY 1),
+        fin AS (
+          SELECT ug.lang AS partition_key,
+                 coalesce(ea.n_a, 0) AS n_a, coalesce(eb.n_b, 0) AS n_b,
+                 CASE WHEN coalesce(ea.n_a, 0) < {k}
+                      THEN CAST(coalesce(ea.n_a, 0) AS DOUBLE)
+                      ELSE {k - 1} / ea.amax END AS est_a_raw,
+                 CASE WHEN coalesce(eb.n_b, 0) < {k}
+                      THEN CAST(coalesce(eb.n_b, 0) AS DOUBLE)
+                      ELSE {k - 1} / eb.bmax END AS est_b_raw,
+                 CASE WHEN ug.ku < {k} THEN CAST(ug.ku AS DOUBLE)
+                      ELSE {k - 1} / ug.umax END AS du,
+                 coalesce(mm.m, 0) AS m, ug.ku
+          FROM ug
+          LEFT JOIN mm ON mm.lang = ug.lang
+          LEFT JOIN ea ON ea.lang = ug.lang
+          LEFT JOIN eb ON eb.lang = ug.lang
+        )
+        SELECT partition_key,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(est_a_raw, 4) AS est_a, round(est_b_raw, 4) AS est_b,
+               round(du, 4) AS est_union,
+               round(m / CAST(ku AS DOUBLE) * du, 4) AS est_inter,
+               round((m / CAST(ku AS DOUBLE) * du) / du, 6) AS jaccard,
+               round(round(est_b_raw, 4) - m / CAST(ku AS DOUBLE) * du, 4) AS est_new_b,
+               (ku < {k}) AS exact
+        FROM fin
+    """
 
 
 def _bloom_seen_oracle() -> str:
