@@ -182,6 +182,110 @@ def kmv_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+def read_store(spark, kmv_dir: str, suite_sid: str | None = None):
+    """Load a persisted KMV sketch store (parquet rows appended by
+    run_with_manifest(kmv_sketches_dir=...)) and its build parameters.
+
+    Returns (rows(partition_key, u, run_id), k, mode). Mixed (k, mode)
+    stores — a config change between runs — are REJECTED rather than
+    silently merged wrong (draws under different hash modes are not
+    comparable; different k corrupts the (k-1)/u_(k) estimator).
+    Rows are NOT yet bottom-k'd per partition: callers merge with
+    kmv_merge (multi-run unions must re-take bottom-k before any
+    estimate — a raw union's u_(k') with k' > k rows underestimates)."""
+    rows = spark.read.parquet(kmv_dir)
+    if suite_sid is not None:
+        rows = rows.filter(F.col("suite_id") == suite_sid)
+    params = rows.select("k", "mode").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"KMV store holds {len(params)} (k, mode) parameter sets; "
+            "set algebra is only sound within one — rebuild the store"
+        )
+    p = params[0]
+    keep = ["partition_key", "u"] + (["run_id"] if "run_id" in rows.columns else [])
+    return (
+        rows.select(*keep, F.lit(int(p["k"])).alias("k"), F.lit(p["mode"]).alias("mode")),
+        int(p["k"]),
+        p["mode"],
+    )
+
+
+def run_novelty(df: DataFrame, spec) -> "CheckResult":
+    """Declarable cross-run NOVELTY check: how much of this input's key
+    set is genuinely new vs everything previous runs committed (per the
+    persisted KMV store at ``config['store']``), and FAIL partitions
+    outside the declared band. The set-level complement of
+    membership.run_seen_before: bloom answers per-key, this answers
+    per-set with a sound estimator from two O(k) sketches — the input
+    is scanned once (its own sketch build); history is never rescanned.
+
+    Config:
+    * ``store`` (required) — kmv_sketches_dir a prior
+      run_with_manifest(kmv_sketches_dir=...) appended to; k/mode are
+      taken FROM the store so the two sides can never mismatch. The
+      path participates in the check id.
+    * ``key`` — composite key columns (default (repo, path, commit)).
+    * ``min_new_frac`` — FAIL when est_new/est_cur <= this (default 0.0:
+      flag pure replays — a feed re-sending only already-committed
+      keys). Size it above the estimator noise ~1/sqrt(k-2) when
+      partitions exceed k keys; below k keys the algebra is exact.
+    * ``max_new_frac`` — optionally also FAIL when the novelty EXCEEDS
+      this (key-space rotation / upstream id churn), default None (off).
+
+    Verdicts: SKIPPED when the store has no sketch for the partition
+    (warm-up — nothing to compare) or the input holds fewer than
+    min(min_rows, k) distinct keys. Violations are empty by design:
+    set-level estimates carry no row identity (pair with seen_before +
+    history for exact offending keys)."""
+    from .base import CheckResult, empty_violations, verdict_frame
+
+    spark = df.sparkSession
+    keys = list(spec.config.get("key", ["repo", "path", "commit"]))
+    rows, k, mode = read_store(spark, spec.config["store"])
+    hist = kmv_merge(rows.select("partition_key", "u", "k", "mode"))
+    cur = kmv_sketch(df, keys, spec.partition_col, k=k, hash_fn=mode)
+    stats = (
+        kmv_set_stats(hist, cur)
+        # store partitions absent from THIS input get no verdict row
+        # (they were not validated by this run), same as every check
+        .join(cur.select("partition_key").distinct(), "partition_key", "left_semi")
+        .withColumn(
+            "new_frac",
+            F.when(F.col("est_b") > 0, F.col("est_new_b") / F.col("est_b")),
+        )
+    )
+    min_new = float(spec.config.get("min_new_frac", 0.0))
+    max_new = spec.config.get("max_new_frac")
+    fail = F.col("new_frac") <= F.lit(min_new)
+    if max_new is not None:
+        fail = fail | (F.col("new_frac") > F.lit(float(max_new)))
+    per = stats.select(
+        "partition_key",
+        F.col("n_a").cast("double").alias("n_hist"),
+        F.col("n_b").cast("double").alias("n_cur"),
+        F.col("est_a").alias("est_hist"),
+        F.col("est_b").alias("est_cur"),
+        F.col("est_new_b").alias("est_new"),
+        F.round("new_frac", 6).alias("new_frac"),
+        "jaccard",
+        F.col("exact").cast("double").alias("exact"),
+    )
+    verdicts = verdict_frame(
+        per,
+        spec.id,
+        "partition_key",
+        fail_when=fail,
+        skip_when=(F.col("n_hist") == 0)
+        | (F.col("n_cur") < min(spec.min_rows, k)),
+        metric_cols=[
+            "n_hist", "n_cur", "est_hist", "est_cur", "est_new",
+            "new_frac", "jaccard", "exact",
+        ],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per)
+
+
 def kmv_set_stats(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     """Cross-sketch set algebra per partition: (partition_key, n_a, n_b,
     est_a, est_b, est_union, est_inter, jaccard, est_new_b, exact).

@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
         "plans/manifest.py seen_before, no history rescan",
     )
     p.add_argument(
+        "--kmv-sketches", default=None,
+        help="per-run KMV bottom-k table (parquet dir) for cross-run "
+        "set algebra — union/intersection/Jaccard/novelty of key sets "
+        "via plans/manifest.py novelty_stats, no history rescan",
+    )
+    p.add_argument(
         "--hist-store", default=None,
         help="per-run pooled drift-histogram table (parquet dir) — the "
         "rolling-baseline store (plans/manifest.py rolling_baseline)",
@@ -158,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         quantile_sketches_dir=args.quantile_sketches,
         topk_sketches_dir=args.topk_sketches,
         membership_dir=args.membership,
+        kmv_sketches_dir=args.kmv_sketches,
         hist_dir=args.hist_store,
         rolling_baseline_k=args.rolling_baseline_k,
         revalidate=args.revalidate,

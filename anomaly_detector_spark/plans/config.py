@@ -60,6 +60,7 @@ def _registry() -> dict[str, Callable]:
         run_row_predicate,
     )
     from ..checks.fd import run_fd
+    from ..checks.kmv import run_novelty
     from ..checks.membership import run_seen_before
     from ..checks.metadata import run_layout_health, run_metadata_stats
     from ..checks.sequence import run_flatline, run_gaps, run_monotonic
@@ -80,6 +81,9 @@ def _registry() -> dict[str, Callable]:
         # store PATH (part of the check id — different store, different
         # check), never a frame
         "seen_before": run_seen_before,
+        # cross-run set-level novelty: config carries the persisted KMV
+        # store PATH (same store-in-id rule as seen_before)
+        "novelty": run_novelty,
         "referential": run_referential,
         # reconcile's other_df is runtime state injected at run time (the
         # baseline_df/dim_df rule): the config document carries measure/

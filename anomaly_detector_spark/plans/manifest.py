@@ -277,6 +277,36 @@ def seen_before(
     )
 
 
+def novelty_stats(
+    spark: SparkSession,
+    kmv_sketches_dir: str,
+    suite_sid: str | None = None,
+) -> DataFrame:
+    """Set algebra of the LATEST committed run against everything before
+    it, from the persisted KMV store alone — per partition: estimated
+    |history|, |latest|, union, intersection, Jaccard, and the novelty
+    |latest \\ history| ("how many of the newest run's keys were
+    genuinely new"), plus the latest run_id. No run is rescanned; both
+    sides are O(k)-row sketches (checks/kmv.py).
+
+    History rows are re-merged to bottom-k first (kmv_merge): a raw
+    multi-run union holds more than k draws per partition, whose max-u
+    would UNDERESTIMATE history. Needs >= 2 committed runs."""
+    from ..checks.kmv import kmv_merge, kmv_set_stats, read_store
+
+    rows, _k, _mode = read_store(spark, kmv_sketches_dir, suite_sid)
+    if "run_id" not in rows.columns:
+        raise ValueError("KMV store rows carry no run_id; cannot split latest vs history")
+    last = rows.agg(F.max("run_id")).first()[0]
+    cur = rows.filter(F.col("run_id") == last).drop("run_id")
+    hist_rows = rows.filter(F.col("run_id") < last).drop("run_id")
+    if hist_rows.isEmpty():
+        raise ValueError("KMV store holds a single run; novelty needs >= 2")
+    return kmv_set_stats(kmv_merge(hist_rows), kmv_merge(cur)).withColumn(
+        "run_id", F.lit(last)
+    )
+
+
 def rolling_baseline(
     spark: SparkSession,
     hist_dir: str,
@@ -454,6 +484,7 @@ def run_with_manifest(
     quantile_sketches_dir: str | None = None,
     topk_sketches_dir: str | None = None,
     membership_dir: str | None = None,
+    kmv_sketches_dir: str | None = None,
     hist_dir: str | None = None,
     rolling_baseline_k: int | None = None,
     cache_pending: bool = False,
@@ -713,6 +744,30 @@ def run_with_manifest(
             )
             .write.mode("append")
             .parquet(membership_dir)
+        )
+
+    if kmv_sketches_dir is not None:
+        # Per-partition KMV bottom-k rows — the SET-ALGEBRA member of
+        # the sketch family (checks/kmv.py): cross-run |A∩B| / Jaccard /
+        # novelty ("how much of today's key set is new") via
+        # novelty_stats or the declarable novelty check, no history
+        # rescan. At-least-once appends are harmless twice over: the
+        # merge distincts duplicate draws, and novelty_stats compares
+        # only the latest run against everything before it.
+        from ..checks.kmv import kmv_sketch
+
+        uniq_specs = [s for s in suite if s.name == "uniqueness"]
+        kv_keys = (
+            list(uniq_specs[0].config.get("key", ["repo", "path", "commit"]))
+            if uniq_specs
+            else ["repo", "path", "commit"]
+        )
+        (
+            kmv_sketch(pending, kv_keys, partition_col, k=256, hash_fn="xxhash64")
+            .withColumn("run_id", F.lit(rid))
+            .withColumn("suite_id", F.lit(sid))
+            .write.mode("append")
+            .parquet(kmv_sketches_dir)
         )
 
     if hist_dir is not None:

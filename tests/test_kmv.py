@@ -106,6 +106,88 @@ def test_prefilter_pushdown_sound(spark):
     assert sorted(r["u"] for r in full.collect()) == sorted(r["u"] for r in fast.collect())
 
 
+def _files(spark, lo, hi, lang="py"):
+    return spark.range(lo, hi).select(
+        F.lit(lang).alias("lang"),
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("content"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def test_manifest_store_and_novelty_stats(spark, tmp_path):
+    # two committed runs; run 2 re-sends 40 of run 1's 100 keys plus 60
+    # fresh ones. Exact mode (both sides < k): novelty_stats must report
+    # EXACT set arithmetic from the store alone.
+    from anomaly_detector_spark.plans.manifest import novelty_stats, run_with_manifest
+
+    kmv_dir, mdir = str(tmp_path / "kmv"), str(tmp_path / "m")
+    run_with_manifest(
+        _files(spark, 0, 100), mdir, kmv_sketches_dir=kmv_dir, run_id="r1"
+    )
+    r2 = _files(spark, 60, 160)  # 40 replayed (60..99), 60 new (100..159)
+    run_with_manifest(r2, mdir, kmv_sketches_dir=kmv_dir, run_id="r2", revalidate=True)
+
+    st = novelty_stats(spark, kmv_dir).collect()
+    assert len(st) == 1 and st[0]["run_id"] == "r2"
+    row = st[0]
+    assert row["exact"] is True
+    assert (row["est_a"], row["est_b"]) == (100.0, 100.0)
+    assert (row["est_union"], row["est_inter"], row["est_new_b"]) == (160.0, 40.0, 60.0)
+
+    # single-run store: novelty undefined
+    solo = str(tmp_path / "kmv1")
+    run_with_manifest(_files(spark, 0, 50), str(tmp_path / "m1"), kmv_sketches_dir=solo)
+    with pytest.raises(ValueError, match="single run"):
+        novelty_stats(spark, solo)
+
+
+def test_run_novelty_check_json_declarable(spark, tmp_path):
+    # history = keys 0..199 in py, 0..99 in go. New input: py is a PURE
+    # REPLAY (FAIL at the default min_new_frac=0), go is half fresh
+    # (PASS), rs has no history sketch (SKIPPED warm-up).
+    from anomaly_detector_spark.plans.config import suite_from_config
+    from anomaly_detector_spark.plans.manifest import run_with_manifest
+
+    kmv_dir = str(tmp_path / "kmv")
+    hist = _files(spark, 0, 200, lang="py").unionByName(_files(spark, 0, 100, lang="go"))
+    run_with_manifest(hist, str(tmp_path / "m"), kmv_sketches_dir=kmv_dir)
+
+    new = (
+        _files(spark, 50, 150, lang="py")  # all seen
+        .unionByName(_files(spark, 50, 150, lang="go"))  # 50 seen, 50 new
+        .unionByName(_files(spark, 0, 40, lang="rs"))  # no history
+    )
+    suite = suite_from_config(
+        {
+            "partition_col": "lang",
+            "min_rows": 1,
+            "checks": [{"check": "novelty", "store": kmv_dir}],
+        }
+    )
+    res = suite[0].run(new)
+    got = {r["partition_key"]: r for r in res.verdicts.collect()}
+    assert got["py"]["verdict"] == "FAIL" and got["py"]["metrics"]["new_frac"] == 0.0
+    assert got["go"]["verdict"] == "PASS" and got["go"]["metrics"]["est_new"] == 50.0
+    assert got["rs"]["verdict"] == "SKIPPED" and got["rs"]["metrics"]["n_hist"] == 0.0
+    assert res.violations.count() == 0  # set-level check: no row identity
+
+    # max_new_frac band: go's 50% novelty now ALSO fails (key-space churn)
+    suite2 = suite_from_config(
+        {
+            "partition_col": "lang",
+            "min_rows": 1,
+            "checks": [{"check": "novelty", "store": kmv_dir, "max_new_frac": 0.2}],
+        }
+    )
+    got2 = {r["partition_key"]: r["verdict"] for r in suite2[0].run(new).verdicts.collect()}
+    assert got2["go"] == "FAIL" and got2["py"] == "FAIL" and got2["rs"] == "SKIPPED"
+    # the two configs are DIFFERENT checks: the band rides the id
+    assert suite[0].id != suite2[0].id
+
+
 def test_sha_mode_matches_xxhash_estimates_roughly(spark):
     # both modes are uniform draws over the same key set: estimates agree
     # within the estimator's own error band
