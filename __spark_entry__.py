@@ -982,6 +982,21 @@ def q_events_freshness(spark: SparkSession, sf: str) -> DataFrame:
     return per.join(v, on="partition_key")
 
 
+def q_events_slot_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/freshness.py slot_coverage: calendar COMPLETENESS per
+    event_type at hour grain over the GLOBAL table span — which types
+    missed hours, how many, and the longest consecutive dead run
+    (including leading/trailing runs the interior lag window can't
+    see). One map-side-combined groupBy collapses the table to
+    O(types x hours); the expected count is pure arithmetic (no
+    sequence() array at any span)."""
+    from anomaly_detector_spark.checks.freshness import slot_coverage
+
+    return slot_coverage(
+        load_table(spark, sf, "events"), "event_type", "ts", "hour", span="global"
+    )
+
+
 def q_events_profile(spark: SparkSession, sf: str) -> DataFrame:
     """checks/profile.py one-pass profiler over the events table (exact
     cardinalities for oracle parity; approx_count_distinct is the scale
@@ -1825,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "events_profile_by_type": q_events_profile_by_type,
         "events_freshness": q_events_freshness,
+        "events_slot_coverage": q_events_slot_coverage,
         "files_quarantine": q_files_quarantine,
         "events_json_rule": q_events_json_rule,
         "docs_clean_corpus": q_docs_clean_corpus,
@@ -3795,6 +3811,44 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                CASE WHEN n_rows < 25 THEN 'SKIPPED'
                     WHEN age_seconds > 1800 THEN 'FAIL' ELSE 'PASS' END AS verdict
         FROM j
+    """
+    # events_slot_coverage twin: same slot collapse, same interior lag
+    # gaps, same GLOBAL-span edge-gap fold and arithmetic expected count
+    out["events_slot_coverage"] = """
+        WITH slots AS (
+          SELECT event_type AS partition_key, date_trunc('hour', ts) AS slot,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        gapped AS (
+          SELECT partition_key, n, slot,
+                 coalesce(
+                   (epoch(slot) - epoch(lag(slot) OVER (
+                      PARTITION BY partition_key ORDER BY slot))) / 3600 - 1,
+                   0) AS g
+          FROM slots
+        ),
+        per AS (
+          SELECT partition_key, sum(n) AS n_rows, count(*) AS n_obs,
+                 min(slot) AS fo, max(slot) AS lo2, max(g) AS ig
+          FROM gapped GROUP BY 1
+        ),
+        g AS (SELECT min(fo) AS glo, max(lo2) AS ghi FROM per),
+        fin AS (
+          SELECT p.partition_key, p.n_rows, p.n_obs, p.ig,
+                 (epoch(g.ghi) - epoch(g.glo)) / 3600 + 1 AS n_exp,
+                 (epoch(p.fo) - epoch(g.glo)) / 3600 AS lead_gap,
+                 (epoch(g.ghi) - epoch(p.lo2)) / 3600 AS trail_gap
+          FROM per p CROSS JOIN g
+        )
+        SELECT partition_key,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_obs AS BIGINT) AS n_slots_observed,
+               CAST(n_exp AS BIGINT) AS n_slots_expected,
+               CAST(n_exp - n_obs AS BIGINT) AS n_missing,
+               round(n_obs / n_exp, 6) AS coverage,
+               CAST(greatest(ig, lead_gap, trail_gap) AS BIGINT) AS max_gap
+        FROM fin
     """
     out["schema_drift"] = """
         SELECT * FROM (VALUES

@@ -50,7 +50,7 @@ def _registry() -> dict[str, Callable]:
     # stays cheap and cycle-free
     from ..checks.contract import run_schema_contract
     from ..checks.drift import run_count_drift, run_drift, run_embedding_drift
-    from ..checks.freshness import run_freshness
+    from ..checks.freshness import run_coverage, run_freshness
     from ..checks.referential import run_referential
     from ..checks.rowrules import (
         run_accepted_values,
@@ -93,6 +93,8 @@ def _registry() -> dict[str, Callable]:
         "count_drift": run_count_drift,
         "embedding_drift": run_embedding_drift,
         "freshness": run_freshness,
+        # calendar completeness: every expected time slot arrived
+        "coverage": run_coverage,
         "fd": run_fd,
         "monotonic": run_monotonic,
         "gaps": run_gaps,
