@@ -561,3 +561,78 @@ def test_drift_stream_value_mode(spark, tmp_path):
     q.awaitTermination(300)
     got = {r["partition_key"]: r["is_drifted"] for r in spark.read.parquet(sink).collect()}
     assert got == {"a": False, "b": True}
+
+
+def test_novelty_stream_matches_batch_and_accumulates(spark, tmp_path):
+    # history store = keys 0..99 (py), 0..49 (go). The stream delivers
+    # py keys 50..149 split across TWO triggers (50 replayed, 50 new),
+    # go keys 0..49 (pure replay), rs keys 0..19 (no history). After the
+    # final trigger each partition's emitted row must EQUAL the batch
+    # path (run_novelty metrics) over the same union of rows — bottom-k
+    # state is order-insensitive, so the batch split cannot show.
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.kmv import run_novelty
+    from anomaly_detector_spark.plans.manifest import run_with_manifest
+    from anomaly_detector_spark.streaming.novelty import history_draws, novelty_stream
+
+    def files(lo, hi, lang):
+        return spark.range(lo, hi).select(
+            F.lit(lang).alias("lang"),
+            F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+            F.concat(F.lit("b"), F.col("id").cast("string")).alias("content"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+
+    kmv_dir = str(tmp_path / "kmv")
+    hist_df = files(0, 100, "py").unionByName(files(0, 50, "go"))
+    run_with_manifest(hist_df, str(tmp_path / "m"), kmv_sketches_dir=kmv_dir)
+    history, k, mode = history_draws(spark, kmv_dir)
+    assert k == 256 and mode == "xxhash64" and set(history) == {"py", "go"}
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    schema = "lang string, repo string, path string, commit string, content string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        out = novelty_stream(stream, history, k, hash_fn=mode)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    batch1 = files(50, 100, "py").unionByName(files(0, 20, "rs"))
+    batch2 = files(100, 150, "py").unionByName(files(0, 50, "go"))
+    batch1.write.mode("append").parquet(inp)
+    run_once()
+    first = {r["partition_key"]: r for r in spark.read.parquet(sink).collect()}
+    assert first["py"]["est_new"] == 0.0  # trigger 1: only replayed py keys
+    assert first["rs"]["new_frac"] == 1.0  # warm-up partition: all new
+
+    batch2.write.mode("append").parquet(inp)
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in rows:  # state accumulates: latest emission = max n_kept
+        pk = r["partition_key"]
+        if pk not in latest or r["n_kept"] > latest[pk]["n_kept"]:
+            latest[pk] = r
+    # py carried state across triggers: 100 distinct stream keys total
+    assert latest["py"]["n_kept"] == 100 and latest["py"]["est_new"] == 50.0
+    assert latest["go"]["est_new"] == 0.0  # pure replay
+
+    # batch twin over the SAME union of rows, same store
+    spec = CheckSpec("novelty", run_novelty, {"store": kmv_dir}, "lang", 1)
+    bm = {
+        r["partition_key"]: r
+        for r in spec.run(batch1.unionByName(batch2)).metrics.collect()
+    }
+    for pk in ("py", "go"):
+        assert latest[pk]["est_cur"] == bm[pk]["est_cur"]
+        assert latest[pk]["est_new"] == bm[pk]["est_new"]
+        assert latest[pk]["new_frac"] == bm[pk]["new_frac"]
