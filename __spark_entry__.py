@@ -1788,6 +1788,22 @@ def q_files_kmv_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_set_stats(sk_a, sk_b)
 
 
+def q_forecast_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """plans/forecast.py pre-flight: predicted output size + skew +
+    strategy for orders ⋈ customer on custkey, from two one-scan O(k)
+    profiles — the join itself never runs. Heavy∩heavy pairs are exact
+    (and the sound lower bound); the tail uses the System-R residual.
+    On the FK join the estimate should land on |orders| — the oracle
+    re-derives every term, and tests pin the accuracy claims."""
+    from anomaly_detector_spark.plans.forecast import forecast_equijoin, join_profile
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return forecast_equijoin(
+        join_profile(o, ["o_custkey"], k=64), join_profile(c, ["c_custkey"], k=64)
+    )
+
+
 def q_docs_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     # one-pass multi-column shuffle-key skew audit (broadcast/salt
     # decision input): heaviest values of lang and source with shares
@@ -1852,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_fd": q_files_fd,
         "files_bloom_seen": q_files_bloom_seen,
         "files_kmv_novelty": q_files_kmv_novelty,
+        "forecast_orders_customer": q_forecast_orders_customer,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -4504,6 +4521,74 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
     out["files_kmv_novelty"] = _kmv_novelty_oracle()
+    # forecast_orders_customer twin: top-64 exact heavy counts per side
+    # (row_number over n DESC, item ASC — two_phase_topk's tie rule),
+    # exact heavy∩heavy + System-R residual, same rounding points
+    out["forecast_orders_customer"] = """
+        WITH ca AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS item, count(*) AS n
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        ),
+        cb AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS item, count(*) AS n
+          FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+        ),
+        ta AS (SELECT sum(n) AS n_a, count(*) AS d_a FROM ca),
+        tb AS (SELECT sum(n) AS n_b, count(*) AS d_b FROM cb),
+        ha AS (
+          SELECT item, n FROM (
+            SELECT item, n, row_number() OVER (ORDER BY n DESC, item) AS rnk FROM ca
+          ) WHERE rnk <= 64
+        ),
+        hb AS (
+          SELECT item, n FROM (
+            SELECT item, n, row_number() OVER (ORDER BY n DESC, item) AS rnk FROM cb
+          ) WHERE rnk <= 64
+        ),
+        matched AS (
+          SELECT ha.item, ha.n AS na, hb.n AS nb, ha.n * hb.n AS out_rows
+          FROM ha JOIN hb ON ha.item = hb.item
+        ),
+        magg AS (
+          SELECT count(*) AS n_heavy_matched,
+                 coalesce(sum(out_rows), 0) AS exact_heavy,
+                 coalesce(sum(na), 0) AS ma, coalesce(sum(nb), 0) AS mb,
+                 coalesce(max(out_rows), 0) AS max_key_rows
+          FROM matched
+        ),
+        fin AS (
+          SELECT magg.*, ta.n_a, ta.d_a, tb.n_b, tb.d_b,
+                 (SELECT item FROM matched ORDER BY out_rows DESC, item DESC LIMIT 1) AS max_key,
+                 ta.n_a - magg.ma AS nra, tb.n_b - magg.mb AS nrb,
+                 ta.d_a - magg.n_heavy_matched AS dra,
+                 tb.d_b - magg.n_heavy_matched AS drb
+          FROM magg CROSS JOIN ta CROSS JOIN tb
+        ),
+        est AS (
+          SELECT *, round(exact_heavy + CASE
+              WHEN dra > 0 AND drb > 0
+              THEN nra * nrb / CAST(greatest(dra, drb) AS DOUBLE)
+              ELSE 0.0 END, 1) AS est_rows
+          FROM fin
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+               CAST(n_heavy_matched AS BIGINT) AS n_heavy_matched,
+               CAST(exact_heavy AS BIGINT) AS exact_heavy_rows,
+               est_rows,
+               CAST(exact_heavy AS BIGINT) AS lower_rows,
+               max_key,
+               CAST(max_key_rows AS BIGINT) AS max_key_rows,
+               CASE WHEN est_rows > 0
+                    THEN round(max_key_rows / est_rows, 6) ELSE 0.0 END AS skew_share,
+               CASE WHEN n_a <= 10000000 AND n_a <= n_b THEN 'broadcast_a'
+                    WHEN n_b <= 10000000 THEN 'broadcast_b'
+                    WHEN CASE WHEN est_rows > 0
+                              THEN round(max_key_rows / est_rows, 6)
+                              ELSE 0.0 END > 0.2 THEN 'salt'
+                    ELSE 'shuffle' END AS strategy
+        FROM est
+    """
     # docs_split_leakage: the minhash_pairs oracle verbatim as a CTE,
     # joined to the split assignment — the SAME sha256-threshold CASE
     # the Spark split_assign plan folds (cumulative-fraction hex
