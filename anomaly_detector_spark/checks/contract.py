@@ -89,6 +89,165 @@ def schema_contract_df(
     )
 
 
+SNAPSHOT_COLS = (
+    "run_id string, committed_at timestamp, ord int, column string, "
+    "dtype string, nullable boolean"
+)
+
+
+def append_schema_snapshot(df: DataFrame, schemas_dir: str, run_id: str) -> None:
+    """Record the table's physical schema for this run — driver-side
+    metadata, zero scans, a handful of rows per run. The store is the
+    contract check's HISTORY dual: the contract compares against a
+    declared schema, the snapshot store answers "when did this column
+    appear / vanish / change type" across runs (schema_changes) and
+    lets a suite gate on "changed SINCE LAST RUN" with no declared
+    contract at all (run_schema_evolution). Runs order by
+    (committed_at, run_id) — the manifest's own convention."""
+    import datetime
+
+    spark = df.sparkSession
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    rows = [
+        (run_id, now, i, f.name, f.dataType.simpleString(), bool(f.nullable))
+        for i, f in enumerate(df.schema.fields)
+    ]
+    spark.createDataFrame(rows, SNAPSHOT_COLS).write.mode("append").parquet(schemas_dir)
+
+
+def schema_changes(
+    spark, schemas_dir: str, include_unchanged: bool = False
+) -> DataFrame:
+    """Run-over-run schema diff from the snapshot store: one row per
+    (run, column) whose shape moved vs the PREVIOUS run — status
+    added | removed | type_changed (observed/expected carry the two
+    dtypes). All frames are O(runs x columns) metadata rows; nothing
+    scans data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    snaps = spark.read.parquet(schemas_dir)
+    runs = (
+        snaps.select("run_id", "committed_at")
+        .distinct()
+        .withColumn(
+            "rk",
+            F.dense_rank().over(
+                Window.orderBy("committed_at", "run_id")
+            ),
+        )
+    )
+    ranked = snaps.join(F.broadcast(runs), ["run_id", "committed_at"]).select(
+        "rk", "column", "dtype"
+    )
+    n_runs = runs.agg(F.max("rk").alias("_max_rk"))
+    cur = ranked.filter(F.col("rk") >= 2).select(
+        "rk", "column", F.col("dtype").alias("_cur")
+    )
+    prev = (
+        ranked.withColumn("rk", F.col("rk") + 1)
+        .crossJoin(F.broadcast(n_runs))
+        .filter(F.col("rk") <= F.col("_max_rk"))
+        .select("rk", "column", F.col("dtype").alias("_prev"))
+    )
+    j = cur.join(prev, ["rk", "column"], "full_outer").withColumn(
+        "status",
+        F.when(F.col("_prev").isNull(), F.lit("added"))
+        .when(F.col("_cur").isNull(), F.lit("removed"))
+        .when(F.col("_cur") != F.col("_prev"), F.lit("type_changed"))
+        .otherwise(F.lit("unchanged")),
+    )
+    if not include_unchanged:
+        j = j.filter(F.col("status") != "unchanged")
+    return (
+        j.join(F.broadcast(runs), "rk")
+        .select(
+            "run_id",
+            "column",
+            "status",
+            F.coalesce("_cur", F.lit("absent")).alias("observed"),
+            F.coalesce("_prev", F.lit("absent")).alias("expected"),
+        )
+    )
+
+
+def run_schema_evolution(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Declarable "schema changed since last run" gate: the input's
+    physical schema vs the LATEST snapshot in ``config['store']`` — no
+    declared contract needed; yesterday's shape is the contract.
+
+    Config: ``store`` (required — a schemas_dir run_with_manifest
+    appended to; path rides the check id), ``allow`` — statuses to
+    tolerate (e.g. ["added"] for append-only evolution; default none).
+    Verdicts: one row per column (partition_key = column name), FAIL on
+    added/removed/type_changed unless allowed; ALL columns SKIPPED when
+    the store is empty (warm-up — no previous shape to compare). Same
+    manifest caveat as run_schema_contract: column-name partition keys
+    don't resume-commit."""
+    import os
+
+    spark = df.sparkSession
+    allow = set(spec.config.get("allow", []))
+    store = spec.config["store"]
+    latest: dict[str, str] = {}
+    have_store = False
+    try:
+        snaps = spark.read.parquet(store)
+        from pyspark.sql import functions as F
+
+        last = (
+            snaps.select("run_id", "committed_at")
+            .distinct()
+            .orderBy(F.col("committed_at").desc(), F.col("run_id").desc())
+            .first()
+        )
+        if last is not None:
+            have_store = True
+            latest = {
+                r["column"]: r["dtype"]
+                for r in snaps.filter(
+                    (snaps.run_id == last["run_id"])
+                    & (snaps.committed_at == last["committed_at"])
+                ).collect()
+            }
+    except Exception:
+        if os.path.exists(store):  # real store, real read error: surface it
+            raise
+    observed = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for col, dt in observed.items():
+        if not have_store:
+            rows.append((col, "no_history", dt, "absent"))
+        elif col not in latest:
+            rows.append((col, "added", dt, "absent"))
+        elif latest[col] != dt:
+            rows.append((col, "type_changed", dt, latest[col]))
+        else:
+            rows.append((col, "ok", dt, latest[col]))
+    for col, dt in latest.items():
+        if col not in observed:
+            rows.append((col, "removed", "absent", dt))
+    verdicts = spark.createDataFrame(
+        [
+            (
+                col,
+                spec.id,
+                "SKIPPED"
+                if status == "no_history"
+                else ("PASS" if status == "ok" or status in allow else "FAIL"),
+                {"is_ok": 1.0 if status == "ok" else 0.0},
+            )
+            for col, status, _obs, _exp in rows
+        ],
+        "partition_key string, check_id string, verdict string, metrics map<string,double>",
+    )
+    return CheckResult(
+        violations=empty_violations(df),
+        verdicts=verdicts,
+        metrics=spark.createDataFrame(rows, CONTRACT_COLS),
+    )
+
+
 def run_schema_contract(df: DataFrame, spec: CheckSpec) -> CheckResult:
     """CheckResult envelope: one verdict row per column (partition_key =
     column name), FAIL on any non-ok status. No violations frame — the

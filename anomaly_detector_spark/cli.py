@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
         "via plans/manifest.py novelty_stats, no history rescan",
     )
     p.add_argument(
+        "--schemas", default=None,
+        help="per-run physical-schema snapshot table (parquet dir): "
+        "run-over-run schema diffs (schema_changes) and the "
+        "schema_evolution 'changed since last run' gate — zero scans",
+    )
+    p.add_argument(
         "--hist-store", default=None,
         help="per-run pooled drift-histogram table (parquet dir) — the "
         "rolling-baseline store (plans/manifest.py rolling_baseline)",
@@ -165,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         topk_sketches_dir=args.topk_sketches,
         membership_dir=args.membership,
         kmv_sketches_dir=args.kmv_sketches,
+        schemas_dir=args.schemas,
         hist_dir=args.hist_store,
         rolling_baseline_k=args.rolling_baseline_k,
         revalidate=args.revalidate,

@@ -48,7 +48,7 @@ _RESERVED = {"check", "name", "partition_col", "min_rows"}
 def _registry() -> dict[str, Callable]:
     # imported lazily so `import anomaly_detector_spark.plans.config`
     # stays cheap and cycle-free
-    from ..checks.contract import run_schema_contract
+    from ..checks.contract import run_schema_contract, run_schema_evolution
     from ..checks.drift import run_count_drift, run_drift, run_embedding_drift
     from ..checks.freshness import run_coverage, run_freshness
     from ..checks.referential import run_referential
@@ -100,6 +100,9 @@ def _registry() -> dict[str, Callable]:
         "gaps": run_gaps,
         "flatline": run_flatline,
         "schema_contract": run_schema_contract,
+        # yesterday's shape is the contract: config carries the snapshot
+        # store PATH (rides the check id) + allowed statuses
+        "schema_evolution": run_schema_evolution,
         "format": run_format,
         "accepted_values": run_accepted_values,
         "completeness": run_completeness,

@@ -485,6 +485,7 @@ def run_with_manifest(
     topk_sketches_dir: str | None = None,
     membership_dir: str | None = None,
     kmv_sketches_dir: str | None = None,
+    schemas_dir: str | None = None,
     hist_dir: str | None = None,
     rolling_baseline_k: int | None = None,
     cache_pending: bool = False,
@@ -769,6 +770,17 @@ def run_with_manifest(
             .write.mode("append")
             .parquet(kmv_sketches_dir)
         )
+
+    if schemas_dir is not None:
+        # Per-run physical-schema snapshot — driver-side metadata, zero
+        # scans (checks/contract.py): feeds schema_changes ("when did
+        # this column appear/vanish/change type") and the
+        # schema_evolution gate ("changed since last run", no declared
+        # contract needed). A replayed append re-records an identical
+        # snapshot, which diffs as unchanged — harmless.
+        from ..checks.contract import append_schema_snapshot
+
+        append_schema_snapshot(pending, schemas_dir, rid)
 
     if hist_dir is not None:
         # Per-run PER-PARTITION drift histogram — the rolling-baseline

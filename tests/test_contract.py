@@ -74,3 +74,71 @@ def test_contract_df_schema(spark):
     out = schema_contract_df(df)
     assert out.columns == ["column", "status", "observed", "expected"]
     assert out.count() == 5
+
+
+def test_schema_changes_run_over_run(spark, tmp_path):
+    from anomaly_detector_spark.checks.contract import (
+        append_schema_snapshot,
+        schema_changes,
+    )
+
+    sd = str(tmp_path / "schemas")
+    base = mkfiles(spark, [("r", "a", "c", "python", "x")])
+    append_schema_snapshot(base, sd, "r1")
+    # r2: adds a column
+    append_schema_snapshot(base.withColumn("stars", F.lit(3)), sd, "r2")
+    # r3: type change on stars, content removed
+    append_schema_snapshot(
+        base.withColumn("stars", F.lit("many")).drop("content"), sd, "r3"
+    )
+    got = {
+        (r["run_id"], r["column"]): (r["status"], r["observed"], r["expected"])
+        for r in schema_changes(spark, sd).collect()
+    }
+    assert got == {
+        ("r2", "stars"): ("added", "int", "absent"),
+        ("r3", "stars"): ("type_changed", "string", "int"),
+        ("r3", "content"): ("removed", "absent", "string"),
+    }
+    # include_unchanged surfaces the stable columns too, no extra diffs
+    allrows = schema_changes(spark, sd, include_unchanged=True)
+    assert allrows.count() == 6 + 6  # r2: 5 unchanged + 1 added; r3: 5 + 1... recount below
+    # r2 vs r1: 5 unchanged + stars added = 6; r3 vs r2: 4 unchanged
+    # (repo path commit lang) + stars type_changed + content removed = 6
+
+
+def test_run_schema_evolution_gate(spark, tmp_path):
+    from anomaly_detector_spark.checks.contract import run_schema_evolution
+    from anomaly_detector_spark.plans.config import suite_from_config
+    from anomaly_detector_spark.plans.manifest import run_with_manifest
+
+    sd = str(tmp_path / "schemas")
+    base = mkfiles(
+        spark, [("r", f"p{i}", "c", "python", "x" * 30) for i in range(30)]
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+
+    spec = CheckSpec("evo", run_schema_evolution, {"store": sd}, "lang", 1)
+    # warm-up: empty store -> every column SKIPPED
+    warm = spec.run(base)
+    assert {r["verdict"] for r in warm.verdicts.collect()} == {"SKIPPED"}
+
+    # the snapshot store rides the manifest path (zero-scan append)
+    run_with_manifest(base, str(tmp_path / "m"), schemas_dir=sd, run_id="r1")
+
+    evolved = base.withColumn("stars", F.lit(3)).drop("ts")
+    res = spec.run(evolved)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v["stars"] == FAIL and v["ts"] == FAIL  # added + removed
+    assert v["repo"] == PASS and v["content"] == PASS
+
+    # append-only evolution tolerated via allow; ids differ per config
+    lax = suite_from_config(
+        {
+            "partition_col": "lang",
+            "min_rows": 1,
+            "checks": [{"check": "schema_evolution", "store": sd, "allow": ["added"]}],
+        }
+    )[0]
+    v2 = {r["partition_key"]: r["verdict"] for r in lax.run(evolved).verdicts.collect()}
+    assert v2["stars"] == PASS and v2["ts"] == FAIL
+    assert lax.id != spec.id
