@@ -622,6 +622,46 @@ def q_manifest_revalidation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_manifest_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    # Quality scorecard (plans/manifest.py scorecard) over an in-plan
+    # synthetic manifest: 4 hourly runs x 5 langs x 2 checks. chk_a:
+    # zh FAILs the two LATEST runs (current streak 2), en FAILed once
+    # long ago (streak 0 — pins latest-run anchoring). chk_b: fr FAILs
+    # every run (streak 4), de FAILs three then SKIPs the latest (a
+    # SKIP breaks the streak AND stays out of fail_rate's denominator).
+    from anomaly_detector_spark.plans.manifest import scorecard
+
+    langs = load_table(spark, sf, "documents").select("lang").distinct()
+    runs = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    checks = spark.createDataFrame([("chk_a",), ("chk_b",)], "check_id string")
+    man = langs.crossJoin(runs).crossJoin(checks).select(
+        F.concat(F.lit("run"), F.col("r")).alias("run_id"),
+        F.lit("sid0").alias("suite_id"),
+        F.col("lang").alias("partition_key"),
+        "check_id",
+        F.when(
+            (F.col("check_id") == "chk_a") & (F.col("lang") == "zh") & (F.col("r") >= 2),
+            F.lit("FAIL"),
+        )
+        .when(
+            (F.col("check_id") == "chk_a") & (F.col("lang") == "en") & (F.col("r") == 1),
+            F.lit("FAIL"),
+        )
+        .when((F.col("check_id") == "chk_b") & (F.col("lang") == "fr"), F.lit("FAIL"))
+        .when(
+            (F.col("check_id") == "chk_b") & (F.col("lang") == "de"),
+            F.when(F.col("r") == 3, F.lit("SKIPPED")).otherwise(F.lit("FAIL")),
+        )
+        .otherwise(F.lit("PASS"))
+        .alias("verdict"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.expr("make_interval(0,0,0,0, r, 0, 0)")
+        ).alias("committed_at"),
+    )
+    return scorecard(man, suite_sid="sid0")
+
+
 def q_docs_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Incremental cross-run LSH (operators/dedup.py incremental_lsh_candidates)
     # in its store-free form: even doc_ids play the already-ingested corpus
@@ -1869,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_bloom_seen": q_files_bloom_seen,
         "files_kmv_novelty": q_files_kmv_novelty,
         "forecast_orders_customer": q_forecast_orders_customer,
+        "manifest_scorecard": q_manifest_scorecard,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -4521,6 +4562,74 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
     out["files_kmv_novelty"] = _kmv_novelty_oracle()
+    # manifest_scorecard twin: same synthetic manifest, same streak
+    # algebra (current streak = first non-FAIL position - 1, else the
+    # whole history; SKIPPED breaks streaks and leaves the rate)
+    out["manifest_scorecard"] = """
+        WITH langs AS (SELECT DISTINCT lang FROM documents),
+        runs AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+        checks AS (SELECT c FROM (VALUES ('chk_a'),('chk_b')) t(c)),
+        man AS (
+          SELECT 'run' || CAST(r AS VARCHAR) AS run_id, lang AS partition_key,
+                 c AS check_id, r,
+                 CASE
+                   WHEN c = 'chk_a' AND lang = 'zh' AND r >= 2 THEN 'FAIL'
+                   WHEN c = 'chk_a' AND lang = 'en' AND r = 1 THEN 'FAIL'
+                   WHEN c = 'chk_b' AND lang = 'fr' THEN 'FAIL'
+                   WHEN c = 'chk_b' AND lang = 'de'
+                     THEN (CASE WHEN r = 3 THEN 'SKIPPED' ELSE 'FAIL' END)
+                   ELSE 'PASS' END AS verdict
+          FROM langs, runs, checks
+        ),
+        rn AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY check_id, partition_key ORDER BY r DESC) AS rnk
+          FROM man
+        ),
+        fo AS (
+          SELECT check_id, partition_key, min(rnk) AS first_ok
+          FROM rn WHERE verdict <> 'FAIL' GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT check_id, partition_key, count(*) AS n,
+                 sum(CASE WHEN verdict = 'FAIL' THEN 1 ELSE 0 END) AS nf,
+                 sum(CASE WHEN verdict = 'PASS' THEN 1 ELSE 0 END) AS np
+          FROM rn GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT per.*, coalesce(fo.first_ok - 1, per.n) AS streak
+          FROM per LEFT JOIN fo
+            ON fo.check_id = per.check_id AND fo.partition_key = per.partition_key
+        ),
+        ra AS (SELECT check_id, count(DISTINCT run_id) AS n_runs FROM man GROUP BY 1),
+        agg AS (
+          SELECT check_id, count(*) AS n_partitions, sum(nf) AS n_fail,
+                 sum(np) AS n_pass,
+                 sum(CASE WHEN streak >= 1 THEN 1 ELSE 0 END) AS n_failing_now,
+                 max(streak) AS max_streak
+          FROM st GROUP BY 1
+        ),
+        worst AS (
+          SELECT check_id, partition_key AS worst_partition FROM (
+            SELECT check_id, partition_key, row_number() OVER (
+              PARTITION BY check_id ORDER BY streak DESC, partition_key DESC) AS w
+            FROM st
+          ) WHERE w = 1
+        )
+        SELECT a.check_id, CAST(ra.n_runs AS BIGINT) AS n_runs,
+               CAST(a.n_partitions AS BIGINT) AS n_partitions,
+               CAST(a.n_fail AS BIGINT) AS n_fail,
+               CAST(a.n_pass AS BIGINT) AS n_pass,
+               CASE WHEN a.n_fail + a.n_pass > 0
+                    THEN round(a.n_fail / CAST(a.n_fail + a.n_pass AS DOUBLE), 6)
+                    ELSE 0.0 END AS fail_rate,
+               CAST(a.n_failing_now AS BIGINT) AS n_failing_now,
+               CAST(a.max_streak AS BIGINT) AS max_streak,
+               w.worst_partition
+        FROM agg a
+        JOIN ra ON ra.check_id = a.check_id
+        JOIN worst w ON w.check_id = a.check_id
+    """
     # forecast_orders_customer twin: top-64 exact heavy counts per side
     # (row_number over n DESC, item ASC — two_phase_topk's tie rule),
     # exact heavy∩heavy + System-R residual, same rounding points

@@ -387,6 +387,83 @@ def rolling_baseline_dict(
     return {int(r["bucket"]): float(r["base_n"]) for r in base.collect()}
 
 
+def scorecard(manifest: DataFrame, suite_sid: str | None = None) -> DataFrame:
+    """Operational quality scorecard per check over the whole manifest
+    history — the burn-down view diff.py's run-over-run deltas feed:
+    one row per check_id with
+
+    * ``n_runs`` / ``n_partitions`` — coverage of the history,
+    * ``n_fail`` / ``n_pass`` / ``fail_rate`` — all-time verdict mix
+      (SKIPPED excluded from the rate's denominator: a warm-up is not
+      a pass),
+    * ``n_failing_now`` — partitions whose LATEST run FAILs,
+    * ``max_streak`` / ``worst_partition`` — the longest CURRENT run of
+      consecutive FAILs and who holds it (a partition failing 7 runs
+      straight is a different incident than 7 partitions failing once).
+      A PASS or SKIPPED breaks the streak; runs order by
+      (committed_at, run_id), the manifest convention.
+
+    All relational over the manifest's O(runs x partitions x checks)
+    metadata rows — the data tables are never touched. Deterministic:
+    worst_partition ties break on the partition key itself."""
+    from pyspark.sql import Window
+
+    m = manifest
+    if suite_sid is not None:
+        m = m.filter(F.col("suite_id") == suite_sid)
+    keys = ["check_id", "partition_key"]
+    rn = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(
+            F.col("committed_at").desc(), F.col("run_id").desc()
+        )
+    )
+    r = m.select(*keys, "run_id", "verdict", "committed_at").withColumn("_rn", rn)
+    first_ok = (
+        r.filter(F.col("verdict") != "FAIL")
+        .groupBy(*keys)
+        .agg(F.min("_rn").alias("_first_ok"))
+    )
+    per = (
+        r.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((F.col("verdict") == "FAIL").cast("long")).alias("_nf"),
+            F.sum((F.col("verdict") == "PASS").cast("long")).alias("_np"),
+        )
+        .join(first_ok, keys, "left")
+        .withColumn(
+            "_streak", F.coalesce(F.col("_first_ok") - 1, F.col("_n")).cast("long")
+        )
+    )
+    runs = m.groupBy("check_id").agg(
+        F.countDistinct("run_id").cast("long").alias("n_runs")
+    )
+    agg = per.groupBy("check_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("_nf").cast("long").alias("n_fail"),
+        F.sum("_np").cast("long").alias("n_pass"),
+        F.sum((F.col("_streak") >= 1).cast("long")).alias("n_failing_now"),
+        F.max("_streak").alias("max_streak"),
+        F.max_by("partition_key", F.struct("_streak", "partition_key")).alias(
+            "worst_partition"
+        ),
+    )
+    return (
+        agg.join(F.broadcast(runs), "check_id")
+        .withColumn(
+            "fail_rate",
+            F.when(
+                F.col("n_fail") + F.col("n_pass") > 0,
+                F.round(F.col("n_fail") / (F.col("n_fail") + F.col("n_pass")), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "check_id", "n_runs", "n_partitions", "n_fail", "n_pass",
+            "fail_rate", "n_failing_now", "max_streak", "worst_partition",
+        )
+    )
+
+
 def revalidation_plan(
     manifest: DataFrame,
     max_age_hours: float | None = None,

@@ -614,3 +614,34 @@ def test_membership_store_probes_across_runs(spark, manifest_dir, tmp_path):
         seen_before(spark, mb_dir, fresh).count()
     with _pytest.raises(ValueError, match="parameter"):
         membership_stats(spark, mb_dir).count()
+
+
+def test_scorecard_over_real_history(spark, manifest_dir):
+    # three revalidation runs of the real suite over the same input:
+    # the planted defects FAIL identically every run, so each failing
+    # (check, partition) carries a CURRENT streak of 3 and every clean
+    # one a streak of 0; fail_rate is fails / (fails + passes).
+    from anomaly_detector_spark.plans.manifest import scorecard
+
+    files = files_view(spark, SF).drop("doc_id")
+    for i, rid in enumerate(["r1", "r2", "r3"]):
+        run_with_manifest(
+            files, manifest_dir, run_id=rid, revalidate=i > 0
+        )
+    m = read_manifest(spark, manifest_dir)
+    sc = {r["check_id"]: r for r in scorecard(m).collect()}
+    assert len(sc) == 4  # the default suite's four checks
+    per_run_verdicts = {
+        (r["check_id"], r["partition_key"]): r["verdict"]
+        for r in m.filter(F.col("run_id") == "r1").collect()
+    }
+    for cid, row in sc.items():
+        fails_r1 = sum(
+            1 for (c, _), v in per_run_verdicts.items() if c == cid and v == "FAIL"
+        )
+        assert row["n_runs"] == 3
+        assert row["n_fail"] == 3 * fails_r1  # identical verdicts per run
+        assert row["n_failing_now"] == fails_r1
+        assert row["max_streak"] == (3 if fails_r1 else 0)
+        if fails_r1:
+            assert per_run_verdicts[(cid, row["worst_partition"])] == "FAIL"
