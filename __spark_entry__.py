@@ -622,6 +622,33 @@ def q_manifest_revalidation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lineitem_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/fd.py run_key_cardinality: every order must hold 2-7
+    lineitems (TPC-H generates 1-7, so single-lineitem orders are the
+    planted violators). One scan to O(orderkey x returnflag) counted
+    cells; global per-key sums band-tested, violating rows attributed
+    back to partitions without touching the source again."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.fd import run_key_cardinality
+
+    spec = CheckSpec(
+        "card",
+        run_key_cardinality,
+        {"key": ["l_orderkey"], "min_count": 2, "max_count": 7},
+        "l_returnflag",
+        25,
+    )
+    res = spec.run(load_table(spark, sf, "lineitem"))
+    per = res.metrics.select(
+        F.col("l_returnflag").alias("partition_key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_card_bad_rows").cast("long").alias("n_card_bad_rows"),
+    )
+    return per.join(
+        res.verdicts.select("partition_key", "verdict"), on="partition_key"
+    )
+
+
 def q_manifest_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     # Quality scorecard (plans/manifest.py scorecard) over an in-plan
     # synthetic manifest: 4 hourly runs x 5 langs x 2 checks. chk_a:
@@ -1910,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_kmv_novelty": q_files_kmv_novelty,
         "forecast_orders_customer": q_forecast_orders_customer,
         "manifest_scorecard": q_manifest_scorecard,
+        "lineitem_cardinality": q_lineitem_cardinality,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -4562,6 +4590,27 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
     out["files_kmv_novelty"] = _kmv_novelty_oracle()
+    # lineitem_cardinality twin: same cell collapse, global per-key
+    # band, attribution join — the source is scanned once in both
+    out["lineitem_cardinality"] = """
+        WITH cells AS (
+          SELECT l_orderkey, l_returnflag, count(*) AS n
+          FROM lineitem GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_orderkey, sum(n) AS t FROM cells GROUP BY 1),
+        viol AS (SELECT l_orderkey FROM tot WHERE t < 2 OR t > 7),
+        per AS (
+          SELECT c.l_returnflag AS partition_key, sum(c.n) AS n_rows,
+                 sum(CASE WHEN v.l_orderkey IS NOT NULL THEN c.n ELSE 0 END) AS bad
+          FROM cells c LEFT JOIN viol v ON v.l_orderkey = c.l_orderkey
+          GROUP BY 1
+        )
+        SELECT partition_key, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(bad AS BIGINT) AS n_card_bad_rows,
+               CASE WHEN n_rows < 25 THEN 'SKIPPED'
+                    WHEN bad > 0 THEN 'FAIL' ELSE 'PASS' END AS verdict
+        FROM per
+    """
     # manifest_scorecard twin: same synthetic manifest, same streak
     # algebra (current streak = first non-FAIL position - 1, else the
     # whole history; SKIPPED breaks streaks and leaves the rate)

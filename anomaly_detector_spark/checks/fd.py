@@ -43,6 +43,88 @@ def fd_violating_keys(df: DataFrame, lhs: list[str], rhs: str) -> DataFrame:
     return per_key.filter(F.col("n_rhs") > 1)
 
 
+def key_cardinality_violations(
+    df: DataFrame, key_cols: list[str], min_count: int = 1, max_count: int | None = None
+) -> DataFrame:
+    """Keys whose GLOBAL row count falls outside [min_count, max_count]:
+    (*key_cols, n_rows) — the inspection frame behind
+    run_key_cardinality. Scale shape identical to fd_violating_keys:
+    one map-side-combined collapse to per-key counts."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    cond = F.col("n_rows") < int(min_count)
+    if max_count is not None:
+        cond = cond | (F.col("n_rows") > int(max_count))
+    return per_key.filter(cond)
+
+
+def run_key_cardinality(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Relationship-cardinality check: every ``key`` must hold between
+    ``min_count`` and ``max_count`` rows (an order has 1-7 lineitems, a
+    device posts at most one reading per minute...). The FD check's
+    count-band cousin; uniqueness is the special case max_count=1.
+
+    Config: ``key`` (list), ``min_count`` (default 1), ``max_count``
+    (default None = unbounded), ``max_violating_frac`` (default 0.0).
+    Counts are GLOBAL per key (a key straddling partitions sums before
+    the band test); partition verdicts attribute the violating rows,
+    exactly the fd rule. A key with ZERO rows is invisible here —
+    missing-parent detection is referential's job, not a count band's.
+
+    Scale shape: the fd cell frame without the rhs column — one scan to
+    O(distinct key x partition) counted cells (map-side combined), both
+    downstream aggregates run on that frame, the source is never
+    re-joined; same localCheckpoint materialization rule."""
+    from functools import reduce as _reduce
+
+    keys = list(spec.config["key"])
+    lo = int(spec.config.get("min_count", 1))
+    hi = spec.config.get("max_count")
+    max_frac = float(spec.config.get("max_violating_frac", 0.0))
+    part = spec.partition_col
+
+    cells = df.groupBy(*keys, F.col(part).alias("_part")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    if spec.config.get("materialize", True):
+        cells = cells.localCheckpoint()
+
+    band = F.col("_tot") < lo
+    if hi is not None:
+        band = band | (F.col("_tot") > int(hi))
+    viol = (
+        cells.groupBy(*keys)
+        .agg(F.sum("_n").alias("_tot"))
+        .filter(band)
+        .select(*[F.col(c).alias(f"_v_{c}") for c in keys])
+        .withColumn("_bad", F.lit(1))
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [cells[c].eqNullSafe(viol[f"_v_{c}"]) for c in keys],
+    )
+    per_part = (
+        cells.join(viol, cond, "left")
+        .groupBy(F.col("_part").alias(part))
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.sum(F.when(F.col("_bad").isNotNull(), F.col("_n")).otherwise(0)).alias(
+                "n_card_bad_rows"
+            ),
+        )
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        part,
+        fail_when=F.col("n_card_bad_rows") > F.col("n_rows") * F.lit(max_frac),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_card_bad_rows"],
+    )
+    return CheckResult(
+        violations=empty_violations(df), verdicts=verdicts, metrics=per_part
+    )
+
+
 def run_fd(df: DataFrame, spec: CheckSpec) -> CheckResult:
     """CheckSpec config: ``lhs`` (list of determinant columns), ``rhs``
     (the determined column), ``max_violating_frac`` (default 0.0 —

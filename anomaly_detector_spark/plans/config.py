@@ -59,7 +59,7 @@ def _registry() -> dict[str, Callable]:
         run_json_schema,
         run_row_predicate,
     )
-    from ..checks.fd import run_fd
+    from ..checks.fd import run_fd, run_key_cardinality
     from ..checks.kmv import run_novelty
     from ..checks.membership import run_seen_before
     from ..checks.metadata import run_layout_health, run_metadata_stats
@@ -96,6 +96,8 @@ def _registry() -> dict[str, Callable]:
         # calendar completeness: every expected time slot arrived
         "coverage": run_coverage,
         "fd": run_fd,
+        # per-key row-count band (an order has 1-7 lineitems)
+        "key_cardinality": run_key_cardinality,
         "monotonic": run_monotonic,
         "gaps": run_gaps,
         "flatline": run_flatline,

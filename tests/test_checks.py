@@ -432,3 +432,58 @@ def test_fd_check(spark):
     clean = df.filter(F.col("repo").isin("r2", "r3"))
     res2 = run_fd(clean, spec)
     assert {r["verdict"] for r in res2.verdicts.collect()} == {"PASS"}
+
+
+def test_key_cardinality_check(spark):
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.fd import (
+        key_cardinality_violations,
+        run_key_cardinality,
+    )
+
+    # key k1: 1 row (under), k2: 2 rows straddling BOTH partitions
+    # (global sum -> in band), k3: 3 rows in one partition (over),
+    # NULL key: 2 rows (in band; NULLs group together)
+    rows = [
+        ("k1", "py"),
+        ("k2", "py"), ("k2", "go"),
+        ("k3", "go"), ("k3", "go"), ("k3", "go"),
+        (None, "py"), (None, "py"),
+    ]
+    df = spark.createDataFrame(rows, "okey string, lang string")
+    viol = key_cardinality_violations(df, ["okey"], min_count=2, max_count=2)
+    assert {(r["okey"], r["n_rows"]) for r in viol.collect()} == {("k1", 1), ("k3", 3)}
+
+    spec = CheckSpec(
+        "card", run_key_cardinality, {"key": ["okey"], "min_count": 2, "max_count": 2},
+        "lang", 1,
+    )
+    res = run_key_cardinality(df, spec)
+    per = {r["lang"]: r for r in res.metrics.collect()}
+    # py holds k1's 1 bad row; go holds k3's 3; k2 and NULL are clean
+    assert (per["py"]["n_rows"], per["py"]["n_card_bad_rows"]) == (4, 1)
+    assert (per["go"]["n_rows"], per["go"]["n_card_bad_rows"]) == (4, 3)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v == {"py": "FAIL", "go": "FAIL"}
+
+    # tolerance: py's 25% bad passes at max_violating_frac=0.3, go's 75% not
+    spec2 = CheckSpec(
+        "card", run_key_cardinality,
+        {"key": ["okey"], "min_count": 2, "max_count": 2, "max_violating_frac": 0.3},
+        "lang", 1,
+    )
+    v2 = {r["partition_key"]: r["verdict"] for r in run_key_cardinality(df, spec2).verdicts.collect()}
+    assert v2 == {"py": "PASS", "go": "FAIL"}
+
+    # JSON-declarable; uniqueness special case max_count=1
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    uniq = suite_from_config(
+        {
+            "partition_col": "lang",
+            "min_rows": 1,
+            "checks": [{"check": "key_cardinality", "key": ["okey"], "max_count": 1}],
+        }
+    )[0]
+    got = {r["partition_key"]: r["verdict"] for r in uniq.run(df).verdicts.collect()}
+    assert got == {"py": "FAIL", "go": "FAIL"}  # k2/k3/NULL all multi-row
