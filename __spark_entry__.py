@@ -689,6 +689,45 @@ def q_manifest_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     return scorecard(man, suite_sid="sid0")
 
 
+def q_manifest_incidents(spark: SparkSession, sf: str) -> DataFrame:
+    # Incident triage (plans/manifest.py incidents) over the SAME
+    # synthetic manifest as manifest_scorecard: zh fails chk_a since
+    # run2 (02:00), fr fails chk_b since run0 (00:00); de's SKIPPED
+    # latest run keeps it OUT (a SKIP breaks the streak), en's old
+    # failure is history, not an incident.
+    from anomaly_detector_spark.plans.manifest import incidents
+
+    langs = load_table(spark, sf, "documents").select("lang").distinct()
+    runs = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    checks = spark.createDataFrame([("chk_a",), ("chk_b",)], "check_id string")
+    man = langs.crossJoin(runs).crossJoin(checks).select(
+        F.concat(F.lit("run"), F.col("r")).alias("run_id"),
+        F.lit("sid0").alias("suite_id"),
+        F.col("lang").alias("partition_key"),
+        "check_id",
+        F.when(
+            (F.col("check_id") == "chk_a") & (F.col("lang") == "zh") & (F.col("r") >= 2),
+            F.lit("FAIL"),
+        )
+        .when(
+            (F.col("check_id") == "chk_a") & (F.col("lang") == "en") & (F.col("r") == 1),
+            F.lit("FAIL"),
+        )
+        .when((F.col("check_id") == "chk_b") & (F.col("lang") == "fr"), F.lit("FAIL"))
+        .when(
+            (F.col("check_id") == "chk_b") & (F.col("lang") == "de"),
+            F.when(F.col("r") == 3, F.lit("SKIPPED")).otherwise(F.lit("FAIL")),
+        )
+        .otherwise(F.lit("PASS"))
+        .alias("verdict"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.expr("make_interval(0,0,0,0, r, 0, 0)")
+        ).alias("committed_at"),
+    )
+    return incidents(man, suite_sid="sid0")
+
+
 def q_docs_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Incremental cross-run LSH (operators/dedup.py incremental_lsh_candidates)
     # in its store-free form: even doc_ids play the already-ingested corpus
@@ -1938,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_orders_customer": q_forecast_orders_customer,
         "manifest_scorecard": q_manifest_scorecard,
         "lineitem_cardinality": q_lineitem_cardinality,
+        "manifest_incidents": q_manifest_incidents,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -4590,6 +4630,55 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     """
     out["files_bloom_seen"] = _bloom_seen_oracle()
     out["files_kmv_novelty"] = _kmv_novelty_oracle()
+    # manifest_incidents twin: scorecard's streak algebra transposed to
+    # partitions; the streak's oldest run (rnk == streak) dates the
+    # incident; only streaks >= 1 survive
+    out["manifest_incidents"] = """
+        WITH langs AS (SELECT DISTINCT lang FROM documents),
+        runs AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+        checks AS (SELECT c FROM (VALUES ('chk_a'),('chk_b')) t(c)),
+        man AS (
+          SELECT 'run' || CAST(r AS VARCHAR) AS run_id, lang AS partition_key,
+                 c AS check_id, r,
+                 TIMESTAMP '2026-01-01 00:00:00' + to_hours(r) AS committed_at,
+                 CASE
+                   WHEN c = 'chk_a' AND lang = 'zh' AND r >= 2 THEN 'FAIL'
+                   WHEN c = 'chk_a' AND lang = 'en' AND r = 1 THEN 'FAIL'
+                   WHEN c = 'chk_b' AND lang = 'fr' THEN 'FAIL'
+                   WHEN c = 'chk_b' AND lang = 'de'
+                     THEN (CASE WHEN r = 3 THEN 'SKIPPED' ELSE 'FAIL' END)
+                   ELSE 'PASS' END AS verdict
+          FROM langs, runs, checks
+        ),
+        rn AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY check_id, partition_key ORDER BY r DESC) AS rnk
+          FROM man
+        ),
+        fo AS (
+          SELECT check_id, partition_key, min(rnk) AS first_ok
+          FROM rn WHERE verdict <> 'FAIL' GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT p.check_id, p.partition_key,
+                 coalesce(fo.first_ok - 1, p.n) AS streak
+          FROM (SELECT check_id, partition_key, count(*) AS n
+                FROM rn GROUP BY 1, 2) p
+          LEFT JOIN fo
+            ON fo.check_id = p.check_id AND fo.partition_key = p.partition_key
+        ),
+        started AS (
+          SELECT rn.check_id, rn.partition_key, rn.committed_at
+          FROM rn JOIN st
+            ON st.check_id = rn.check_id AND st.partition_key = rn.partition_key
+          WHERE st.streak >= 1 AND rn.rnk = st.streak
+        )
+        SELECT partition_key,
+               CAST(count(*) AS BIGINT) AS n_checks_failing,
+               array_to_string(list_sort(list(check_id)), ',') AS failing_checks,
+               min(committed_at) AS first_failed_at
+        FROM started GROUP BY 1
+    """
     # lineitem_cardinality twin: same cell collapse, global per-key
     # band, attribution join — the source is scanned once in both
     out["lineitem_cardinality"] = """

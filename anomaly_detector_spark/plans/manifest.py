@@ -464,6 +464,54 @@ def scorecard(manifest: DataFrame, suite_sid: str | None = None) -> DataFrame:
     )
 
 
+def incidents(manifest: DataFrame, suite_sid: str | None = None) -> DataFrame:
+    """The scorecard transposed for triage: one row per PARTITION whose
+    latest run FAILs any check — (partition_key, n_checks_failing,
+    failing_checks, first_failed_at). Five checks failing on one
+    partition since the same run is ONE incident (a bad upstream load),
+    not five; ``first_failed_at`` is the earliest commit timestamp among
+    the partition's current FAIL streaks, i.e. when the incident began.
+    Same streak algebra as scorecard (anchored at the latest run;
+    PASS/SKIPPED breaks a streak); failing_checks sorts for determinism.
+    Manifest metadata only — no data scans."""
+    from pyspark.sql import Window
+
+    m = manifest
+    if suite_sid is not None:
+        m = m.filter(F.col("suite_id") == suite_sid)
+    keys = ["check_id", "partition_key"]
+    rn = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(
+            F.col("committed_at").desc(), F.col("run_id").desc()
+        )
+    )
+    r = m.select(*keys, "run_id", "verdict", "committed_at").withColumn("_rn", rn)
+    first_ok = (
+        r.filter(F.col("verdict") != "FAIL")
+        .groupBy(*keys)
+        .agg(F.min("_rn").alias("_first_ok"))
+    )
+    streaks = (
+        r.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(first_ok, keys, "left")
+        .withColumn("_streak", F.coalesce(F.col("_first_ok") - 1, F.col("_n")))
+        .filter(F.col("_streak") >= 1)
+    )
+    # the streak's oldest run: the row at _rn == _streak
+    started = r.join(streaks, keys).filter(F.col("_rn") == F.col("_streak"))
+    return (
+        started.groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_checks_failing"),
+            F.array_join(F.array_sort(F.collect_set("check_id")), ",").alias(
+                "failing_checks"
+            ),
+            F.min("committed_at").alias("first_failed_at"),
+        )
+    )
+
+
 def revalidation_plan(
     manifest: DataFrame,
     max_age_hours: float | None = None,

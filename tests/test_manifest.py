@@ -628,9 +628,23 @@ def test_scorecard_over_real_history(spark, manifest_dir):
         run_with_manifest(
             files, manifest_dir, run_id=rid, revalidate=i > 0
         )
+    from anomaly_detector_spark.plans.manifest import incidents
+
     m = read_manifest(spark, manifest_dir)
     sc = {r["check_id"]: r for r in scorecard(m).collect()}
     assert len(sc) == 4  # the default suite's four checks
+    # incident view: every FAILing partition groups its checks; the
+    # defects persist since run r1, so first_failed_at is r1's commit
+    inc = {r["partition_key"]: r for r in incidents(m).collect()}
+    r1_fails = {}
+    for row in m.filter((F.col("run_id") == "r1") & (F.col("verdict") == "FAIL")).collect():
+        r1_fails.setdefault(row["partition_key"], set()).add(row["check_id"])
+    assert set(inc) == set(r1_fails)
+    r1_ts = m.filter(F.col("run_id") == "r1").agg(F.min("committed_at")).first()[0]
+    for pk, checks in r1_fails.items():
+        assert inc[pk]["n_checks_failing"] == len(checks)
+        assert inc[pk]["failing_checks"] == ",".join(sorted(checks))
+        assert inc[pk]["first_failed_at"] >= r1_ts
     per_run_verdicts = {
         (r["check_id"], r["partition_key"]): r["verdict"]
         for r in m.filter(F.col("run_id") == "r1").collect()
