@@ -794,6 +794,27 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.py ann_recall: the index honesty metric —
+    recall@5 of the lsh and ivf paths vs brute-force truth, per query,
+    at exactly the parameters the lsh_topk/ivf_topk queries serve.
+    Evaluation harness over a tiny query sample (the truth side is the
+    documented O(corpus x queries) oracle baseline, never a scale path)."""
+    from anomaly_detector_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann_recall(
+        emb,
+        queries,
+        k=5,
+        lsh_params={"dim": 64, "bits": 10, "tables": 4},
+        ivf_params={"n_cells": 16, "nprobe": 4},
+    )
+
+
 def q_events_savgol(spark: SparkSession, sf: str) -> DataFrame:
     # W7: Savitzky-Golay smoothing per key (reference preprocessing.py:11-13;
     # FIR coefficients derived closed-form, numpy convolution in Arrow
@@ -1978,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_scorecard": q_manifest_scorecard,
         "lineitem_cardinality": q_lineitem_cardinality,
         "manifest_incidents": q_manifest_incidents,
+        "ann_recall": q_ann_recall,
         "events_seq_profile": q_events_seq_profile,
         # rows-only (non-SQL-expressible):
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
@@ -3562,6 +3584,54 @@ def _ivf_topk_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
     """
 
 
+def _ann_recall_oracle(k: int = 5) -> str:
+    """ann_recall twin: the brute-force truth, the lsh candidate ranking
+    and the ivf cell-restricted ranking are each the EXISTING oracles
+    verbatim as sub-CTEs (nested WITH); recall@k = matched rows / k,
+    with zero-hit queries kept by the left join."""
+    cos = _COS64.format(a="c.vec", b="q.q_vec")
+    truth = f"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+              FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 round({cos}, 6) AS score
+          FROM c CROSS JOIN q
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id FROM ranked WHERE rank <= {k}
+    """
+    return f"""
+        WITH truth AS ({truth}),
+        lshq AS ({_lsh_topk_oracle(dim=64, bits=10, tables=4, k=k)}),
+        ivfq AS ({_ivf_topk_oracle(n_cells=16, nprobe=4, k=k)}),
+        qs AS (SELECT DISTINCT query_id FROM truth),
+        hits AS (
+          SELECT 'lsh' AS method, t.query_id, count(*) AS n_hits
+          FROM lshq l JOIN truth t ON t.query_id = l.query_id AND t.vec_id = l.vec_id
+          GROUP BY 2
+          UNION ALL
+          SELECT 'ivf' AS method, t.query_id, count(*) AS n_hits
+          FROM ivfq v JOIN truth t ON t.query_id = v.query_id AND t.vec_id = v.vec_id
+          GROUP BY 2
+        ),
+        m AS (
+          SELECT mm.method, qs.query_id, coalesce(h.n_hits, 0) AS n_hits
+          FROM qs CROSS JOIN (VALUES ('lsh'), ('ivf')) mm(method)
+          LEFT JOIN hits h ON h.method = mm.method AND h.query_id = qs.query_id
+        )
+        SELECT method, CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               round(n_hits / {float(k)}, 6) AS recall
+        FROM m
+    """
+
+
 def _savgol_oracle(window_length: int = 7, polyorder: int = 3) -> str:
     """Savitzky-Golay oracle: the FIR coefficients are a driver-side
     closed-form constant (windows.savgol_coeffs — same math scipy uses),
@@ -4119,6 +4189,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["emb_near_dups_lsh"] = _emb_near_dups_lsh_oracle()
     out["lsh_topk"] = _lsh_topk_oracle()
     out["ivf_topk"] = _ivf_topk_oracle()
+    out["ann_recall"] = _ann_recall_oracle()
     out["events_savgol"] = _savgol_oracle()
     out["events_resample"] = _resample_oracle()
     out["docs_dup_clusters"] = _dup_clusters_oracle()

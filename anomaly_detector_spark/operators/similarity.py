@@ -757,3 +757,49 @@ def embedding_drift(
     return m.join(wp, "partition_key").select(
         "partition_key", "psi", "worst_plane", F.col("n_obs").cast("long").alias("n_obs")
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lsh_params: dict | None = None,
+    ivf_params: dict | None = None,
+) -> DataFrame:
+    """Honesty metric for the approximate indexes: recall@k of lsh_topk
+    and ivf_topk against the brute-force truth, per query —
+    (method, query_id, n_hits, recall). Run it on a deterministic query
+    SAMPLE whenever index parameters change (bits/tables, cells/nprobe):
+    a bucketed index that silently dropped to 0.3 recall is worse than
+    a slow exact scan, and nothing else in the pipeline would notice.
+
+    Cost shape: the truth side is brute-force over corpus x queries —
+    this is an EVALUATION harness for a small query sample (tens to
+    hundreds), never a production path; the approximate sides cost the
+    same as serving. Queries with zero approximate hits still emit a
+    row (left join from the query set — recall 0, not absence).
+    """
+    truth = brute_force_topk(corpus, queries, k=k).select("query_id", "vec_id")
+    qs = queries.select("query_id").distinct()
+    parts = []
+    for method, res in (
+        ("lsh", lsh_topk(corpus, queries, k=k, **(lsh_params or {}))),
+        ("ivf", ivf_topk(corpus, queries, k=k, **(ivf_params or {}))),
+    ):
+        hits = (
+            res.select("query_id", "vec_id")
+            .join(truth, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        parts.append(
+            qs.join(hits, "query_id", "left")
+            .na.fill({"n_hits": 0})
+            .select(
+                F.lit(method).alias("method"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

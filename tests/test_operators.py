@@ -668,3 +668,25 @@ def test_embedding_drift_external_baseline_catches_global_shift(spark):
     # and yesterday vs its own store is clean
     clean = embedding_drift(yesterday, "label", baseline=store, **kw).collect()
     assert all(r["psi"] < 0.1 for r in clean)
+
+
+def test_ann_recall_harness(spark):
+    # exact self-queries: the query vector itself is always a hit (cos 1.0),
+    # so recall >= 1/k for every method; rows exist for every (method, query)
+    from anomaly_detector_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_recall(
+        emb, queries, k=5,
+        lsh_params={"dim": 64, "bits": 10, "tables": 4},
+        ivf_params={"n_cells": 16, "nprobe": 4},
+    ).collect()
+    assert len(out) == 8  # 4 queries x 2 methods, zero-hit rows included
+    by = {(r["method"], r["query_id"]): r for r in out}
+    for (m, q), r in by.items():
+        assert 0.0 <= r["recall"] <= 1.0 and r["n_hits"] == round(r["recall"] * 5)
+    # the ivf probe always covers the query's own cell -> self-hit
+    assert all(by[("ivf", q)]["n_hits"] >= 1 for q in range(4))
