@@ -154,9 +154,24 @@ def main() -> int:
         pairs = jaccard_pairs(d, cand, "text", "doc_id", shingle_k=3, threshold=0.4)
         return dup_clusters(pairs)
 
+    def split_leakage_production(spark_, sf_dir):
+        # production hash mode (xxhash64), same reasoning as
+        # minhash_production: the sha256 oracle mode pays 64 sha draws
+        # per shingle (~5x) purely for DuckDB reproducibility
+        from anomaly_detector_spark.operators.corpus import split_assign, split_leakage
+        from anomaly_detector_spark.sources.registry import load_table
+
+        d = load_table(spark_, sf_dir, "documents")
+        d = split_assign(d, {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split1")
+        return split_leakage(
+            d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3,
+            threshold=0.4, hash_fn="xxhash64",
+        )
+
     production = {
         "minhash_pairs": minhash_production,
         "docs_dup_clusters": dup_clusters_production,
+        "docs_split_leakage": split_leakage_production,
     }
     timings: dict[str, float] = {}
     suite_rows = 0
