@@ -1,0 +1,75 @@
+"""Sketch-store compaction (plans/stores.py)."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _files(spark, lo, hi, lang="py"):
+    return spark.range(lo, hi).select(
+        F.lit(lang).alias("lang"),
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("content"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def test_compact_kmv_preserves_novelty(spark, tmp_path):
+    from anomaly_detector_spark.plans.manifest import novelty_stats, run_with_manifest
+    from anomaly_detector_spark.plans.stores import compact_store
+
+    kmv = str(tmp_path / "kmv")
+    md = str(tmp_path / "m")
+    for i, (lo, hi) in enumerate([(0, 100), (50, 150), (100, 200), (120, 260)]):
+        run_with_manifest(
+            _files(spark, lo, hi), md, kmv_sketches_dir=kmv,
+            run_id=f"r{i}", revalidate=i > 0,
+        )
+    before = {r["partition_key"]: r for r in novelty_stats(spark, kmv).collect()}
+    files_before = len(glob.glob(f"{kmv}/part-*.parquet"))
+    n = compact_store(spark, kmv, "kmv")
+    after = {r["partition_key"]: r for r in novelty_stats(spark, kmv).collect()}
+    assert before == after  # latest-vs-history algebra survives verbatim
+    files_after = len(glob.glob(f"{kmv}/part-*.parquet"))
+    assert files_after < files_before
+    assert n == spark.read.parquet(kmv).count()
+    # compacting an already-compacted store is a no-op for readers
+    compact_store(spark, kmv, "kmv")
+    assert {r["partition_key"]: r for r in novelty_stats(spark, kmv).collect()} == before
+
+
+def test_compact_membership_and_hll_preserve_readers(spark, tmp_path):
+    from anomaly_detector_spark.plans.manifest import (
+        global_distinct,
+        run_with_manifest,
+        seen_before,
+    )
+    from anomaly_detector_spark.plans.stores import compact_store
+
+    mb, hll, md = (str(tmp_path / d) for d in ("mb", "hll", "m"))
+    for i, (lo, hi) in enumerate([(0, 120), (100, 240), (200, 360)]):
+        run_with_manifest(
+            _files(spark, lo, hi), md, membership_dir=mb, sketches_dir=hll,
+            run_id=f"r{i}", revalidate=i > 0,
+        )
+    probe = _files(spark, 300, 420)
+    b_seen = {
+        r["path"]: r["maybe_seen"]
+        for r in seen_before(spark, mb, probe, key_cols=["repo", "path", "commit"]).collect()
+    }
+    b_dist = global_distinct(spark, hll).collect()[0]
+    compact_store(spark, mb, "membership")
+    compact_store(spark, hll, "hll")
+    a_seen = {
+        r["path"]: r["maybe_seen"]
+        for r in seen_before(spark, mb, probe, key_cols=["repo", "path", "commit"]).collect()
+    }
+    a_dist = global_distinct(spark, hll).collect()[0]
+    assert b_seen == a_seen
+    assert b_dist["distinct_estimate"] == a_dist["distinct_estimate"]
+    # bad family is rejected, not guessed
+    with pytest.raises(ValueError, match="unknown store family"):
+        compact_store(spark, mb, "bloom")
