@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
         "so sampled commits form their own manifest stream and can never "
         "stand in for full validation",
     )
+    p.add_argument(
+        "--compact-stores", action="store_true",
+        help="after the run, rewrite every sketch store passed above to "
+        "its minimal merged form (plans/stores.py) — stores stay "
+        "O(partitions) instead of one file per run; reader answers are "
+        "preserved exactly",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -184,6 +191,20 @@ def main(argv: list[str] | None = None) -> int:
         "pending_partitions": run.pending_partitions,
         "noop_resume": run.result is None,
     }
+    if args.compact_stores:
+        from .plans.stores import compact_store
+
+        compacted = {}
+        for family, d in (
+            ("hll", args.sketches),
+            ("tdigest", args.quantile_sketches),
+            ("topk", args.topk_sketches),
+            ("membership", args.membership),
+            ("kmv", args.kmv_sketches),
+        ):
+            if d is not None:
+                compacted[family] = compact_store(spark, d, family)
+        summary["compacted_stores"] = compacted
     if args.sample_frac is not None:
         summary["sample_frac"] = args.sample_frac
     if run.result is not None:

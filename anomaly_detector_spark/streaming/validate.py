@@ -45,6 +45,7 @@ def validate_stream(
     freeze_drift_baseline: bool = False,
     violations_sink: str | None = None,
     warn_skipped_rows: bool = True,
+    sink_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Validate a stream of file rows micro-batch by micro-batch.
 
@@ -64,10 +65,19 @@ def validate_stream(
             manifest_dir,
             suite=suite,
             partition_col=partition_col,
-            run_id=f"stream-{batch_id}",
+            # zero-padded so run ids SORT like batch ids: the sketch
+            # stores' latest-run selection (novelty_stats, max_by
+            # readers) is lexicographic, and "stream-10" < "stream-9"
+            # would misorder past ten batches
+            run_id=f"stream-{batch_id:09d}",
             freeze_drift_baseline=freeze_drift_baseline,
             violations_sink=violations_sink,
             count_skipped_rows=warn_skipped_rows,
+            # pass-through for the sketch/schema sinks (sketches_dir,
+            # kmv_sketches_dir, membership_dir, schemas_dir, ...): every
+            # committed micro-batch feeds the same cross-run stores the
+            # batch path writes
+            **(sink_kwargs or {}),
         )
         if warn_skipped_rows and run.skipped_rows:
             # A partition is committed the first batch its data appears

@@ -73,3 +73,23 @@ def test_compact_membership_and_hll_preserve_readers(spark, tmp_path):
     # bad family is rejected, not guessed
     with pytest.raises(ValueError, match="unknown store family"):
         compact_store(spark, mb, "bloom")
+
+
+def test_cli_compact_stores_flag(spark, tmp_path):
+    from anomaly_detector_spark.cli import main
+    from anomaly_detector_spark.plans.manifest import novelty_stats
+
+    inp = str(tmp_path / "in")
+    # union of the two runs = 250 keys < k=256: exact set algebra holds
+    _files(spark, 0, 150).write.parquet(inp)
+    kmv, md = str(tmp_path / "kmv"), str(tmp_path / "m")
+    args = [
+        "--input", inp, "--manifest", md, "--kmv-sketches", kmv,
+        "--min-rows", "1",
+    ]
+    assert main(args + ["--run-id", "r1"]) == 0
+    _files(spark, 100, 250).write.mode("overwrite").parquet(inp)
+    assert main(args + ["--run-id", "r2", "--revalidate", "--compact-stores"]) == 0
+    # the store was compacted AND the latest-vs-history answer survives
+    st = novelty_stats(spark, kmv).collect()[0]
+    assert st["run_id"] == "r2" and st["est_new_b"] == 100.0
