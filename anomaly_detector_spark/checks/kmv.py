@@ -286,7 +286,9 @@ def run_novelty(df: DataFrame, spec) -> "CheckResult":
     return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per)
 
 
-def kmv_set_stats(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+def kmv_set_stats(
+    sk_a: DataFrame, sk_b: DataFrame, materialize: bool = True
+) -> DataFrame:
     """Cross-sketch set algebra per partition: (partition_key, n_a, n_b,
     est_a, est_b, est_union, est_inter, jaccard, est_new_b, exact).
 
@@ -295,7 +297,16 @@ def kmv_set_stats(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     sketch held the entire union — every number is then exact set
     arithmetic, not an estimate. All inputs are O(k) sketch rows; the
     membership tests are sketch-vs-sketch semi-joins.
+
+    Both sketches are eagerly localCheckpoint-ed (``materialize``):
+    the algebra drives several driver actions (parameter validation,
+    the merge's k lookup) plus a final multi-join plan, each of which
+    would otherwise RE-RUN the full sketch build — for an in-plan
+    sketch over a 100-TB table that is six scans instead of one. The
+    frames are O(k) rows per partition; the jaccard_pairs rule.
     """
+    if materialize:
+        sk_a, sk_b = sk_a.localCheckpoint(), sk_b.localCheckpoint()
     _check_params(sk_a.unionByName(sk_b), "kmv_set_stats")
     su = kmv_merge(sk_a, sk_b)
     in_a = su.join(sk_a.select("partition_key", "u"), ["partition_key", "u"], "left_semi")

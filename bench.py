@@ -83,6 +83,13 @@ def main() -> int:
         "events_read_amp",     # layout read-amplification sweep (two-phase)
         "docs_split_leakage",  # cross-split near-dup contamination guard
         "emb_drift",           # embedding-space distribution drift (PSI)
+        # round-3 final-session additions
+        "files_kmv_novelty",   # KMV set algebra: cross-run novelty from sketches
+        "events_slot_coverage",  # calendar completeness + longest dead run
+        "forecast_orders_customer",  # pre-flight join size/skew/strategy
+        "lineitem_cardinality",  # per-key row-count band with attribution
+        "ann_recall",          # lsh/ivf recall@k vs brute-force truth
+        "manifest_scorecard",  # fail rates + current FAIL streaks per check
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
@@ -168,10 +175,28 @@ def main() -> int:
             threshold=0.4, hash_fn="xxhash64",
         )
 
+    def kmv_novelty_production(spark_, sf_dir):
+        # production hash mode (xxhash64): the sha256 oracle mode pays
+        # one sha digest per distinct key purely for DuckDB parity
+        from anomaly_detector_spark.checks.kmv import kmv_set_stats, kmv_sketch
+        from anomaly_detector_spark.sources.registry import files_view
+        from pyspark.sql import functions as F
+
+        files = files_view(spark_, sf_dir)
+        key = F.concat_ws("\x1f", "repo", "path", "commit")
+        # run-tagging too: production splits runs by physical input, the
+        # fixture's overlapping-run split costs one cheap hash, not a sha
+        d = F.pmod(F.xxhash64(key), F.lit(16))
+        keys = ["repo", "path", "commit"]
+        sk_a = kmv_sketch(files.filter(d < 11), keys, "lang", k=64)
+        sk_b = kmv_sketch(files.filter(d >= 6), keys, "lang", k=64)
+        return kmv_set_stats(sk_a, sk_b)
+
     production = {
         "minhash_pairs": minhash_production,
         "docs_dup_clusters": dup_clusters_production,
         "docs_split_leakage": split_leakage_production,
+        "files_kmv_novelty": kmv_novelty_production,
     }
     timings: dict[str, float] = {}
     suite_rows = 0
