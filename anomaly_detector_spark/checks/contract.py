@@ -184,7 +184,7 @@ def run_schema_evolution(df: DataFrame, spec: CheckSpec) -> CheckResult:
     the store is empty (warm-up — no previous shape to compare). Same
     manifest caveat as run_schema_contract: column-name partition keys
     don't resume-commit."""
-    import os
+    from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
     allow = set(spec.config.get("allow", []))
@@ -210,8 +210,10 @@ def run_schema_evolution(df: DataFrame, spec: CheckSpec) -> CheckResult:
                     & (snaps.committed_at == last["committed_at"])
                 ).collect()
             }
-    except Exception:
-        if os.path.exists(store):  # real store, real read error: surface it
+    except AnalysisException as e:
+        # only "no store yet" is a warm-up; a corrupt/unreadable store
+        # must surface, not silently SKIP every column forever
+        if "PATH_NOT_FOUND" not in str(e):
             raise
     observed = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     rows = []

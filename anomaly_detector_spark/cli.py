@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
         "stand in for full validation",
     )
     p.add_argument(
+        "--coverage-audit", action="store_true",
+        help="report input columns the suite declares NO check on "
+        "(plans/config.py suite_column_coverage) — zero scans; the "
+        "blind-spot list lands in the summary as uncovered_columns",
+    )
+    p.add_argument(
         "--compact-stores", action="store_true",
         help="after the run, rewrite every sketch store passed above to "
         "its minimal merged form (plans/stores.py) — stores stay "
@@ -191,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
         "pending_partitions": run.pending_partitions,
         "noop_resume": run.result is None,
     }
+    if args.coverage_audit:
+        from .plans.config import suite_column_coverage
+
+        summary["uncovered_columns"] = [
+            r["column"] for r in suite_column_coverage(suite, df) if not r["covered"]
+        ]
     if args.compact_stores:
         from .plans.stores import compact_store
 

@@ -188,3 +188,41 @@ def suite_to_config(suite: list[CheckSpec]) -> dict:
         entry["min_rows"] = spec.min_rows
         out.append(entry)
     return {"checks": out}
+
+
+# config keys whose values name input COLUMNS, per check kind — the
+# basis of the coverage audit below. A key absent here (store paths,
+# thresholds, patterns) never names a column.
+_COLUMN_KEYS = ("column", "columns", "key", "lhs", "rhs", "ts_col", "value_col", "order_col")
+
+
+def suite_column_coverage(suite: list[CheckSpec], df) -> list[dict]:
+    """Meta-audit: which of the table's columns does this suite actually
+    test? Returns one dict per schema column: {column, checks (sorted
+    names), covered}. The classic blind spot a growing suite develops —
+    forty rules and two columns nobody ever declared anything on — made
+    visible before it matters. Pure driver-side (config + schema), zero
+    scans at any table size.
+
+    A check's partition_col counts as covered: partition verdicts gate
+    on its values (a bad value lands in a verdict row). Columns named
+    in config under the well-known keys (column/key/lhs/rhs/ts_col/...)
+    count; store paths and thresholds never do. Checks with no column
+    config (schema_contract, metadata_stats) cover nothing here — they
+    validate shape, not values."""
+    per_col: dict[str, set] = {f.name: set() for f in df.schema.fields}
+    for spec in suite:
+        named: set[str] = {spec.partition_col}
+        for key in _COLUMN_KEYS:
+            v = spec.config.get(key)
+            if isinstance(v, str):
+                named.add(v)
+            elif isinstance(v, (list, tuple)):
+                named.update(x for x in v if isinstance(x, str))
+        for c in named:
+            if c in per_col:
+                per_col[c].add(spec.name)
+    return [
+        {"column": c, "checks": sorted(names), "covered": bool(names)}
+        for c, names in per_col.items()
+    ]

@@ -144,3 +144,32 @@ def test_config_declares_fd_check(spark):
     # and every partition gets exactly one verdict row
     assert len(rows) == len({r["partition_key"] for r in rows})
     assert "FAIL" in {r["verdict"] for r in rows}
+
+
+def test_suite_column_coverage_audit(spark):
+    from anomaly_detector_spark.plans.config import (
+        suite_column_coverage,
+        suite_from_config,
+    )
+
+    df = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+        "content string, stars int",
+    )
+    suite = suite_from_config(
+        {
+            "partition_col": "lang",
+            "min_rows": 1,
+            "checks": [
+                {"check": "stats", "column": "content"},
+                {"check": "uniqueness", "key": ["repo", "path", "commit"]},
+                {"check": "format", "name": "fmt", "column": "commit", "pattern": "^c"},
+            ],
+        }
+    )
+    cov = {r["column"]: r for r in suite_column_coverage(suite, df)}
+    assert cov["stars"]["covered"] is False and cov["stars"]["checks"] == []
+    assert cov["content"]["checks"] == ["stats"]
+    assert set(cov["commit"]["checks"]) == {"uniqueness", "fmt"}
+    assert cov["lang"]["covered"] is True  # partition_col counts
+    assert sorted(cov) == ["commit", "content", "lang", "path", "repo", "stars"]
