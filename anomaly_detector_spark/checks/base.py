@@ -131,6 +131,49 @@ def as_violations(
     )
 
 
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join that treats NULL keys as EQUAL (SQL ``<=>``).
+
+    A NULL table-partition is a legitimate group everywhere this engine
+    aggregates (groupBy folds NULLs into one group), so every join back
+    on the group key must match it too — a plain ``=`` join silently
+    drops or zeroes NULL partitions (the count_drift bug class from the
+    round-2 advice; the same latent defect existed in the bloom probe,
+    KMV set algebra, drift grid, slot coverage, top-k bounds, and three
+    manifest accounting joins before they were moved onto this helper).
+
+    The right side's key columns are renamed away before the join, so
+    the output carries exactly the left frame's key columns (coalesced
+    with the right's for outer joins where the right side can be the
+    only one holding the key) plus both sides' payload columns.
+    EqualNullSafe is an equi-predicate: broadcast-hash / shuffled-hash
+    strategies still apply — no nested-loop demotion.
+    """
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_nsj_{k}")
+    if broadcast_right:
+        renamed = F.broadcast(renamed)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_nsj_{k}"))
+        cond = c if cond is None else cond & c
+    joined = left.join(renamed, cond, how)
+    if how in ("left_semi", "semi", "left_anti", "anti"):
+        return joined
+    if how in ("full", "full_outer", "fullouter", "outer",
+               "right", "right_outer", "rightouter"):
+        for k in keys:
+            joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"_nsj_{k}")))
+    return joined.drop(*[f"_nsj_{k}" for k in keys])
+
+
 def verdict_frame(
     per_partition: DataFrame,
     cid: str,

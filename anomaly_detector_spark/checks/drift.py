@@ -147,16 +147,19 @@ def drift_scores(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     # keyed on both columns. A partition with no history rows scores
     # against the all-smoothing (uniform) null — gate new partitions with
     # min_rows / warm-up semantics upstream if that is not wanted.
+    # null-safe on partition_key: a NULL partition's histogram must land
+    # on its own grid rows, or the kernel scores it as all-zero mass.
+    from .base import null_safe_join
+
     if "partition_key" in baseline.columns:
-        joined = (
-            grid.join(hist, on=["partition_key", "bucket"], how="left")
-            .join(F.broadcast(baseline), on=["partition_key", "bucket"], how="left")
+        joined = null_safe_join(
+            null_safe_join(grid, hist, ["partition_key", "bucket"], "left"),
+            baseline, ["partition_key", "bucket"], "left", broadcast_right=True,
         )
     else:
-        joined = (
-            grid.join(hist, on=["partition_key", "bucket"], how="left")
-            .join(F.broadcast(baseline), on="bucket", how="left")
-        )
+        joined = null_safe_join(
+            grid, hist, ["partition_key", "bucket"], "left"
+        ).join(F.broadcast(baseline), on="bucket", how="left")
     return joined.groupBy("partition_key").applyInPandas(_make_kernel(), SCORE_SCHEMA)
 
 
@@ -425,11 +428,13 @@ def drift_attribution(
     callers should ``.cache()`` both frames first (they are
     O(partitions x buckets) rows — KBs by construction).
     """
+    from .base import null_safe_join
+
     parts = hist.select("partition_key").distinct()
     buckets = hist.select("bucket").union(baseline.select("bucket")).distinct()
     grid = parts.crossJoin(F.broadcast(buckets))
     joined = (
-        grid.join(hist, on=["partition_key", "bucket"], how="left")
+        null_safe_join(grid, hist, ["partition_key", "bucket"], "left")
         .join(F.broadcast(baseline), on="bucket", how="left")
         .select(
             "partition_key",
@@ -447,7 +452,7 @@ def drift_attribution(
     )
     btot = baseline.agg(F.sum("base_n").alias("_tb"))
     sm = (
-        joined.join(tot, on="partition_key")
+        null_safe_join(joined, tot, ["partition_key"])
         .crossJoin(F.broadcast(btot))
         .select(
             "partition_key",

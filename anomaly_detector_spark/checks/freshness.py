@@ -220,7 +220,11 @@ def missing_slots(
             F.expr(f"sequence(first_slot, last_slot, interval 1 {granularity})")
         ).alias("slot"),
     )
-    return expected.join(observed, ["partition_key", "slot"], "left_anti")
+    # null-safe: a NULL partition's observed slots must cancel its own
+    # expected rows, or every one of its slots reports missing.
+    from .base import null_safe_join
+
+    return null_safe_join(expected, observed, ["partition_key", "slot"], "left_anti")
 
 
 def run_coverage(df: DataFrame, spec: CheckSpec) -> CheckResult:

@@ -117,7 +117,11 @@ def flag_metric_anomalies(
             F.expr("percentile(value, 0.75)").alias("_q3"),
         )
     )
-    j = latest.join(prior, on=key, how="left")
+    # null-safe: NULL partition_key series must find their own history,
+    # or they are permanently "insufficient history" and never flagged
+    from .base import null_safe_join
+
+    j = null_safe_join(latest, prior, key, "left")
     v = F.col("value")
     z = F.when(
         F.col("std_prior") > 0, F.abs(v - F.col("mean_prior")) / F.col("std_prior")

@@ -238,7 +238,7 @@ def run_novelty(df: DataFrame, spec) -> "CheckResult":
     min(min_rows, k) distinct keys. Violations are empty by design:
     set-level estimates carry no row identity (pair with seen_before +
     history for exact offending keys)."""
-    from .base import CheckResult, empty_violations, verdict_frame
+    from .base import CheckResult, empty_violations, null_safe_join, verdict_frame
 
     spark = df.sparkSession
     keys = list(spec.config.get("key", ["repo", "path", "commit"]))
@@ -248,8 +248,14 @@ def run_novelty(df: DataFrame, spec) -> "CheckResult":
     stats = (
         kmv_set_stats(hist, cur)
         # store partitions absent from THIS input get no verdict row
-        # (they were not validated by this run), same as every check
-        .join(cur.select("partition_key").distinct(), "partition_key", "left_semi")
+        # (they were not validated by this run), same as every check;
+        # null-safe so a NULL partition present in the input IS validated
+        .transform(
+            lambda d: null_safe_join(
+                d, cur.select("partition_key").distinct(),
+                ["partition_key"], "left_semi",
+            )
+        )
         .withColumn(
             "new_frac",
             F.when(F.col("est_b") > 0, F.col("est_new_b") / F.col("est_b")),
@@ -305,13 +311,19 @@ def kmv_set_stats(
     sketch over a 100-TB table that is six scans instead of one. The
     frames are O(k) rows per partition; the jaccard_pairs rule.
     """
+    from .base import null_safe_join
+
     if materialize:
         sk_a, sk_b = sk_a.localCheckpoint(), sk_b.localCheckpoint()
     _check_params(sk_a.unionByName(sk_b), "kmv_set_stats")
     su = kmv_merge(sk_a, sk_b)
-    in_a = su.join(sk_a.select("partition_key", "u"), ["partition_key", "u"], "left_semi")
-    in_both = in_a.join(
-        sk_b.select("partition_key", "u"), ["partition_key", "u"], "left_semi"
+    # null-safe on partition_key: a NULL partition's sketch must match
+    # itself across runs, or its algebra degenerates to n=0 / jaccard 0.
+    in_a = null_safe_join(
+        su, sk_a.select("partition_key", "u"), ["partition_key", "u"], "left_semi"
+    )
+    in_both = null_safe_join(
+        in_a, sk_b.select("partition_key", "u"), ["partition_key", "u"], "left_semi"
     )
     ug = su.groupBy("partition_key", "k").agg(
         F.count(F.lit(1)).alias("ku"), F.max("u").alias("_umax")
@@ -327,10 +339,10 @@ def kmv_set_stats(
         (F.col("k") - 1) / F.col("_umax")
     )
     j = (
-        ug.join(m, "partition_key", "left")
+        null_safe_join(ug, m, ["partition_key"], "left")
         .na.fill({"_m": 0})
-        .join(ea, "partition_key", "left")
-        .join(eb, "partition_key", "left")
+        .transform(lambda d: null_safe_join(d, ea, ["partition_key"], "left"))
+        .transform(lambda d: null_safe_join(d, eb, ["partition_key"], "left"))
         .na.fill({"n_a": 0, "n_b": 0, "est_a": 0.0, "est_b": 0.0})
         .withColumn("_du", d_union)
         .withColumn("_di", F.col("_m") / F.col("ku") * F.col("_du"))

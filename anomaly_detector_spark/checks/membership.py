@@ -153,10 +153,19 @@ def bloom_probe(
             "mask"
         ),
     )
-    store = bloom_merge(words)
-    if broadcast_store:
-        store = F.broadcast(store)
-    joined = probes.join(store, ["partition_key", "word_idx"], "left")
+    from .base import null_safe_join
+
+    # null-safe on partition_key: a NULL partition's filter lives under a
+    # NULL key in the store; a plain = join would miss it and turn every
+    # probe into a FALSE NEGATIVE, breaking the "maybe_seen=False is
+    # definitive" contract.
+    joined = null_safe_join(
+        probes,
+        bloom_merge(words),
+        ["partition_key", "word_idx"],
+        "left",
+        broadcast_right=broadcast_store,
+    )
     hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask"))
     return joined.groupBy("partition_key", *key_cols).agg(
         F.min(hit.cast("int")).cast("boolean").alias("maybe_seen")

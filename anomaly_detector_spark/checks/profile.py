@@ -327,9 +327,13 @@ def topk_sketches(
     bound = ranked.filter(F.col("rank") == k + 1).select(
         "partition_key", F.col("n").alias("_bnd")
     )
+    from .base import null_safe_join
+
     return (
-        ranked.filter(F.col("rank") <= k)
-        .join(F.broadcast(bound), "partition_key", "left")
+        null_safe_join(
+            ranked.filter(F.col("rank") <= k), bound,
+            ["partition_key"], "left", broadcast_right=True,
+        )
         .select(
             F.lit(run_id).alias("run_id"),
             "partition_key",
@@ -361,7 +365,11 @@ def topk_union(sketches: DataFrame, k: int = 10) -> DataFrame:
     per_item = sketches.groupBy("partition_key", "item").agg(
         F.sum("n").alias("est"), F.sum("bound").alias("_present_bound")
     )
-    merged = per_item.join(F.broadcast(run_bounds), "partition_key").select(
+    from .base import null_safe_join
+
+    merged = null_safe_join(
+        per_item, run_bounds, ["partition_key"], broadcast_right=True
+    ).select(
         "partition_key",
         "item",
         "est",

@@ -347,7 +347,11 @@ def sweep_depth(
         .orderBy("_v", "_e")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    run = ev.join(F.broadcast(offs), g + ["_c"]).withColumn(
+    # null-safe on the group dims: a NULL dimension value is a legal
+    # window group and must meet its own offsets row (_c never NULL)
+    from ..checks.base import null_safe_join
+
+    run = null_safe_join(ev, offs, g + ["_c"], broadcast_right=True).withColumn(
         "_run", F.col("_off") + F.sum("_d").over(w_in)
     )
     probes = (

@@ -728,14 +728,21 @@ def embedding_drift(
     )
     base_tot = base.groupBy("plane").agg(F.sum("base_n").alias("n_total"))
     bp = grid.groupBy("plane").agg(F.count(F.lit(1)).alias("b"))
+    # null-safe on partition_key (a NULL partition is a legal group and
+    # must meet its own histogram / count rows; plane/bucket never NULL)
+    from ..checks.base import null_safe_join
+
     f = (
-        cnt.select("partition_key")
-        .crossJoin(F.broadcast(grid))
-        .join(hist, ["partition_key", "plane", "bucket"], "left")
+        null_safe_join(
+            cnt.select("partition_key").crossJoin(F.broadcast(grid)),
+            hist, ["partition_key", "plane", "bucket"], "left",
+        )
         .join(F.broadcast(base), ["plane", "bucket"], "left")
         .na.fill({"n": 0, "base_n": 0})
         .join(F.broadcast(bp), "plane")
-        .join(F.broadcast(cnt), "partition_key")
+        .transform(
+            lambda d: null_safe_join(d, cnt, ["partition_key"], broadcast_right=True)
+        )
         .join(F.broadcast(base_tot), "plane")
     )
     p = (F.col("n") + 0.5) / (F.col("n_obs") + 0.5 * F.col("b"))
@@ -749,12 +756,12 @@ def embedding_drift(
     )
     m = psis.groupBy("partition_key", "n_obs").agg(F.max("psi6").alias("psi"))
     wp = (
-        psis.join(m, ["partition_key", "n_obs"])
+        null_safe_join(psis, m, ["partition_key", "n_obs"])
         .where(F.col("psi6") == F.col("psi"))
         .groupBy("partition_key")
         .agg(F.min("plane").cast("long").alias("worst_plane"))
     )
-    return m.join(wp, "partition_key").select(
+    return null_safe_join(m, wp, ["partition_key"]).select(
         "partition_key", "psi", "worst_plane", F.col("n_obs").cast("long").alias("n_obs")
     )
 

@@ -43,7 +43,14 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checks.base import CheckResult, CheckSpec, as_violations, empty_violations, verdict_frame
+from ..checks.base import (
+    CheckResult,
+    CheckSpec,
+    as_violations,
+    empty_violations,
+    null_safe_join,
+    verdict_frame,
+)
 from ..checks.drift import run_drift
 from ..checks.referential import run_referential
 from ..checks.stats import run_stats, stats_exprs
@@ -288,11 +295,15 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     # separate build job. Escape hatch for pathological mass-duplication
     # inputs where the dup set itself is huge: config
     # {"broadcast_dup": False} falls back to the shuffle join.
+    # null-safe on the key columns: groupBy (and the window path) treat
+    # NULL key components as EQUAL, so the join back must too — a plain
+    # = join would let NULL-keyed duplicates escape the check.
     dup = counts.filter(F.col("n") > 1).select(*key, "n", "_min_h")
-    if spec.config.get("broadcast_dup", True):
-        dup = F.broadcast(dup)
     dup_kp = (
-        counts_kp.join(dup, on=key)
+        null_safe_join(
+            counts_kp, dup, list(key),
+            broadcast_right=spec.config.get("broadcast_dup", True),
+        )
         .withColumn(
             "_n_viol",
             F.col("n_kp")
@@ -311,7 +322,7 @@ def fused_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     )
 
     per_part = (
-        counts_kp.join(counts.select(*key, "n"), on=key, how="left")
+        null_safe_join(counts_kp, counts.select(*key, "n"), list(key), "left")
         .groupBy(F.col("_part").alias(part))
         .agg(
             F.sum("n_kp").alias("n_rows"),

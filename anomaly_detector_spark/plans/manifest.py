@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..checks.base import CheckSpec
+from ..checks.base import CheckSpec, null_safe_join
 from .suite import SuiteResult, default_suite, run_suite
 
 MANIFEST_SCHEMA = (
@@ -216,7 +216,8 @@ def global_topk(
     latest = df.groupBy("suite_id", "partition_key").agg(
         F.max("run_id").alias("run_id")
     )
-    surviving = df.join(latest, ["suite_id", "partition_key", "run_id"])
+    # null-safe: NULL-partition sketch rows must survive the dedupe
+    surviving = null_safe_join(df, latest, ["suite_id", "partition_key", "run_id"])
     as_runs = surviving.select(
         F.concat_ws("/", "suite_id", "partition_key").alias("run_id"),
         F.lit("_global").alias("partition_key"),
@@ -430,7 +431,9 @@ def scorecard(manifest: DataFrame, suite_sid: str | None = None) -> DataFrame:
             F.sum((F.col("verdict") == "FAIL").cast("long")).alias("_nf"),
             F.sum((F.col("verdict") == "PASS").cast("long")).alias("_np"),
         )
-        .join(first_ok, keys, "left")
+        # null-safe: a NULL partition that PASSes must find its first_ok
+        # row, or its _streak coalesces to "all runs failing"
+        .transform(lambda d: null_safe_join(d, first_ok, keys, "left"))
         .withColumn(
             "_streak", F.coalesce(F.col("_first_ok") - 1, F.col("_n")).cast("long")
         )
@@ -494,12 +497,15 @@ def incidents(manifest: DataFrame, suite_sid: str | None = None) -> DataFrame:
     streaks = (
         r.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .join(first_ok, keys, "left")
+        # null-safe on partition_key, same reasoning as scorecard
+        .transform(lambda d: null_safe_join(d, first_ok, keys, "left"))
         .withColumn("_streak", F.coalesce(F.col("_first_ok") - 1, F.col("_n")))
         .filter(F.col("_streak") >= 1)
     )
     # the streak's oldest run: the row at _rn == _streak
-    started = r.join(streaks, keys).filter(F.col("_rn") == F.col("_streak"))
+    started = null_safe_join(r, streaks, keys).filter(
+        F.col("_rn") == F.col("_streak")
+    )
     return (
         started.groupBy("partition_key")
         .agg(
@@ -535,7 +541,9 @@ def revalidation_plan(
     latest = manifest.groupBy("partition_key").agg(
         F.max("committed_at").alias("_latest_at")
     )
-    cur = manifest.join(latest, "partition_key").filter(
+    # null-safe: NULL partitions have manifest rows too (resume handles
+    # them via eqNullSafe); dropping them here would hide their incidents.
+    cur = null_safe_join(manifest, latest, ["partition_key"]).filter(
         F.col("committed_at") == F.col("_latest_at")
     )
     failed = (
@@ -587,8 +595,13 @@ def sample_violations(
         F.xxhash64("repo", "path", "commit", "partition_key", "check_id"),
         F.lit(1_000_000),
     ) < (rate * 1_000_000)
+    # null-safe: a NULL-partition violation that misses its count row
+    # would get rate NULL -> keep NULL -> silently dropped from the sink.
     return (
-        violations.join(F.broadcast(counts), ["partition_key", "check_id"], "left")
+        null_safe_join(
+            violations, counts, ["partition_key", "check_id"], "left",
+            broadcast_right=True,
+        )
         .where(keep)
         .drop("n_violations")
         .select(*violations.columns)
@@ -934,9 +947,18 @@ def run_with_manifest(
             )
 
     manifest_rows = (
-        res.verdicts.select("partition_key", "check_id", "verdict", "metrics")
-        .join(F.broadcast(rows_per_part), "partition_key", "left")
-        .join(F.broadcast(viol_per_part), ["partition_key", "check_id"], "left")
+        # null-safe: NULL partitions must keep their true n_rows /
+        # n_violations instead of the coalesced 0 below.
+        null_safe_join(
+            res.verdicts.select("partition_key", "check_id", "verdict", "metrics"),
+            rows_per_part, ["partition_key"], "left", broadcast_right=True,
+        )
+        .transform(
+            lambda d: null_safe_join(
+                d, viol_per_part, ["partition_key", "check_id"], "left",
+                broadcast_right=True,
+            )
+        )
         .select(
             F.lit(rid).alias("run_id"),
             F.lit(sid).alias("suite_id"),
