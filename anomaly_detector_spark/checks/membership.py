@@ -243,7 +243,13 @@ def run_seen_before(df: DataFrame, spec) -> "CheckResult":
     The store path participates in the check id (unlike injected
     DataFrames): two suites probing different stores are different
     checks with separate manifest streams."""
-    from .base import CheckResult, as_violations, empty_violations, verdict_frame
+    from .base import (
+        CheckResult,
+        as_violations,
+        empty_violations,
+        null_safe_join,
+        verdict_frame,
+    )
 
     spark = df.sparkSession
     keys = list(spec.config.get("key", ["repo", "path", "commit"]))
@@ -263,7 +269,11 @@ def run_seen_before(df: DataFrame, spec) -> "CheckResult":
     history = spec.config.get("history")
     if history is not None:
         hist_keys = spark.read.parquet(history).select(*keys).distinct()
-        dup = cand.join(hist_keys, keys, "left_semi")
+        # null-safe: the bloom words hash NULL key components (concat_ws
+        # skips them deterministically), so a NULL-keyed candidate is
+        # real and must verify against the same NULL-keyed history row —
+        # a plain = semi-join would silently acquit it.
+        dup = null_safe_join(cand, hist_keys, keys, "left_semi")
         observed, expected = "key committed by a previous run", "key never committed before"
     else:
         dup = cand
@@ -276,10 +286,15 @@ def run_seen_before(df: DataFrame, spec) -> "CheckResult":
             F.count(F.lit(1)).alias("n_keys"),
             F.sum(F.col("maybe_seen").cast("long")).alias("n_candidates"),
         )
-        .join(
-            dup.groupBy("partition_key").agg(F.count(F.lit(1)).alias("n_dup")),
-            "partition_key",
-            "left",
+        # null-safe: a NULL partition's candidates must keep their n_dup,
+        # or the fillna(0) below turns its verdict into a false PASS.
+        .transform(
+            lambda d: null_safe_join(
+                d,
+                dup.groupBy("partition_key").agg(F.count(F.lit(1)).alias("n_dup")),
+                ["partition_key"],
+                "left",
+            )
         )
         .fillna(0, ["n_dup"])
     )

@@ -291,6 +291,58 @@ def test_embedding_drift_null_partition_matches_sentinel(spark):
     assert got[None] == want["__S__"] and got["py"] == want["py"]
 
 
+def test_seen_before_null_partition_and_null_key(spark, null_part_files, tmp_path):
+    from anomaly_detector_spark.checks.membership import bloom_words, run_seen_before
+
+    # history: the fixture's 4 keys (two in the NULL partition) plus a
+    # NULL-commit key in the NULL partition — both NULL axes at once
+    hist = null_part_files.unionByName(
+        spark.createDataFrame(
+            [("r3", "e.py", None, None, "iota kappa")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    hist_path, store = str(tmp_path / "hist"), str(tmp_path / "mb")
+    hist.write.parquet(hist_path)
+    (
+        bloom_words(hist, "lang", ["repo", "path", "commit"], n_bits=1 << 12, k=3)
+        .select(
+            "partition_key", "word_idx", "bits",
+            F.lit(1 << 12).alias("n_bits"), F.lit(3).alias("k"),
+            F.lit("xxhash64").alias("mode"),
+        )
+        .write.parquet(store)
+    )
+
+    # new input re-sends BOTH NULL-partition committed keys (one of them
+    # the NULL-commit key) plus a fresh key in each partition
+    new = spark.createDataFrame(
+        [
+            ("r1", "b.py", "c2", None, "gamma delta"),   # committed, NULL part
+            ("r3", "e.py", None, None, "iota kappa"),    # committed, NULL key+part
+            ("r9", "new.py", "c9", None, "fresh"),       # fresh, NULL part
+            ("r1", "a.py", "c1", "py", "alpha beta"),    # committed, py
+            ("r9", "neu.py", "c8", "py", "fresh"),       # fresh, py
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    spec = CheckSpec(
+        "seen_before", run_seen_before,
+        {"store": store, "history": hist_path}, "lang", 1,
+    )
+    res = run_seen_before(new, spec)
+    got = {r["partition_key"]: (r["verdict"], r["metrics"]["n_dup"])
+           for r in res.verdicts.collect()}
+    # NULL partition: 2 exactly-verified dups (incl. the NULL-keyed one);
+    # pre-fix it read n_dup=0 (accounting join dropped the NULL partition,
+    # and the history semi-join acquitted the NULL-keyed candidate)
+    assert got[None] == ("FAIL", 2.0)
+    assert got["py"] == ("FAIL", 1.0)
+    # the NULL-keyed duplicate appears as a real violation row
+    v = res.violations.filter(F.col("commit").isNull()).collect()
+    assert len(v) == 1 and v[0]["partition_key"] is None
+
+
 def test_sweep_depth_null_group_matches_sentinel(spark):
     from anomaly_detector_spark.operators.layout import sweep_depth
 
