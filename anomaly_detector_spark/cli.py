@@ -26,7 +26,23 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="anomaly_detector_spark")
     p.add_argument("--input", required=True, help="parquet dir or table name of the files table")
-    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg", "table"])
+    p.add_argument(
+        "--format", default="parquet",
+        choices=["parquet", "iceberg", "table", "orc", "csv", "json"],
+        help="csv/json are landed-data reads: declared schema (never "
+        "inferSchema — a second full pass at scale), PERMISSIVE parse, "
+        "malformed lines quarantined before the suite (see --corrupt-out)",
+    )
+    p.add_argument(
+        "--input-schema", default=None,
+        help="DDL schema string for csv/json input (default: the files-table "
+        "schema). Ignored for self-describing formats.",
+    )
+    p.add_argument(
+        "--corrupt-out", default=None,
+        help="parquet dir for malformed csv/json lines (raw text + run_id); "
+        "omitted: corrupt rows are counted and excluded, not persisted",
+    )
     p.add_argument("--manifest", required=True, help="manifest table location (parquet dir)")
     p.add_argument("--violations", default=None, help="violations sink (parquet dir); omit to only count")
     p.add_argument("--partition-col", default="lang")
@@ -143,12 +159,30 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name="anomaly_detector_spark", cores=args.cores)
 
-    if args.format == "parquet":
-        df = spark.read.parquet(args.input)
-    elif args.format == "iceberg":
-        df = spark.read.format("iceberg").load(args.input)
-    else:
-        df = spark.table(args.input)
+    from .sources.registry import read_input, split_corrupt
+
+    df = read_input(spark, args.input, args.format, schema=args.input_schema)
+    n_corrupt = 0
+    if args.format in ("csv", "json"):
+        # malformed lines would poison every check (all-NULL payload
+        # rows); split them off the same scan and account for them —
+        # bad input is a finding, not a crash
+        df, corrupt = split_corrupt(df)
+        if args.corrupt_out:
+            import time as _time
+
+            from pyspark.sql import functions as F
+
+            rid = args.run_id or f"run_{int(_time.time())}"
+            corrupt = corrupt.withColumn("run_id", F.lit(rid))
+            corrupt.write.mode("append").parquet(args.corrupt_out)
+            n_corrupt = (
+                spark.read.parquet(args.corrupt_out)
+                .filter(F.col("run_id") == rid)
+                .count()
+            )
+        else:
+            n_corrupt = corrupt.count()
 
     from .plans.manifest import run_with_manifest
     from .plans.suite import constraint_suite, default_suite, extended_suite
@@ -197,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
         "pending_partitions": run.pending_partitions,
         "noop_resume": run.result is None,
     }
+    if args.format in ("csv", "json"):
+        summary["n_corrupt_rows"] = n_corrupt
+        if args.corrupt_out:
+            summary["corrupt_out"] = args.corrupt_out
     if args.coverage_audit:
         from .plans.config import suite_column_coverage
 

@@ -81,6 +81,92 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def read_input(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+    options: dict | None = None,
+) -> DataFrame:
+    """One batch-input surface for every landed format the suite
+    validates: ``parquet`` / ``iceberg`` / ``table`` (catalog name) /
+    ``orc`` read their own schema from footers or the catalog; ``csv``
+    and ``json`` are SCHEMALESS TEXT and follow landed-data rules:
+
+    * A schema is mandatory (default ``FILES_SCHEMA``) and
+      ``inferSchema`` is never used — inference is a SECOND full pass
+      over the data, unaffordable at 100 TB, and it lets the data vote
+      on its own types (a drifted file silently flips a column to
+      string instead of failing validation).
+    * PERMISSIVE parsing with a ``corrupt_col`` column: malformed lines
+      become rows whose payload columns are NULL and whose corrupt
+      column holds the raw text — callers split them off
+      (``split_corrupt``) and validate them as first-class bad input
+      instead of crashing the run (FAILFAST) or silently dropping them
+      (DROPMALFORMED).
+    * The text formats are read as a ``text`` scan + ``from_json`` /
+      ``from_csv`` COLUMN EXPRESSIONS, not the file-source readers:
+      the readers' internal corrupt-record column cannot be queried on
+      its own (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN rule — the
+      documented workaround is caching the table, unaffordable at
+      100 TB), while a parsed corrupt column is an ordinary column
+      both sides of the quarantine split can filter and count. Same
+      single splittable scan either way. Known limit: line-based,
+      so csv fields with EMBEDDED NEWLINES are out of scope (the
+      non-splittable multiLine mode would be too — landed data with
+      newline fields should arrive as json).
+
+    Scale note: csv/json scans get no column pruning or predicate
+    pushdown — every check pass re-reads whole lines. They are the
+    validate-on-landing formats; the suite's verdict gates conversion
+    to parquet/Iceberg (the WAP plan), after which scans prune.
+    """
+    opts = dict(options or {})
+    if fmt == "parquet":
+        return spark.read.options(**opts).parquet(path)
+    if fmt == "iceberg":
+        return spark.read.options(**opts).format("iceberg").load(path)
+    if fmt == "table":
+        return spark.table(path)
+    if fmt == "orc":
+        return spark.read.options(**opts).orc(path)
+    if fmt in ("csv", "json"):
+        sch = schema or FILES_SCHEMA
+        full = f"{sch}, {corrupt_col} string"
+        popts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+        raw = spark.read.text(path)
+        if fmt == "json":
+            parsed = F.from_json(F.col("value"), full, popts)
+        else:
+            header = opts.pop("header", "true")
+            popts.update(opts)
+            if str(header).lower() == "true":
+                # the writer's header line is the schema's field names
+                # in order; drop it wherever it appears (once per file)
+                names = [f.strip().split(" ")[0] for f in sch.split(",")]
+                sep = popts.get("sep", popts.get("delimiter", ","))
+                raw = raw.filter(F.col("value") != sep.join(names))
+            parsed = F.from_csv(F.col("value"), full, popts)
+        return raw.select(parsed.alias("_r")).select("_r.*")
+    raise ValueError(f"unknown input format {fmt!r}")
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, corrupt) split of a PERMISSIVE csv/json read — two
+    filters over one scan, the quarantine_by_rules shape: no join, no
+    shuffle. Clean rows drop the corrupt column; corrupt rows keep only
+    it (the raw line is the whole evidence). A frame without the
+    column (parquet/orc/table input) returns (df, empty)."""
+    if corrupt_col not in df.columns:
+        return df, df.select(F.lit(None).cast("string").alias(corrupt_col)).limit(0)
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, corrupt
+
+
 def parse_kafka_envelope(df: DataFrame, schema: str = FILES_SCHEMA) -> DataFrame:
     """Decode a Kafka-shaped frame (binary ``value`` column) into file
     rows: value = JSON document in ``input_hint`` shape. Pure column

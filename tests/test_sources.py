@@ -94,3 +94,113 @@ def test_bucketed_table_skips_uniqueness_exchange(spark, tmp_path):
         assert agg.count() == agg2.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS files_bucketed")
+
+
+def test_read_input_format_matrix_verdict_parity(spark, tmp_path):
+    # the SAME rows landed as parquet / orc / csv / json must produce
+    # IDENTICAL suite verdicts — the input format is a serialization
+    # detail, never a semantics change
+    from anomaly_detector_spark.plans.suite import default_suite, run_suite
+    from anomaly_detector_spark.sources.registry import read_input, split_corrupt
+    from anomaly_detector_spark.synth import synth_files
+
+    src = synth_files(spark, 3000, seed=5)
+    paths = {}
+    for fmt in ("parquet", "orc", "csv", "json"):
+        p = str(tmp_path / fmt)
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w.format(fmt), "save")(p)
+        paths[fmt] = p
+
+    def verdicts(fmt):
+        df = read_input(spark, paths[fmt], fmt)
+        if fmt in ("csv", "json"):
+            df, corrupt = split_corrupt(df)
+            assert corrupt.count() == 0  # clean data: nothing quarantined
+        res = run_suite(df, default_suite(min_rows=1))
+        out = sorted(
+            ((r["partition_key"] or "", r["check_id"], r["verdict"])
+             for r in res.verdicts.collect()),
+        )
+        res.unpersist()
+        return out
+
+    base = verdicts("parquet")
+    assert len(base) > 0
+    for fmt in ("orc", "csv", "json"):
+        assert verdicts(fmt) == base, fmt
+
+
+def test_read_input_json_corrupt_lines_quarantined(spark, tmp_path):
+    # malformed lines become quarantine rows, never a crash and never
+    # silent drops: clean + corrupt partitions the input exactly
+    from anomaly_detector_spark.sources.registry import read_input, split_corrupt
+
+    p = tmp_path / "landed.json"
+    good = [
+        {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "py", "content": "x"},
+        {"repo": "r2", "path": "b.py", "commit": "c2", "lang": "go", "content": "y"},
+    ]
+    lines = [json.dumps(g) for g in good] + ["{truncated", "not json at all"]
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_input(spark, str(p), "json")
+    clean, corrupt = split_corrupt(df)
+    assert clean.count() == 2 and "_corrupt_record" not in clean.columns
+    bad = sorted(r["_corrupt_record"] for r in corrupt.collect())
+    assert bad == ["not json at all", "{truncated"]
+
+    # parquet input: split_corrupt is a no-op passthrough
+    pq = str(tmp_path / "pq")
+    clean.write.parquet(pq)
+    same, none = split_corrupt(read_input(spark, pq, "parquet"))
+    assert same.count() == 2 and none.count() == 0
+
+
+def test_read_input_never_infers_schema(spark, tmp_path):
+    # a csv column that LOOKS numeric must stay the declared string —
+    # the data never votes on its own types
+    from anomaly_detector_spark.sources.registry import read_input
+
+    p = tmp_path / "t.csv"
+    p.write_text("repo,path,commit,lang,content\n123,456,789,py,42\n")
+    df = read_input(spark, str(p), "csv")
+    assert dict(df.dtypes)["repo"] == "string"
+    row = df.collect()[0]
+    assert row["repo"] == "123" and row["content"] == "42"
+
+
+def test_cli_json_input_with_corrupt_out(spark, tmp_path, capsys):
+    # end-to-end: --format json quarantines bad lines to --corrupt-out
+    # and the suite still validates the clean rows
+    from anomaly_detector_spark.cli import main
+
+    p = tmp_path / "landed.json"
+    good = [
+        {"repo": f"r{i}", "path": f"f{i}.py", "commit": f"c{i}", "lang": "py",
+         "content": f"body {i}"}
+        for i in range(30)
+    ]
+    lines = [json.dumps(g) for g in good] + ["garbage line"]
+    p.write_text("\n".join(lines) + "\n")
+    corrupt_out = str(tmp_path / "corrupt")
+
+    rc = main(
+        [
+            "--input", str(p), "--format", "json",
+            "--manifest", str(tmp_path / "manifest"),
+            "--corrupt-out", corrupt_out,
+            "--min-rows", "1", "--run-id", "r1",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_corrupt_rows"] == 1
+    stored = spark.read.parquet(corrupt_out).collect()
+    assert len(stored) == 1 and stored[0]["run_id"] == "r1"
+    assert stored[0]["_corrupt_record"] == "garbage line"
+    # clean rows were validated: the manifest holds the py partition
+    m = spark.read.parquet(str(tmp_path / "manifest"))
+    assert m.filter(F.col("partition_key") == "py").count() > 0
