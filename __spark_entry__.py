@@ -1940,8 +1940,48 @@ def q_docs_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return skew_profile(d, ["lang", "source"], k=3, min_share=0.001)
 
 
+def q_docs_landed_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Landed-json schema-evolution audit (sources/registry.py
+    landed_key_profile): documents serialized to json lines in-plan,
+    with every 10th doc carrying an EVOLVED upstream schema (text
+    renamed to body, plus a new quality field). The profile names the
+    rename: declared key ``text`` at share 0.9, unknown keys ``body``/
+    ``quality`` at share 0.1 — what a PERMISSIVE parse would silently
+    turn into nulls and dropped fields. ignoreNullFields=false so a
+    NULL column still contributes its key (matching DuckDB to_json)."""
+    from anomaly_detector_spark.sources.registry import landed_key_profile
+
+    docs = load_table(spark, sf, "documents")
+    opts = {"ignoreNullFields": "false"}
+    evolved = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("text").alias("body"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+            F.lit(1).alias("quality"),
+        ),
+        opts,
+    )
+    legacy = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars"), opts
+    )
+    raw = docs.select(
+        F.when(F.col("doc_id") % 10 == 0, evolved).otherwise(legacy).alias("value")
+    )
+    prof = landed_key_profile(raw, "doc_id, text, lang, source, n_chars")
+    return prof.select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("share", 4).alias("share"),
+        "status",
+    ).orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "docs_landed_keys": q_docs_landed_keys,
         "files_stats": q_files_stats,
         "files_sampled_stats": q_files_sampled_stats,
         "files_dup_keys": q_files_dup_keys,
@@ -3941,6 +3981,35 @@ def _corpus_pipeline_oracle(k: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
+    out["docs_landed_keys"] = """
+        WITH src AS (
+          SELECT CASE WHEN doc_id % 10 = 0
+            THEN to_json(struct_pack(doc_id := doc_id, body := text,
+                                     lang := lang, source := source,
+                                     n_chars := n_chars, quality := 1))
+            ELSE to_json(struct_pack(doc_id := doc_id, text := text,
+                                     lang := lang, source := source,
+                                     n_chars := n_chars))
+          END AS value FROM documents
+        ),
+        tot AS (SELECT count(*) AS n_lines FROM src),
+        obs AS (
+          SELECT k AS key, CAST(count(*) AS BIGINT) AS n_rows
+          FROM src, unnest(json_keys(value)) AS t(k)
+          GROUP BY k
+        ),
+        decl AS (
+          SELECT unnest(['doc_id','text','lang','source','n_chars']) AS key
+        )
+        SELECT coalesce(obs.key, decl.key) AS key,
+               CAST(coalesce(obs.n_rows, 0) AS BIGINT) AS n_rows,
+               round(coalesce(obs.n_rows, 0) * 1.0
+                     / (SELECT n_lines FROM tot), 4) AS share,
+               CASE WHEN decl.key IS NULL THEN 'unknown'
+                    ELSE 'declared' END AS status
+        FROM obs FULL OUTER JOIN decl ON obs.key = decl.key
+        ORDER BY key
+    """
     out["docs_token_stats"] = out["docs_token_stats"].replace("{STOPWORDS}", _stopword_sql_list())
     out["suite_verdicts"] = _suite_verdicts_oracle()
     out["files_rowrules"] = _rowrules_oracle()

@@ -142,6 +142,28 @@ def build_parser() -> argparse.ArgumentParser:
         "O(partitions) instead of one file per run; reader answers are "
         "preserved exactly",
     )
+    p.add_argument(
+        "--watch", action="store_true",
+        help="continuous validate-on-landing: treat --input as a drop "
+        "DIRECTORY and stream it (read_input_stream + validate_stream) — "
+        "each micro-batch of newly landed files is validated and committed "
+        "to the manifest; csv/json corrupt lines quarantine per batch to "
+        "--corrupt-out. Processes everything available, then exits "
+        "(availableNow) — run under a scheduler for a daemon. Requires "
+        "--checkpoint; formats iceberg/table are batch-only.",
+    )
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="streaming checkpoint dir (required with --watch): crash-"
+        "restart resumes at the first unprocessed file",
+    )
+    p.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="with --watch: bound each micro-batch's file count. NOTE a "
+        "partition split across batches is only validated on first "
+        "appearance (skipped rows are warned) — prefer whole-partition "
+        "landing files when setting this",
+    )
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -158,6 +180,109 @@ def main(argv: list[str] | None = None) -> int:
         from .session import get_spark
 
         spark = get_spark(app_name="anomaly_detector_spark", cores=args.cores)
+
+    from .plans.manifest import run_with_manifest
+    from .plans.suite import constraint_suite, default_suite, extended_suite
+
+    if args.suite_config:
+        from pathlib import Path
+
+        from .plans.config import suite_from_config
+
+        suite = suite_from_config(Path(args.suite_config))
+    else:
+        make_suite = {
+            "default": default_suite,
+            "extended": extended_suite,
+            "constraint": constraint_suite,
+        }[args.suite]
+        suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
+    if args.sample_frac is not None:
+        from .plans.sampled import sampled_specs
+
+        suite = sampled_specs(suite, args.sample_frac)
+
+    sketch_sinks = dict(
+        sketches_dir=args.sketches,
+        quantile_sketches_dir=args.quantile_sketches,
+        topk_sketches_dir=args.topk_sketches,
+        membership_dir=args.membership,
+        kmv_sketches_dir=args.kmv_sketches,
+        schemas_dir=args.schemas,
+        hist_dir=args.hist_store,
+        rolling_baseline_k=args.rolling_baseline_k,
+        revalidate=args.revalidate,
+        max_violations_per_check=args.max_violations_per_check,
+    )
+
+    if args.watch:
+        if args.format in ("iceberg", "table"):
+            raise SystemExit("--watch supports directory formats (parquet/orc/csv/json)")
+        if not args.checkpoint:
+            raise SystemExit("--watch requires --checkpoint")
+        from .sources.registry import read_input_stream
+        from .streaming.validate import validate_stream
+
+        options = (
+            {"maxFilesPerTrigger": args.max_files_per_trigger}
+            if args.max_files_per_trigger
+            else None
+        )
+        stream = read_input_stream(
+            spark, args.input, args.format, schema=args.input_schema, options=options
+        )
+        if args.sample_frac is not None:
+            from .plans.sampled import sample_predicate
+
+            stream = stream.filter(sample_predicate(frac=args.sample_frac))
+        batches: list[tuple[int, int]] = []
+        q = validate_stream(
+            stream,
+            args.manifest,
+            args.checkpoint,
+            suite=suite,
+            partition_col=args.partition_col,
+            freeze_drift_baseline=args.freeze_baseline,
+            violations_sink=args.violations,
+            corrupt_dir=args.corrupt_out,
+            on_batch=lambda run, bid: batches.append((bid, run.pending_partitions)),
+            sink_kwargs=sketch_sinks,
+        )
+        q.awaitTermination()
+        summary = {
+            "watch": True,
+            "n_batches": len(batches),
+            "partitions_committed": sum(n for _b, n in batches),
+        }
+        if args.corrupt_out:
+            from pyspark.sql import functions as F
+
+            rids = [f"stream-{bid:09d}" for bid, _n in batches]
+            summary["corrupt_out"] = args.corrupt_out
+            try:
+                summary["n_corrupt_rows"] = (
+                    spark.read.parquet(args.corrupt_out)
+                    .filter(F.col("run_id").isin(rids))
+                    .count()
+                )
+            except Exception:
+                summary["n_corrupt_rows"] = 0  # sink never created: no bad lines
+        if args.compact_stores:
+            from .plans.stores import compact_store
+
+            summary["compacted_stores"] = {
+                family: compact_store(spark, d, family)
+                for family, d in (
+                    ("hll", args.sketches),
+                    ("tdigest", args.quantile_sketches),
+                    ("topk", args.topk_sketches),
+                    ("membership", args.membership),
+                    ("kmv", args.kmv_sketches),
+                )
+                if d is not None
+            }
+        print(json.dumps(summary))
+        return 0
 
     from .sources.registry import read_input, split_corrupt
 
@@ -183,28 +308,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             n_corrupt = corrupt.count()
-
-    from .plans.manifest import run_with_manifest
-    from .plans.suite import constraint_suite, default_suite, extended_suite
-
-    if args.suite_config:
-        from pathlib import Path
-
-        from .plans.config import suite_from_config
-
-        suite = suite_from_config(Path(args.suite_config))
-    else:
-        make_suite = {
-            "default": default_suite,
-            "extended": extended_suite,
-            "constraint": constraint_suite,
-        }[args.suite]
-        suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     if args.sample_frac is not None:
-        from .plans.sampled import sample_predicate, sampled_specs
+        from .plans.sampled import sample_predicate
 
         df = df.filter(sample_predicate(frac=args.sample_frac))
-        suite = sampled_specs(suite, args.sample_frac)
     # The violations sink is passed INTO the run so it is written before
     # the manifest commit — a crash in between re-runs the partitions
     # rather than losing their violation rows (resume would otherwise
@@ -213,16 +320,7 @@ def main(argv: list[str] | None = None) -> int:
         df, args.manifest, suite=suite, partition_col=args.partition_col,
         run_id=args.run_id, freeze_drift_baseline=args.freeze_baseline,
         violations_sink=args.violations, collect_verdict_counts=True,
-        sketches_dir=args.sketches,
-        quantile_sketches_dir=args.quantile_sketches,
-        topk_sketches_dir=args.topk_sketches,
-        membership_dir=args.membership,
-        kmv_sketches_dir=args.kmv_sketches,
-        schemas_dir=args.schemas,
-        hist_dir=args.hist_store,
-        rolling_baseline_k=args.rolling_baseline_k,
-        revalidate=args.revalidate,
-        max_violations_per_check=args.max_violations_per_check,
+        **sketch_sinks,
     )
 
     summary = {

@@ -132,24 +132,81 @@ def read_input(
     if fmt == "orc":
         return spark.read.options(**opts).orc(path)
     if fmt in ("csv", "json"):
-        sch = schema or FILES_SCHEMA
-        full = f"{sch}, {corrupt_col} string"
-        popts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
         raw = spark.read.text(path)
-        if fmt == "json":
-            parsed = F.from_json(F.col("value"), full, popts)
-        else:
-            header = opts.pop("header", "true")
-            popts.update(opts)
-            if str(header).lower() == "true":
-                # the writer's header line is the schema's field names
-                # in order; drop it wherever it appears (once per file)
-                names = [f.strip().split(" ")[0] for f in sch.split(",")]
-                sep = popts.get("sep", popts.get("delimiter", ","))
-                raw = raw.filter(F.col("value") != sep.join(names))
-            parsed = F.from_csv(F.col("value"), full, popts)
-        return raw.select(parsed.alias("_r")).select("_r.*")
+        return _parse_text_lines(raw, fmt, schema or FILES_SCHEMA, corrupt_col, opts)
     raise ValueError(f"unknown input format {fmt!r}")
+
+
+def _parse_text_lines(
+    raw: DataFrame, fmt: str, sch: str, corrupt_col: str, opts: dict
+) -> DataFrame:
+    """Shared csv/json line parser for the batch and streaming readers:
+    PERMISSIVE ``from_json``/``from_csv`` column expressions over a
+    ``text`` scan's ``value`` column (see ``read_input`` for why this
+    beats the file-source readers). ``raw`` may be batch or streaming —
+    everything here is a stateless projection/filter, legal in both.
+
+    The flatten is ``inline(array(parsed))`` — a Generate node — NOT a
+    struct projection: from_json/from_csv are CodegenFallback
+    expressions, so a collapsed project would let Catalyst inline the
+    parse into every consumer (split_corrupt's null filter AND the
+    payload projection each re-parse the line — measured 3.52s vs 2.12s
+    for a payload aggregate over 1M json lines at local[8]). Generate
+    emits the fields as real output ATTRIBUTES computed once per row;
+    downstream filters/projects reference attributes and can never
+    duplicate the parse."""
+    full = f"{sch}, {corrupt_col} string"
+    popts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+    if fmt == "json":
+        parsed = F.from_json(F.col("value"), full, popts)
+    else:
+        header = opts.pop("header", "true")
+        popts.update(opts)
+        if str(header).lower() == "true":
+            # the writer's header line is the schema's field names
+            # in order; drop it wherever it appears (once per file)
+            names = [f.strip().split(" ")[0] for f in sch.split(",")]
+            sep = popts.get("sep", popts.get("delimiter", ","))
+            raw = raw.filter(F.col("value") != sep.join(names))
+        parsed = F.from_csv(F.col("value"), full, popts)
+    return raw.select(F.inline(F.array(parsed)))
+
+
+def read_input_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+    options: dict | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_input`` — a file-source stream of landed
+    data with IDENTICAL parse semantics, so validate-on-landing can run
+    continuously (files appear in a drop directory, each micro-batch is
+    validated and committed) without a second reader implementation.
+
+    ``parquet``/``orc`` streams need the schema up front (Spark refuses
+    to infer on a stream) — the default is ``FILES_SCHEMA``, matching
+    the batch reader's contract. ``csv``/``json`` reuse the batch text
+    parser verbatim: ``readStream.text`` + the same PERMISSIVE parse
+    expressions, corrupt lines surviving as quarantine rows that
+    ``validate_stream(corrupt_dir=...)`` routes per micro-batch.
+    ``options`` passes through file-stream knobs (``maxFilesPerTrigger``
+    etc.) — but note validate_stream's split-partition warning: a
+    partition split across triggers is only validated on its first
+    appearance.
+    """
+    opts = dict(options or {})
+    sch = schema or FILES_SCHEMA
+    if fmt in ("parquet", "orc"):
+        return spark.readStream.options(**opts).schema(sch).format(fmt).load(path)
+    if fmt in ("csv", "json"):
+        stream_opts = {
+            k: opts.pop(k) for k in ("maxFilesPerTrigger", "latestFirst") if k in opts
+        }
+        raw = spark.readStream.options(**stream_opts).text(path)
+        return _parse_text_lines(raw, fmt, sch, corrupt_col, opts)
+    raise ValueError(f"unknown stream input format {fmt!r}")
 
 
 def split_corrupt(
@@ -165,6 +222,58 @@ def split_corrupt(
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, corrupt
+
+
+def landed_key_profile(
+    raw: DataFrame, declared: list[str] | str, value_col: str = "value"
+) -> DataFrame:
+    """Schema-evolution audit for landed json, BEFORE the declared-schema
+    parse: per top-level key, how many lines carry it and whether the
+    declared schema knows it. The failure mode this catches: upstream
+    renames ``content`` -> ``body`` — the PERMISSIVE parse silently
+    yields 100% NULL ``content`` (the null-rate check fires, but can't
+    say WHY) and silently DROPS ``body`` (nothing fires). The profile
+    shows ``content`` share dropping and an ``unknown`` key ``body``
+    rising — the rename, named.
+
+    Returns (key, n_rows, share, status): one row per observed key plus
+    one per declared-but-never-observed key (n_rows=0); status is
+    ``declared`` or ``unknown``. Malformed lines (``json_object_keys``
+    -> NULL) are skipped here — they are ``split_corrupt``'s job.
+
+    Scale shape: ``json_object_keys`` tokenizes only the top-level key
+    names (no value parse) in one pass; the explode fans out to
+    O(lines x keys) but collapses immediately into a map-side partial
+    count, so the shuffle is O(distinct keys). The line total is a
+    second, parse-free count of the same text scan; the declared list
+    and the totals row ride broadcast joins. Batch frames only (the
+    two-aggregate shape needs a complete input; run it per micro-batch
+    via foreachBatch if needed on a stream).
+    """
+    if isinstance(declared, str):
+        names = [f.strip().split(" ")[0] for f in declared.split(",")]
+    else:
+        names = list(declared)
+    spark = raw.sparkSession
+    obs = (
+        raw.select(F.explode(F.json_object_keys(F.col(value_col))).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    decl = spark.createDataFrame([(n,) for n in names], "key string")
+    totals = raw.agg(F.count(F.lit(1)).alias("n_lines"))
+    prof = obs.join(F.broadcast(decl.withColumn("_decl", F.lit(True))), "key", "full_outer")
+    return (
+        prof.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            (F.coalesce("n_rows", F.lit(0)) / F.col("n_lines")).alias("share"),
+            F.when(F.col("_decl").isNull(), F.lit("unknown"))
+            .otherwise(F.lit("declared"))
+            .alias("status"),
+        )
+    )
 
 
 def parse_kafka_envelope(df: DataFrame, schema: str = FILES_SCHEMA) -> DataFrame:

@@ -46,6 +46,7 @@ def validate_stream(
     violations_sink: str | None = None,
     warn_skipped_rows: bool = True,
     sink_kwargs: dict | None = None,
+    corrupt_dir: str | None = None,
 ) -> StreamingQuery:
     """Validate a stream of file rows micro-batch by micro-batch.
 
@@ -57,9 +58,28 @@ def validate_stream(
     effect, so replays after a crash re-run only uncommitted work —
     the streaming-native version of the reference's save_data-per-message
     checkpointing without the O(n) rewrite per event.
+
+    ``corrupt_dir``: quarantine sink for landed csv/json streams
+    (``read_input_stream``). When the batch frame carries a
+    ``_corrupt_record`` column, each micro-batch is split INSIDE
+    foreachBatch — one scan, one checkpoint, never a second query
+    re-reading the source — corrupt lines append to ``corrupt_dir``
+    stamped with the batch's run_id BEFORE the manifest commit (the
+    violations-before-manifest ordering: a committed batch implies its
+    quarantine rows are persisted), and only clean rows are validated.
+    Replayed batches re-append their corrupt rows — at-least-once, same
+    as the violations sink; dedupe by run_id downstream.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = f"stream-{batch_id:09d}"
+        if corrupt_dir is not None and "_corrupt_record" in batch_df.columns:
+            from ..sources.registry import split_corrupt
+
+            batch_df, corrupt = split_corrupt(batch_df)
+            corrupt.withColumn("run_id", F.lit(run_id)).write.mode(
+                "append"
+            ).parquet(corrupt_dir)
         run = run_with_manifest(
             batch_df,
             manifest_dir,
@@ -69,7 +89,7 @@ def validate_stream(
             # stores' latest-run selection (novelty_stats, max_by
             # readers) is lexicographic, and "stream-10" < "stream-9"
             # would misorder past ten batches
-            run_id=f"stream-{batch_id:09d}",
+            run_id=run_id,
             freeze_drift_baseline=freeze_drift_baseline,
             violations_sink=violations_sink,
             count_skipped_rows=warn_skipped_rows,

@@ -151,3 +151,60 @@ def test_cli_rolling_baseline_store(spark, dirs, tmp_path, capsys):
     # the store accumulated one pooled histogram per run
     hist = spark.read.parquet(hd)
     assert hist.select("run_id").distinct().count() == 2
+
+
+def test_cli_watch_json_drop_dir(spark, tmp_path, capsys):
+    # --watch: continuous validate-on-landing from the CLI — landed jsonl
+    # files are streamed, corrupt lines quarantined per micro-batch, clean
+    # rows committed; a second invocation with the SAME checkpoint resumes
+    # past already-processed files and validates only the new arrival.
+    from pyspark.sql import functions as F
+
+    ind = tmp_path / "drop"
+    ind.mkdir()
+
+    def land(lang, n, bad=False):
+        lines = [
+            json.dumps(
+                {"repo": f"{lang}/r", "path": f"f{j}.x", "commit": f"c{j}",
+                 "lang": lang, "content": f"body {j} {lang}"}
+            )
+            for j in range(n)
+        ]
+        if bad:
+            lines.append("%% not json %%")
+        (ind / f"{lang}.jsonl").write_text("\n".join(lines) + "\n")
+
+    land("python", 30, bad=True)
+    land("go", 30)
+    common = [
+        "--input", str(ind), "--format", "json", "--watch",
+        "--manifest", str(tmp_path / "m"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--corrupt-out", str(tmp_path / "corrupt"),
+        "--min-rows", "1",
+    ]
+    rc = main(common)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["watch"] is True and out["n_batches"] >= 1
+    assert out["partitions_committed"] == 2
+    assert out["n_corrupt_rows"] == 1
+
+    m = spark.read.parquet(str(tmp_path / "m"))
+    assert {r["partition_key"] for r in m.select("partition_key").collect()} == {
+        "python", "go",
+    }
+    bad = spark.read.parquet(str(tmp_path / "corrupt")).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "%% not json %%"
+    assert bad[0]["run_id"].startswith("stream-")
+
+    # land a THIRD partition; the resumed watch validates only it
+    land("rust", 30)
+    rc = main(common)
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["partitions_committed"] == 1
+    assert out2["n_corrupt_rows"] == 0
+    m = spark.read.parquet(str(tmp_path / "m"))
+    assert m.filter(F.col("partition_key") == "rust").count() > 0

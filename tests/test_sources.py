@@ -204,3 +204,28 @@ def test_cli_json_input_with_corrupt_out(spark, tmp_path, capsys):
     # clean rows were validated: the manifest holds the py partition
     m = spark.read.parquet(str(tmp_path / "manifest"))
     assert m.filter(F.col("partition_key") == "py").count() > 0
+
+
+def test_landed_key_profile_names_the_rename(spark):
+    # upstream renames content->body mid-stream and adds a new field; the
+    # profile shows the declared key's share dropping, the unknown keys
+    # rising, and a never-observed declared key at zero — the evolution,
+    # named, BEFORE a permissive parse would silently null/drop it
+    from anomaly_detector_spark.sources.registry import landed_key_profile
+
+    lines = (
+        [json.dumps({"repo": "r", "content": "x"})] * 6
+        + [json.dumps({"repo": "r", "body": "x", "extra": 1})] * 4
+        + ["not json"]  # malformed: split_corrupt's job, skipped here
+    )
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    prof = {
+        r["key"]: (r["n_rows"], round(r["share"], 4), r["status"])
+        for r in landed_key_profile(raw, "repo, content, commit").collect()
+    }
+    assert prof["repo"] == (10, round(10 / 11, 4), "declared")
+    assert prof["content"] == (6, round(6 / 11, 4), "declared")
+    assert prof["body"] == (4, round(4 / 11, 4), "unknown")
+    assert prof["extra"] == (4, round(4 / 11, 4), "unknown")
+    assert prof["commit"] == (0, 0.0, "declared")  # declared, never landed
+    assert len(prof) == 5

@@ -636,3 +636,105 @@ def test_novelty_stream_matches_batch_and_accumulates(spark, tmp_path):
         assert latest[pk]["est_cur"] == bm[pk]["est_cur"]
         assert latest[pk]["est_new"] == bm[pk]["est_new"]
         assert latest[pk]["new_frac"] == bm[pk]["new_frac"]
+
+
+def test_landed_json_stream_quarantine_end_to_end(spark, tmp_path):
+    # validate-on-landing, continuously: read_input_stream(json) parses a
+    # drop directory of jsonl files with the SAME permissive semantics as
+    # the batch reader; validate_stream(corrupt_dir=...) splits each
+    # micro-batch inside foreachBatch (one scan, one checkpoint), appends
+    # the malformed lines stamped with the batch run_id, and validates
+    # only the clean rows into the manifest.
+    import json
+
+    from anomaly_detector_spark.plans.suite import default_suite
+    from anomaly_detector_spark.sources.registry import read_input_stream
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i, lang in enumerate(["python", "go"]):
+        lines = [
+            json.dumps(
+                {
+                    "repo": f"org{i}/r",
+                    "path": f"src/f{j}.{lang[:2]}",
+                    "commit": "c" * 40,
+                    "lang": lang,
+                    "content": f"def f{j}(): pass",
+                }
+            )
+            for j in range(40)
+        ]
+        if lang == "go":
+            lines.append("{not json")  # one malformed landing line
+        (ind / f"batch_{lang}.jsonl").write_text("\n".join(lines))
+
+    rows = read_input_stream(
+        spark,
+        str(ind),
+        "json",
+        schema="repo string, path string, commit string, lang string, content string",
+        options={"maxFilesPerTrigger": 1},
+    )
+    assert rows.isStreaming and "_corrupt_record" in rows.columns
+    corrupt_dir = str(tmp_path / "corrupt")
+    seen = []
+    q = validate_stream(
+        rows,
+        str(tmp_path / "manifest"),
+        str(tmp_path / "ckpt"),
+        suite=default_suite(min_rows=5),
+        on_batch=lambda run, bid: seen.append((bid, run)),
+        corrupt_dir=corrupt_dir,
+    )
+    q.awaitTermination(300)
+
+    assert len(seen) >= 2, "maxFilesPerTrigger=1 must yield one batch per file"
+    # the bad line landed in quarantine with its micro-batch's run id,
+    # and ONLY the bad line did
+    bad = spark.read.parquet(corrupt_dir).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "{not json"
+    assert bad[0]["run_id"].startswith("stream-")
+    # clean rows were validated: both langs committed, all PASS, and the
+    # corrupt line never became an all-NULL payload row in any check
+    manifest = read_manifest(spark, str(tmp_path / "manifest"))
+    got = {
+        (r["partition_key"], r["verdict"])
+        for r in manifest.select("partition_key", "verdict").collect()
+    }
+    assert {pk for pk, _v in got} == {"python", "go"}
+    assert all(v == "PASS" for _pk, v in got), got
+    n_rows = {
+        r["partition_key"]: r["n_rows"]
+        for r in manifest.select("partition_key", "n_rows").distinct().collect()
+    }
+    assert n_rows == {"python": 40, "go": 40}
+
+
+def test_read_input_stream_parquet_matches_batch(spark, tmp_path):
+    # the self-describing streaming twin: a parquet drop directory read
+    # with the declared schema yields exactly the batch reader's rows
+    from anomaly_detector_spark.sources.registry import read_input, read_input_stream
+    from anomaly_detector_spark.synth import synth_files
+
+    src = synth_files(spark, 500, seed=11)
+    inp = str(tmp_path / "in")
+    src.write.parquet(inp)
+    sch = ", ".join(f"{n} {t}" for n, t in src.dtypes)
+
+    stream = read_input_stream(spark, inp, "parquet", schema=sch)
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = read_input(spark, inp, "parquet")
+    streamed = spark.read.parquet(out)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
