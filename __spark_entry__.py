@@ -1979,9 +1979,31 @@ def q_docs_landed_keys(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("key")
 
 
+def q_files_small_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-files audit over the test-data directory itself
+    (checks/metadata.py file_inventory + small_files_audit): file count,
+    total bytes, exact median size, share under 32 KiB — ZERO content
+    bytes read (binaryFile scan with content pruned, plan-pinned in
+    tests). Oracle: DuckDB read_blob() sizes over the same glob."""
+    from anomaly_detector_spark.checks.metadata import (
+        file_inventory,
+        small_files_audit,
+    )
+
+    inv = file_inventory(spark, sf, glob="*.parquet", recursive=False)
+    audit = small_files_audit(inv, tiny_bytes=32 * 1024, by="dir")
+    return audit.select(
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.round("median_bytes", 1).alias("median_bytes"),
+        F.round("tiny_share", 4).alias("tiny_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "docs_landed_keys": q_docs_landed_keys,
+        "files_small_audit": q_files_small_audit,
         "files_stats": q_files_stats,
         "files_sampled_stats": q_files_sampled_stats,
         "files_dup_keys": q_files_dup_keys,
@@ -3981,6 +4003,14 @@ def _corpus_pipeline_oracle(k: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
+    out["files_small_audit"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(size) AS BIGINT) AS total_bytes,
+               round(quantile_cont(size, 0.5), 1) AS median_bytes,
+               round(avg(CASE WHEN size < 32768 THEN 1.0 ELSE 0.0 END), 4)
+                 AS tiny_share
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """
     out["docs_landed_keys"] = """
         WITH src AS (
           SELECT CASE WHEN doc_id % 10 = 0

@@ -268,3 +268,101 @@ def run_layout_health(df_or_files, spec: CheckSpec) -> CheckResult:
         )
     )
     return CheckResult(violations=empty, verdicts=verdicts, metrics=h)
+
+
+def file_inventory(
+    spark: SparkSession, path: str, glob: str | None = None, recursive: bool = True
+) -> DataFrame:
+    """Distributed file inventory — name, size, mtime — with ZERO bytes
+    of file content read: the ``binaryFile`` source with its ``content``
+    column pruned (the source implements column pruning, so the scan's
+    ReadSchema is ``path, modificationTime, length`` — the listing
+    alone; plan-pinned in tests). This is the input frame for
+    size-profile audits over directories the engine does not otherwise
+    scan (landed drop dirs, quarantine sinks, state stores).
+
+    Scale note: the file LISTING itself is Spark's InMemoryFileIndex
+    (driver-coordinated, parallelized over subdirectories) — fine to
+    ~10^6-10^7 files; at table-format scale derive the inventory from
+    Iceberg manifests instead, the same caveat as ``list_parquet_files``.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    r = r.option("recursiveFileLookup", "true" if recursive else "false")
+    return r.load(path).select(
+        "path",
+        F.regexp_replace("path", "/[^/]*$", "").alias("dir"),
+        F.col("length").alias("bytes"),
+        F.col("modificationTime").alias("mtime"),
+    )
+
+
+def small_files_audit(
+    inv: DataFrame, tiny_bytes: int = 32 << 20, by: str = "dir"
+) -> DataFrame:
+    """Per-directory file-size profile from an inventory frame: file
+    count, total bytes, exact median size, and the share of files under
+    ``tiny_bytes``. The small-files problem is THE silent scan-cost
+    multiplier at 100 TB — a partition written as 10^5 x 100 KB files
+    costs 10^5 task launches and 10^5 footer reads for the same bytes
+    one thousand 10 MB files would serve — and it accretes invisibly
+    (streaming sinks, per-batch appends, quarantine writers). One
+    map-side-combined groupBy over O(files) metadata rows."""
+    return inv.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.expr("percentile(bytes, 0.5)").alias("median_bytes"),
+        F.avg((F.col("bytes") < tiny_bytes).cast("double")).alias("tiny_share"),
+    )
+
+
+def run_small_files(df_or_files, spec: CheckSpec) -> CheckResult:
+    """Compaction-scheduling gate: FAIL a directory whose size profile
+    says "small-files problem" — the file-COUNT dual of run_layout_health
+    (which grades intra-file clustering; this grades inter-file sizing;
+    together they decide when the compaction/cluster_write rewrite runs).
+
+    config:
+      ``path``              root to inventory (required unless ``files``)
+      ``glob``              pathGlobFilter, e.g. "*.parquet" (optional)
+      ``tiny_bytes``        "small" threshold (default 32 MiB)
+      ``max_tiny_share``    FAIL when share of small files exceeds this
+                            (default 0.5)
+      ``min_median_bytes``  FAIL when the median file is smaller than
+                            this (optional, absolute floor)
+
+    Partition unit: the DIRECTORY (one verdict per dir under the root);
+    ``spec.min_rows`` guards the file count — one small file is a file,
+    not a problem. Metadata-only: zero content bytes read.
+    """
+    spark = (
+        df_or_files.sparkSession
+        if isinstance(df_or_files, DataFrame)
+        else SparkSession.getActiveSession()
+    )
+    inv = file_inventory(spark, spec.config["path"], glob=spec.config.get("glob"))
+    tiny = int(spec.config.get("tiny_bytes", 32 << 20))
+    audit = small_files_audit(inv, tiny_bytes=tiny)
+    fail = F.col("tiny_share") > float(spec.config.get("max_tiny_share", 0.5))
+    floor = spec.config.get("min_median_bytes")
+    if floor is not None:
+        fail = fail | (F.col("median_bytes") < float(floor))
+    verdicts = verdict_frame(
+        audit,
+        spec.id,
+        "dir",
+        fail_when=fail,
+        skip_when=F.col("n_files") < spec.min_rows,
+        metric_cols=["n_files", "total_bytes", "median_bytes", "tiny_share"],
+    )
+    empty = (
+        empty_violations(df_or_files)
+        if isinstance(df_or_files, DataFrame)
+        else spark.createDataFrame(
+            [],
+            "repo string, path string, commit string, partition_key string, "
+            "check_id string, observed string, expected string",
+        )
+    )
+    return CheckResult(violations=empty, verdicts=verdicts, metrics=audit)

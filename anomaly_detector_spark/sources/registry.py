@@ -214,13 +214,23 @@ def split_corrupt(
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, corrupt) split of a PERMISSIVE csv/json read — two
     filters over one scan, the quarantine_by_rules shape: no join, no
-    shuffle. Clean rows drop the corrupt column; corrupt rows keep only
-    it (the raw line is the whole evidence). A frame without the
-    column (parquet/orc/table input) returns (df, empty)."""
+    shuffle. Clean rows drop the corrupt column; corrupt rows keep the
+    raw line plus ``source_file`` (``input_file_name()``) — at scale the
+    rejection unit is the landed FILE, not the line, so quarantine rows
+    must name the file that produced them (groupBy source_file on the
+    quarantine table = the reject/re-request list for the upstream
+    producer). A frame without the column (parquet/orc/table input)
+    returns (df, empty)."""
     if corrupt_col not in df.columns:
-        return df, df.select(F.lit(None).cast("string").alias(corrupt_col)).limit(0)
+        empty = df.select(
+            F.lit(None).cast("string").alias(corrupt_col),
+            F.lit(None).cast("string").alias("source_file"),
+        ).limit(0)
+        return df, empty
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(
+        corrupt_col, F.input_file_name().alias("source_file")
+    )
     return clean, corrupt
 
 

@@ -198,6 +198,7 @@ def test_cli_watch_json_drop_dir(spark, tmp_path, capsys):
     bad = spark.read.parquet(str(tmp_path / "corrupt")).collect()
     assert len(bad) == 1 and bad[0]["_corrupt_record"] == "%% not json %%"
     assert bad[0]["run_id"].startswith("stream-")
+    assert bad[0]["source_file"].endswith("python.jsonl")
 
     # land a THIRD partition; the resumed watch validates only it
     land("rust", 30)

@@ -237,3 +237,66 @@ def test_layout_health_gates_and_skip(spark, tmp_path):
     )
     assert [r["verdict"] for r in run_layout_health(spark.range(1), ok).verdicts.collect()] == ["PASS"]
     assert [r["verdict"] for r in run_layout_health(spark.range(1), bad).verdicts.collect()] == ["FAIL"]
+
+
+def test_file_inventory_reads_no_content(spark, tmp_path):
+    # the inventory scan's ReadSchema must be listing-only — content
+    # pruned, zero data bytes read
+    from anomaly_detector_spark.checks.metadata import file_inventory
+
+    _write_dataset(spark, str(tmp_path / "d"), n=500)
+    inv = file_inventory(spark, str(tmp_path / "d"), glob="*.parquet")
+    plan = inv._sc._jvm.PythonSQLUtils.explainString(
+        inv._jdf.queryExecution(), "formatted"
+    )
+    assert "content" not in plan.split("ReadSchema")[1].splitlines()[0]
+    rows = inv.collect()
+    import os
+
+    truth = {
+        f: os.path.getsize(str(tmp_path / "d" / f))
+        for f in os.listdir(str(tmp_path / "d"))
+        if f.endswith(".parquet")
+    }
+    got = {r["path"].rsplit("/", 1)[1]: r["bytes"] for r in rows}
+    assert got == truth  # sizes are the filesystem's, exactly
+
+
+def test_run_small_files_gates_tiny_dirs(spark, tmp_path):
+    # a dir of many tiny files FAILs, a healthy dir PASSes, and a dir
+    # under the file-count guard is SKIPPED — one verdict per directory
+    from anomaly_detector_spark.checks.metadata import run_small_files
+
+    frag = spark.range(0, 2000)
+    frag.repartition(40).write.parquet(str(tmp_path / "root" / "fragmented"))
+    spark.range(0, 2000).coalesce(2).write.parquet(str(tmp_path / "root" / "healthy"))
+    spark.range(0, 10).coalesce(1).write.parquet(str(tmp_path / "root" / "sparse"))
+
+    spec = CheckSpec(
+        "small_files",
+        run_small_files,
+        {
+            "path": str(tmp_path / "root"),
+            "glob": "*.parquet",
+            # every test file is tiny in absolute terms; the RATIO of
+            # sizes is the discriminator, so set the threshold between
+            # the fragmented (~700 B) and healthy (~4.5 KB) file sizes
+            "tiny_bytes": 2048,
+            "max_tiny_share": 0.5,
+        },
+        partition_col="dir",
+        min_rows=2,
+    )
+    res = spec.run(spark.range(1))
+    v = {
+        r["partition_key"].rsplit("/", 1)[1]: r["verdict"]
+        for r in res.verdicts.collect()
+    }
+    assert v["fragmented"] == "FAIL"
+    assert v["healthy"] == "PASS"
+    assert v["sparse"] == "SKIPPED"  # 1 file < min_rows=2: not evidence
+    m = {
+        r["dir"].rsplit("/", 1)[1]: r for r in res.metrics.collect()
+    }
+    assert m["fragmented"]["n_files"] == 40 and m["fragmented"]["tiny_share"] == 1.0
+    assert m["healthy"]["tiny_share"] == 0.0

@@ -149,8 +149,12 @@ def test_read_input_json_corrupt_lines_quarantined(spark, tmp_path):
     df = read_input(spark, str(p), "json")
     clean, corrupt = split_corrupt(df)
     assert clean.count() == 2 and "_corrupt_record" not in clean.columns
-    bad = sorted(r["_corrupt_record"] for r in corrupt.collect())
+    rows = corrupt.collect()
+    bad = sorted(r["_corrupt_record"] for r in rows)
     assert bad == ["not json at all", "{truncated"]
+    # quarantine rows name the landed FILE that produced them — the
+    # rejection unit at scale
+    assert all(r["source_file"].endswith("landed.json") for r in rows)
 
     # parquet input: split_corrupt is a no-op passthrough
     pq = str(tmp_path / "pq")

@@ -695,6 +695,7 @@ def test_landed_json_stream_quarantine_end_to_end(spark, tmp_path):
     bad = spark.read.parquet(corrupt_dir).collect()
     assert len(bad) == 1 and bad[0]["_corrupt_record"] == "{not json"
     assert bad[0]["run_id"].startswith("stream-")
+    assert bad[0]["source_file"].endswith("batch_go.jsonl")
     # clean rows were validated: both langs committed, all PASS, and the
     # corrupt line never became an all-NULL payload row in any check
     manifest = read_manifest(spark, str(tmp_path / "manifest"))
