@@ -140,7 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="after the run, rewrite every sketch store passed above to "
         "its minimal merged form (plans/stores.py) — stores stay "
         "O(partitions) instead of one file per run; reader answers are "
-        "preserved exactly",
+        "preserved exactly. A --corrupt-out sink that received rows is "
+        "coalesced too (rows verbatim, per-batch tiny appends merged)",
     )
     p.add_argument(
         "--watch", action="store_true",
@@ -281,6 +282,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if d is not None
             }
+            # the quarantine sink only exists once a bad line landed
+            if args.corrupt_out and summary.get("n_corrupt_rows", 0) > 0:
+                summary["compacted_stores"]["quarantine"] = compact_store(
+                    spark, args.corrupt_out, "quarantine"
+                )
         print(json.dumps(summary))
         return 0
 
@@ -352,6 +358,11 @@ def main(argv: list[str] | None = None) -> int:
         ):
             if d is not None:
                 compacted[family] = compact_store(spark, d, family)
+        # the quarantine sink only exists once a bad line landed
+        if args.corrupt_out and n_corrupt > 0:
+            compacted["quarantine"] = compact_store(
+                spark, args.corrupt_out, "quarantine"
+            )
         summary["compacted_stores"] = compacted
     if args.sample_frac is not None:
         summary["sample_frac"] = args.sample_frac

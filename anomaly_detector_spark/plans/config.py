@@ -62,7 +62,11 @@ def _registry() -> dict[str, Callable]:
     from ..checks.fd import run_fd, run_key_cardinality
     from ..checks.kmv import run_novelty
     from ..checks.membership import run_seen_before
-    from ..checks.metadata import run_layout_health, run_metadata_stats
+    from ..checks.metadata import (
+        run_layout_health,
+        run_metadata_stats,
+        run_small_files,
+    )
     from ..checks.sequence import run_flatline, run_gaps, run_monotonic
     from ..checks.quantiles import run_quantile_drift
     from ..checks.reconcile import run_reconcile
@@ -75,6 +79,9 @@ def _registry() -> dict[str, Callable]:
         # layout-health gate: config carries the file inventory PATH and
         # the clustered dims; footer-only, schedules cluster_write
         "layout_health": run_layout_health,
+        # inter-file sizing gate (layout_health's count dual): config
+        # carries the directory PATH; listing-only, schedules compaction
+        "small_files": run_small_files,
         "quantile_drift": run_quantile_drift,
         "uniqueness": run_uniqueness,
         # cross-run key membership: config carries the persisted bloom

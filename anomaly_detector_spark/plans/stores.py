@@ -61,9 +61,19 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
     ``family``: one of ``hll`` | ``tdigest`` | ``topk`` (keep latest row
     per (suite_id, partition_key)), ``membership`` (bit_or words),
     ``kmv`` (bottom-k history under a synthetic run id, latest run kept
-    verbatim). Raises on unknown families rather than guessing — a
-    wrong family rule silently corrupts estimators."""
+    verbatim), ``quarantine`` (rows kept VERBATIM, files coalesced —
+    the corrupt-line sink accretes one tiny parquet append per
+    micro-batch/run, exactly the small-files problem run_small_files
+    flags; ~1M rows per output file). Raises on unknown families rather
+    than guessing — a wrong family rule silently corrupts estimators."""
     df = spark.read.parquet(store_dir)
+    if family == "quarantine":
+        rows = df.localCheckpoint()
+        n = rows.count()
+        rows.coalesce(max(1, (n + 999_999) // 1_000_000)).write.mode(
+            "overwrite"
+        ).parquet(store_dir)
+        return n
     if family in _LATEST_FAMILIES:
         cols = [c for c in df.columns if c not in ("suite_id", "partition_key", "run_id")]
         out = df.groupBy("suite_id", "partition_key").agg(
@@ -104,5 +114,6 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
         out = reduce(lambda a, b: a.unionByName(b), parts).select(*df.columns)
         return _rewrite(spark, out.unionByName(latest.select(*df.columns)), store_dir)
     raise ValueError(
-        f"unknown store family {family!r}: use hll | tdigest | topk | membership | kmv"
+        f"unknown store family {family!r}: use hll | tdigest | topk | "
+        "membership | kmv | quarantine"
     )

@@ -294,10 +294,14 @@ def parse_kafka_envelope(df: DataFrame, schema: str = FILES_SCHEMA) -> DataFrame
     The reference consumes one JSON message at a time from its Kafka
     consumer (/root/reference/util/op_base.py:81-108); here the decode is
     a vectorized from_json over whatever micro-batch Spark delivers.
+    Flattened via ``inline(array(...))``, not a struct projection — the
+    Generate barrier keeps a pushed-down downstream filter from inlining
+    (= re-evaluating) the CodegenFallback from_json per consumer, the
+    same fix as ``_parse_text_lines`` (PLANS.md round-3 §41).
     """
     return df.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("_m")
-    ).select("_m.*")
+        F.inline(F.array(F.from_json(F.col("value").cast("string"), schema)))
+    )
 
 
 def kafka_files_stream(

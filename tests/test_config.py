@@ -173,3 +173,28 @@ def test_suite_column_coverage_audit(spark):
     assert set(cov["commit"]["checks"]) == {"uniqueness", "fmt"}
     assert cov["lang"]["covered"] is True  # partition_col counts
     assert sorted(cov) == ["commit", "content", "lang", "path", "repo", "stars"]
+
+
+def test_small_files_declarable_from_config(spark, tmp_path):
+    # the compaction gate declares like any other check: a JSON document
+    # names the directory and gates, and the loaded spec FAILs the
+    # fragmented layout (round-trips through suite_to_config too)
+    spark.range(0, 2000).repartition(40).write.parquet(str(tmp_path / "t" / "frag"))
+    doc = {
+        "checks": [
+            {
+                "check": "small_files",
+                "partition_col": "dir",
+                "min_rows": 2,
+                "path": str(tmp_path / "t"),
+                "glob": "*.parquet",
+                "tiny_bytes": 2048,
+                "max_tiny_share": 0.5,
+            }
+        ]
+    }
+    specs = suite_from_config(json.dumps(doc))
+    assert suite_from_config(json.dumps(suite_to_config(specs)))[0].id == specs[0].id
+    res = specs[0].run(spark.range(1))
+    v = res.verdicts.collect()
+    assert len(v) == 1 and v[0]["verdict"] == "FAIL"

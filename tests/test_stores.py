@@ -93,3 +93,30 @@ def test_cli_compact_stores_flag(spark, tmp_path):
     # the store was compacted AND the latest-vs-history answer survives
     st = novelty_stats(spark, kmv).collect()[0]
     assert st["run_id"] == "r2" and st["est_new_b"] == 100.0
+
+
+def test_compact_quarantine_coalesces_files_rows_verbatim(spark, tmp_path):
+    # per-batch quarantine appends accrete tiny files — exactly the
+    # small-files problem run_small_files flags; compaction coalesces
+    # the store and keeps every row byte-identical
+    import os
+
+    from anomaly_detector_spark.plans.stores import compact_store
+
+    qdir = str(tmp_path / "corrupt")
+    for b in range(5):
+        rows = [(f"bad line {b}-{i}", f"file:/in/f{b}.jsonl", f"stream-{b:09d}")
+                for i in range(3)]
+        spark.createDataFrame(
+            rows, "_corrupt_record string, source_file string, run_id string"
+        ).coalesce(1).write.mode("append").parquet(qdir)
+
+    before = sorted(r for r in os.listdir(qdir) if r.endswith(".parquet"))
+    assert len(before) == 5
+    truth = sorted(map(tuple, spark.read.parquet(qdir).collect()))
+
+    n = compact_store(spark, qdir, "quarantine")
+    assert n == 15
+    after = [r for r in os.listdir(qdir) if r.endswith(".parquet")]
+    assert len(after) == 1
+    assert sorted(map(tuple, spark.read.parquet(qdir).collect())) == truth
