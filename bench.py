@@ -90,6 +90,9 @@ def main() -> int:
         "lineitem_cardinality",  # per-key row-count band with attribution
         "ann_recall",          # lsh/ivf recall@k vs brute-force truth
         "manifest_scorecard",  # fail rates + current FAIL streaks per check
+        # landed-ingestion session additions
+        "docs_landed_keys",    # landed-json schema-evolution key profile
+        "files_small_audit",   # content-pruned file inventory + size gates
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
@@ -260,6 +263,32 @@ def main() -> int:
         rules_sec = sec if rules_sec is None or sec < rules_sec else rules_sec
     timings["suite_2m_rules"] = round(rules_sec, 3)
 
+    # Landed-tier parse throughput: the same 2M rows as json LINES
+    # through the declared-schema PERMISSIVE reader + quarantine split +
+    # a payload aggregate (the shape every landed check pass runs).
+    # Validates PLANS.md round-3 §41's Generate-once parse at bench
+    # scale; json is written once and cached like the parquet twin.
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_spark.sources.registry import read_input, split_corrupt
+
+    json_path = "/tmp/bench_files_2m_json"
+    if not os.path.isdir(json_path):
+        bigdf.write.mode("overwrite").json(json_path)
+    _warm_path(json_path)
+    landed_sec = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        clean, corrupt = split_corrupt(read_input(spark, json_path, "json"))
+        row = clean.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("content")).alias("b")
+        ).first()
+        assert row["n"] == 2_000_000
+        sec = time.perf_counter() - t0
+        landed_sec = sec if landed_sec is None or sec < landed_sec else landed_sec
+    timings["landed_2m_json"] = round(landed_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite wall time (validation suite + operator families)",
@@ -272,6 +301,7 @@ def main() -> int:
         if timings.get("suite_verdicts")
         else None,
         "files_per_sec_sustained": round(2_000_000 / sustained_sec, 1),
+        "landed_lines_per_sec": round(2_000_000 / landed_sec, 1),
         # The authoritative BASELINE.json criterion (N -> 4N scaling) is
         # measured by tools/scaling_bench.py (32M rows, median of 5,
         # verdict equality asserted across levels); latest round-3 run —

@@ -184,12 +184,14 @@ def test_cli_watch_json_drop_dir(spark, tmp_path, capsys):
         "--corrupt-out", str(tmp_path / "corrupt"),
         "--min-rows", "1",
     ]
-    rc = main(common)
+    rc = main(common + ["--compact-stores"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["watch"] is True and out["n_batches"] >= 1
     assert out["partitions_committed"] == 2
     assert out["n_corrupt_rows"] == 1
+    # the quarantine sink was compacted in the same invocation
+    assert out["compacted_stores"]["quarantine"] == 1
 
     m = spark.read.parquet(str(tmp_path / "m"))
     assert {r["partition_key"] for r in m.select("partition_key").collect()} == {
