@@ -158,6 +158,7 @@ def _parse_text_lines(
     full = f"{sch}, {corrupt_col} string"
     popts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
     if fmt == "json":
+        popts.update(opts)  # timestampFormat, allowComments, ... pass through
         parsed = F.from_json(F.col("value"), full, popts)
     else:
         header = opts.pop("header", "true")

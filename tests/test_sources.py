@@ -233,3 +233,22 @@ def test_landed_key_profile_names_the_rename(spark):
     assert prof["extra"] == (4, round(4 / 11, 4), "unknown")
     assert prof["commit"] == (0, 0.0, "declared")  # declared, never landed
     assert len(prof) == 5
+
+
+def test_read_input_json_options_passthrough(spark, tmp_path):
+    # reader options must reach the json parser (timestampFormat etc.) —
+    # they silently vanished before this pin
+    from anomaly_detector_spark.sources.registry import read_input, split_corrupt
+
+    p = tmp_path / "t.json"
+    p.write_text('{"k": "a", "ts": "2024/01/02 03:04:05"}\n')
+    clean, corrupt = split_corrupt(
+        read_input(
+            spark, str(p), "json",
+            schema="k string, ts timestamp",
+            options={"timestampFormat": "yyyy/MM/dd HH:mm:ss"},
+        )
+    )
+    rows = clean.collect()
+    assert corrupt.count() == 0 and len(rows) == 1
+    assert rows[0]["ts"] is not None and rows[0]["ts"].year == 2024
