@@ -28,19 +28,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="parquet dir or table name of the files table")
     p.add_argument(
         "--format", default="parquet",
-        choices=["parquet", "iceberg", "table", "orc", "csv", "json"],
-        help="csv/json are landed-data reads: declared schema (never "
+        choices=["parquet", "iceberg", "table", "orc", "csv", "json", "xml"],
+        help="csv/json/xml are landed-data reads: declared schema (never "
         "inferSchema — a second full pass at scale), PERMISSIVE parse, "
         "malformed lines quarantined before the suite (see --corrupt-out)",
     )
     p.add_argument(
         "--input-schema", default=None,
-        help="DDL schema string for csv/json input (default: the files-table "
+        help="DDL schema string for csv/json/xml input (default: the files-table "
         "schema). Ignored for self-describing formats.",
     )
     p.add_argument(
         "--corrupt-out", default=None,
-        help="parquet dir for malformed csv/json lines (raw text + run_id); "
+        help="parquet dir for malformed csv/json/xml lines (raw text + run_id); "
         "omitted: corrupt rows are counted and excluded, not persisted",
     )
     p.add_argument("--manifest", required=True, help="manifest table location (parquet dir)")
@@ -294,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
 
     df = read_input(spark, args.input, args.format, schema=args.input_schema)
     n_corrupt = 0
-    if args.format in ("csv", "json"):
+    if args.format in ("csv", "json", "xml"):
         # malformed lines would poison every check (all-NULL payload
         # rows); split them off the same scan and account for them —
         # bad input is a finding, not a crash
@@ -335,7 +335,7 @@ def main(argv: list[str] | None = None) -> int:
         "pending_partitions": run.pending_partitions,
         "noop_resume": run.result is None,
     }
-    if args.format in ("csv", "json"):
+    if args.format in ("csv", "json", "xml"):
         summary["n_corrupt_rows"] = n_corrupt
         if args.corrupt_out:
             summary["corrupt_out"] = args.corrupt_out

@@ -91,8 +91,9 @@ def read_input(
 ) -> DataFrame:
     """One batch-input surface for every landed format the suite
     validates: ``parquet`` / ``iceberg`` / ``table`` (catalog name) /
-    ``orc`` read their own schema from footers or the catalog; ``csv``
-    and ``json`` are SCHEMALESS TEXT and follow landed-data rules:
+    ``orc`` read their own schema from footers or the catalog; ``csv``,
+    ``json`` and ``xml`` (one element per line, Spark 4 native
+    ``from_xml``) are SCHEMALESS TEXT and follow landed-data rules:
 
     * A schema is mandatory (default ``FILES_SCHEMA``) and
       ``inferSchema`` is never used — inference is a SECOND full pass
@@ -131,7 +132,7 @@ def read_input(
         return spark.table(path)
     if fmt == "orc":
         return spark.read.options(**opts).orc(path)
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         raw = spark.read.text(path)
         return _parse_text_lines(raw, fmt, schema or FILES_SCHEMA, corrupt_col, opts)
     raise ValueError(f"unknown input format {fmt!r}")
@@ -160,6 +161,12 @@ def _parse_text_lines(
     if fmt == "json":
         popts.update(opts)  # timestampFormat, allowComments, ... pass through
         parsed = F.from_json(F.col("value"), full, popts)
+    elif fmt == "xml":
+        # one COMPLETE element per line (same line-based contract as
+        # csv/json; Spark 4's native from_xml, PERMISSIVE like the rest)
+        popts["rowTag"] = opts.pop("rowTag", "row")
+        popts.update(opts)
+        parsed = F.from_xml(F.col("value"), full, popts)
     else:
         header = opts.pop("header", "true")
         popts.update(opts)
@@ -201,7 +208,7 @@ def read_input_stream(
     sch = schema or FILES_SCHEMA
     if fmt in ("parquet", "orc"):
         return spark.readStream.options(**opts).schema(sch).format(fmt).load(path)
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         stream_opts = {
             k: opts.pop(k) for k in ("maxFilesPerTrigger", "latestFirst") if k in opts
         }

@@ -252,3 +252,25 @@ def test_read_input_json_options_passthrough(spark, tmp_path):
     rows = clean.collect()
     assert corrupt.count() == 0 and len(rows) == 1
     assert rows[0]["ts"] is not None and rows[0]["ts"].year == 2024
+
+
+def test_read_input_xml_lines_quarantine(spark, tmp_path):
+    # xml-lines landed data: same declared-schema PERMISSIVE contract as
+    # csv/json — complete elements parse, truncated/garbage lines
+    # quarantine with file lineage, nothing crashes or vanishes
+    from anomaly_detector_spark.sources.registry import read_input, split_corrupt
+
+    p = tmp_path / "landed.xml"
+    rows = [
+        f"<row><repo>r{i}</repo><path>f{i}.py</path><commit>c{i}</commit>"
+        f"<lang>py</lang><content>body {i}</content></row>"
+        for i in range(4)
+    ]
+    p.write_text("\n".join(rows + ["<row><repo>r9</repo>", "garbage"]) + "\n")
+
+    clean, corrupt = split_corrupt(read_input(spark, str(p), "xml"))
+    got = sorted((r["repo"], r["content"]) for r in clean.collect())
+    assert got == [(f"r{i}", f"body {i}") for i in range(4)]
+    bad = corrupt.collect()
+    assert sorted(r["_corrupt_record"] for r in bad) == ["<row><repo>r9</repo>", "garbage"]
+    assert all(r["source_file"].endswith("landed.xml") for r in bad)
