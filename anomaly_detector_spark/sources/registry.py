@@ -349,3 +349,62 @@ files AS (
   FROM documents
 )
 """
+
+
+def files_from_tree(
+    spark: SparkSession,
+    root: str,
+    glob: str | None = None,
+    repo: str | None = None,
+    lang_map: dict | None = None,
+) -> DataFrame:
+    """Ingest a directory TREE of raw source files into the files-table
+    shape ``(repo, path, commit, lang, content)`` — the top of the
+    funnel: point the suite at an actual checkout instead of an already-
+    tabular landing. One row per FILE (``wholetext`` scan — each task
+    reads whole files, so the unit of parallelism is the file, the same
+    contract as the reference's one-document-per-message input):
+
+    * ``path``: file path relative to ``root``;
+    * ``repo``: ``repo`` if given, else the first path segment under
+      ``root`` (a directory of checkouts);
+    * ``lang``: lower-cased file extension, optionally renamed through
+      ``lang_map`` (e.g. ``{"py": "python"}``);
+    * ``commit``: first 40 hex chars of sha256(content) — CONTENT-
+      addressed, so re-ingesting an unchanged tree is manifest-stable
+      and a changed file revalidates, without any VCS dependency.
+
+    Text files only — pass ``glob`` (e.g. ``"*.py"``) to exclude
+    binaries; undecodable bytes arrive as replacement characters, they
+    do not crash the scan. Reads via the ``binaryFile`` source + UTF-8
+    decode, NOT ``text(wholetext=True)`` — wholetext strips the trailing
+    newline, and a content-addressed commit must hash the exact bytes.
+    Scale: the listing caveat of ``file_inventory`` applies; a file is
+    one task's unit of work (source files are small — that's the
+    point), and binaryFile caps single files at 2 GB.
+    """
+    import os as _os
+
+    r = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    raw = r.load(root).select(
+        F.col("path").alias("_file"),
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+    )
+    prefix = _os.path.abspath(root).rstrip("/") + "/"
+    rel = F.expr(
+        f"substring(regexp_replace(_file, '^file:/+', '/'), {len(prefix) + 1})"
+    )
+    ext = F.lower(F.substring_index(F.substring_index(rel, "/", -1), ".", -1))
+    lang = ext
+    for k, v in (lang_map or {}).items():
+        lang = F.when(ext == k.lower(), F.lit(v)).otherwise(lang)
+    repo_col = F.lit(repo) if repo is not None else F.substring_index(rel, "/", 1)
+    return raw.select(
+        repo_col.alias("repo"),
+        rel.alias("path"),
+        F.substring(F.sha2(F.col("content"), 256), 1, 40).alias("commit"),
+        lang.alias("lang"),
+        "content",
+    )

@@ -274,3 +274,43 @@ def test_read_input_xml_lines_quarantine(spark, tmp_path):
     bad = corrupt.collect()
     assert sorted(r["_corrupt_record"] for r in bad) == ["<row><repo>r9</repo>", "garbage"]
     assert all(r["source_file"].endswith("landed.xml") for r in bad)
+
+
+def test_files_from_tree_ingests_a_checkout(spark, tmp_path):
+    # point the suite at an actual source tree: one row per file, path
+    # relative to the root, repo from the first segment, lang from the
+    # extension, commit content-addressed (re-ingest of an unchanged
+    # tree is manifest-stable; a changed file gets a new commit)
+    from anomaly_detector_spark.plans.suite import default_suite, run_suite
+    from anomaly_detector_spark.sources.registry import files_from_tree
+
+    root = tmp_path / "checkouts"
+    (root / "alpha" / "src").mkdir(parents=True)
+    (root / "beta").mkdir()
+    (root / "alpha" / "src" / "main.py").write_text("def main(): pass\n")
+    (root / "alpha" / "src" / "util.go").write_text("package util\n")
+    (root / "beta" / "app.py").write_text("print('hi')\n")
+
+    df = files_from_tree(spark, str(root), lang_map={"py": "python"})
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == {"alpha/src/main.py", "alpha/src/util.go", "beta/app.py"}
+    assert rows["alpha/src/main.py"]["repo"] == "alpha"
+    assert rows["beta/app.py"]["repo"] == "beta"
+    assert rows["alpha/src/main.py"]["lang"] == "python"
+    assert rows["alpha/src/util.go"]["lang"] == "go"
+    assert rows["beta/app.py"]["content"] == "print('hi')\n"
+    assert len(rows["beta/app.py"]["commit"]) == 40
+
+    # content-addressed commit: identical re-ingest, identical rows
+    again = {r["path"]: r["commit"] for r in files_from_tree(spark, str(root)).collect()}
+    assert {p: r["commit"] for p, r in rows.items()} == again
+    # ...and an edit changes ONLY that file's commit
+    (root / "beta" / "app.py").write_text("print('bye')\n")
+    edited = {r["path"]: r["commit"] for r in files_from_tree(spark, str(root)).collect()}
+    assert edited["beta/app.py"] != again["beta/app.py"]
+    assert edited["alpha/src/main.py"] == again["alpha/src/main.py"]
+
+    # the suite runs on the ingested shape end-to-end
+    res = run_suite(df, default_suite(min_rows=1))
+    assert res.verdicts.count() > 0
+    res.unpersist()
