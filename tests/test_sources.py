@@ -314,3 +314,24 @@ def test_files_from_tree_ingests_a_checkout(spark, tmp_path):
     res = run_suite(df, default_suite(min_rows=1))
     assert res.verdicts.count() > 0
     res.unpersist()
+
+
+def test_read_input_csv_arity_drift_quarantines(spark, tmp_path):
+    # csv schema evolution is arity drift, and PERMISSIVE from_csv marks
+    # BOTH too-few and too-many fields as corrupt (raw line kept) — so a
+    # widened/narrowed upstream csv surfaces loudly through the standard
+    # quarantine path, no separate profiler needed (the json analog needs
+    # landed_key_profile because json drops/nulls silently instead)
+    from anomaly_detector_spark.sources.registry import read_input, split_corrupt
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "repo,path,commit,lang,content\n"
+        "r1,f1,c1,py,body\n"          # exact arity: clean
+        "r2,f2,c2,py\n"               # narrowed upstream: quarantined
+        "r3,f3,c3,py,body,EXTRA\n"    # widened upstream: quarantined
+    )
+    clean, corrupt = split_corrupt(read_input(spark, str(p), "csv"))
+    assert [r["repo"] for r in clean.collect()] == ["r1"]
+    bad = sorted(r["_corrupt_record"] for r in corrupt.collect())
+    assert bad == ["r2,f2,c2,py", "r3,f3,c3,py,body,EXTRA"]
