@@ -287,6 +287,28 @@ def main(argv: list[str] | None = None) -> int:
                 summary["compacted_stores"]["quarantine"] = compact_store(
                     spark, args.corrupt_out, "quarantine"
                 )
+        if args.coverage_audit:
+            # schema-only, works on the streaming frame
+            from .plans.config import suite_column_coverage
+
+            summary["uncovered_columns"] = [
+                r["column"]
+                for r in suite_column_coverage(suite, stream)
+                if not r["covered"]
+            ]
+        if args.history_flags:
+            from pyspark.sql import functions as F
+
+            from .checks.history import manifest_metric_anomalies
+            from .plans.manifest import read_manifest, suite_id as _sid
+
+            flags = manifest_metric_anomalies(
+                read_manifest(spark, args.manifest), suite_sid=_sid(suite)
+            )
+            summary["history_anomalies"] = [
+                {k: r[k] for k in ("partition_key", "check_id", "metric", "value", "z_score")}
+                for r in flags.where(F.col("is_anomalous")).collect()
+            ]
         print(json.dumps(summary))
         return 0
 

@@ -204,10 +204,13 @@ def test_cli_watch_json_drop_dir(spark, tmp_path, capsys):
 
     # land a THIRD partition; the resumed watch validates only it
     land("rust", 30)
-    rc = main(common)
+    rc = main(common + ["--coverage-audit"])
     assert rc == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["partitions_committed"] == 1
     assert out2["n_corrupt_rows"] == 0
+    # coverage audit works on the streaming frame (schema-only)
+    assert "uncovered_columns" in out2
+    assert "_corrupt_record" in out2["uncovered_columns"]
     m = spark.read.parquet(str(tmp_path / "m"))
     assert m.filter(F.col("partition_key") == "rust").count() > 0
