@@ -93,6 +93,9 @@ def main() -> int:
         # landed-ingestion session additions
         "docs_landed_keys",    # landed-json schema-evolution key profile
         "files_small_audit",   # content-pruned file inventory + size gates
+        # code-hygiene session additions
+        "docs_secret_scan",    # credential patterns, map-only regexp_count
+        "docs_entropy_tokens",  # high-entropy token triage (HOF entropy, no UDF)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
