@@ -131,11 +131,21 @@ def code_hygiene_rules(
     ``constraint_suite(rules=...)`` (or append to any suite) and the
     fused runner folds them into the existing two row-pass scans."""
     allowed = allowed_licenses if allowed_licenses is not None else DEFAULT_ALLOWED_LICENSES
+    # "column" is declared explicitly (not left to the builder default)
+    # so the suite_column_coverage blind-spot audit sees these checks
+    # covering the content column.
     return [
-        CheckSpec("secrets", run_secrets, {}, partition_col, min_rows),
-        CheckSpec("license", run_license, {"allowed": sorted(allowed)}, partition_col, min_rows),
+        CheckSpec("secrets", run_secrets, {"column": "content"}, partition_col, min_rows),
         CheckSpec(
-            "generated", run_generated, {"max_bad_frac": 0.2}, partition_col, min_rows
+            "license", run_license,
+            {"column": "content", "allowed": sorted(allowed)}, partition_col, min_rows,
         ),
-        CheckSpec("entropy_secrets", run_entropy_secrets, {}, partition_col, min_rows),
+        CheckSpec(
+            "generated", run_generated,
+            {"column": "content", "max_bad_frac": 0.2}, partition_col, min_rows,
+        ),
+        CheckSpec(
+            "entropy_secrets", run_entropy_secrets,
+            {"column": "content"}, partition_col, min_rows,
+        ),
     ]

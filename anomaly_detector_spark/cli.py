@@ -53,9 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="freeze the pooled drift baseline on first run (T2/T3 semantics)",
     )
     p.add_argument(
-        "--suite", default="default", choices=["default", "extended", "constraint"],
+        "--suite", default="default",
+        choices=["default", "extended", "constraint", "hygiene"],
         help="extended adds the categorical count-drift check; constraint "
-        "additionally adds the fused row-rule checks (new suite_id -> revalidates)",
+        "additionally adds the fused row-rule checks; hygiene additionally "
+        "adds the code-hygiene rules (secrets/license/generated/entropy — "
+        "checks/codehygiene.py). Each is a new suite_id -> revalidates",
     )
     p.add_argument(
         "--suite-config", default=None,
@@ -192,10 +195,18 @@ def main(argv: list[str] | None = None) -> int:
 
         suite = suite_from_config(Path(args.suite_config))
     else:
+        def hygiene_suite(partition_col: str, min_rows: int):
+            from .checks.codehygiene import code_hygiene_rules
+            from .plans.suite import constraint_suite as _cs
+
+            base = _cs(partition_col=partition_col, min_rows=min_rows)
+            return base + code_hygiene_rules(partition_col, min_rows)
+
         make_suite = {
             "default": default_suite,
             "extended": extended_suite,
             "constraint": constraint_suite,
+            "hygiene": hygiene_suite,
         }[args.suite]
         suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     if args.sample_frac is not None:

@@ -59,6 +59,12 @@ def _registry() -> dict[str, Callable]:
         run_json_schema,
         run_row_predicate,
     )
+    from ..checks.codehygiene import (
+        run_entropy_secrets,
+        run_generated,
+        run_license,
+        run_secrets,
+    )
     from ..checks.fd import run_fd, run_key_cardinality
     from ..checks.kmv import run_novelty
     from ..checks.membership import run_seen_before
@@ -117,6 +123,12 @@ def _registry() -> dict[str, Callable]:
         "completeness": run_completeness,
         "row_predicate": run_row_predicate,
         "json_schema": run_json_schema,
+        # code-hygiene rowrules (checks/codehygiene.py): fuse like any
+        # other rule; config carries thresholds/allowed sets only
+        "secrets": run_secrets,
+        "license": run_license,
+        "generated": run_generated,
+        "entropy_secrets": run_entropy_secrets,
     }
 
 

@@ -109,6 +109,22 @@ def test_cli_constraint_revalidate_history(spark, dirs, capsys):
     assert m.select("check_id").distinct().count() >= 9
 
 
+def test_cli_hygiene_suite_commits_hygiene_checks(spark, dirs, capsys):
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--suite", "hygiene", "--run-id", "hy1",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    from anomaly_detector_spark.checks.codehygiene import code_hygiene_rules
+    from anomaly_detector_spark.plans.manifest import read_manifest
+
+    m = read_manifest(spark, dirs["manifest"]).filter("run_id = 'hy1'")
+    committed = {r["check_id"] for r in m.select("check_id").distinct().collect()}
+    for spec in code_hygiene_rules():
+        assert spec.id in committed, spec.name
+
+
 def test_cli_sampled_tier_separate_manifest_stream(spark, dirs, capsys):
     # full run commits the full-suite stream
     rc = main(["--input", dirs["input"], "--manifest", dirs["manifest"], "--run-id", "full1"])

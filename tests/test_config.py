@@ -16,7 +16,15 @@ from anomaly_detector_spark.plans.suite import (
 )
 
 
-@pytest.mark.parametrize("factory", [default_suite, extended_suite, constraint_suite])
+def _hygiene_suite(**kw):
+    from anomaly_detector_spark.checks.codehygiene import code_hygiene_rules
+
+    return constraint_suite(**kw) + code_hygiene_rules(**kw)
+
+
+@pytest.mark.parametrize(
+    "factory", [default_suite, extended_suite, constraint_suite, _hygiene_suite]
+)
 def test_config_round_trip_preserves_ids(factory):
     # content-addressed ids: a config-loaded suite is manifest-identical
     # to the code-built one (same check ids, same suite_id)
