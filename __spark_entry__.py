@@ -2000,6 +2000,32 @@ def q_files_small_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_drift_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """Row evidence for blamed drift buckets (checks/drift.py
+    drift_examples): attribution's top-3 PSI buckets per partition,
+    inner-joined back to the rows (broadcast, O(partitions x 3)) and
+    hash-threshold-sampled ~3/bucket — map-only, no rank window. sha256
+    draw mode (13 hex digits / 16^13) so DuckDB replays the sample
+    bit-for-bit; xxhash64 is the production draw, same plan shape."""
+    from anomaly_detector_spark.checks.drift import (
+        drift_attribution,
+        drift_examples,
+        global_baseline,
+        length_histogram,
+    )
+
+    files = files_view(spark, sf)
+    hist = length_histogram(files, "lang", "content", bucket_width=50).cache()
+    att = drift_attribution(hist, global_baseline(hist), top_k=3)
+    ex = drift_examples(
+        files, att, "lang", bucket_width=50, per_bucket=3, hash_fn="sha256"
+    )
+    return ex.select(
+        "repo", "path", "commit", "partition_key", "bucket", "measured",
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 def q_docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Secret scanning (operators/codescan.py): per-kind credential
     counts from pure JVM regexp_count — map-only, zero shuffle. The
@@ -2111,6 +2137,7 @@ def q_docs_entropy_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "files_drift_examples": q_files_drift_examples,
         "docs_secret_scan": q_docs_secret_scan,
         "docs_license_scan": q_docs_license_scan,
         "docs_generated": q_docs_generated,
@@ -5244,6 +5271,80 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                round(sum(depth * n) / sum(n), 4) AS avg_depth,
                CAST(max(depth) AS BIGINT) AS max_depth
         FROM probes GROUP BY 1
+    """
+    # files_drift_examples: the attribution oracle's CTE chain extended
+    # with the row-evidence sample — blamed top-3 buckets joined back to
+    # re-bucketed rows, kept iff the sha256 13-hex-digit draw (exact
+    # 52-bit integer via the strpos digit sum, / 2^52) clears the
+    # per_bucket/n threshold. Mirrors drift_examples(hash_fn='sha256').
+    _hx13 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) * {16 ** (12 - j)}"
+        for j in range(13)
+    )
+    out["files_drift_examples"] = f"""
+        WITH {FILES_CTE_SQL},
+        hist AS (
+          SELECT lang AS partition_key,
+                 CAST(floor(length(content) / 50) AS BIGINT) AS bucket,
+                 count(*) AS n
+          FROM files WHERE content IS NOT NULL GROUP BY 1, 2
+        ),
+        base AS (SELECT bucket, sum(n) AS base_n FROM hist GROUP BY 1),
+        grid AS (
+          SELECT p.partition_key, b.bucket
+          FROM (SELECT DISTINCT partition_key FROM hist) p
+          CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+        ),
+        j AS (
+          SELECT g.partition_key, g.bucket,
+                 CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                 CAST(coalesce(bs.base_n, 0) AS DOUBLE) AS base_n
+          FROM grid g
+          LEFT JOIN hist h ON h.partition_key = g.partition_key AND h.bucket = g.bucket
+          LEFT JOIN base bs ON bs.bucket = g.bucket
+        ),
+        terms AS (
+          SELECT partition_key, bucket, n,
+                 ( (n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                                + 0.5 * count(*) OVER (PARTITION BY partition_key))
+                   - (base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                                + 0.5 * count(*) OVER (PARTITION BY partition_key)) )
+                 * ln( ((n + 0.5) / (sum(n) OVER (PARTITION BY partition_key)
+                                + 0.5 * count(*) OVER (PARTITION BY partition_key)))
+                     / ((base_n + 0.5) / (sum(base_n) OVER (PARTITION BY partition_key)
+                                + 0.5 * count(*) OVER (PARTITION BY partition_key))) )
+                 AS psi_term
+          FROM j
+        ),
+        ranked AS (
+          SELECT partition_key, bucket, n, psi_term,
+                 row_number() OVER (PARTITION BY partition_key
+                                    ORDER BY psi_term DESC, bucket ASC) AS "rank"
+          FROM terms
+        ),
+        att AS (
+          SELECT partition_key, bucket, CAST(n AS BIGINT) AS n_bucket,
+                 round(psi_term, 6) AS psi_term
+          FROM ranked WHERE "rank" <= 3
+        ),
+        rows_b AS (
+          SELECT repo, path, commit, lang AS partition_key,
+                 CAST(floor(length(content) / 50) AS BIGINT) AS bucket,
+                 CAST(length(content) AS BIGINT) AS measured
+          FROM files WHERE content IS NOT NULL
+        ),
+        drawn AS (
+          SELECT r.repo, r.path, r.commit, r.partition_key, r.bucket,
+                 r.measured, a.n_bucket, a.psi_term,
+                 substr(sha256(r.repo || '|' || r.path || '|' || r.commit), 1, 13) AS hx
+          FROM rows_b r
+          JOIN att a ON r.partition_key IS NOT DISTINCT FROM a.partition_key
+                    AND r.bucket = a.bucket
+        )
+        SELECT repo, path, commit, partition_key, bucket, measured, psi_term
+        FROM drawn
+        WHERE ({_hx13}) / 4503599627370496.0
+              < least(1.0, CAST(3 AS DOUBLE) / greatest(n_bucket, 1))
     """
     # Code-hygiene family (operators/codescan.py). Plants mirror the
     # Spark side byte-for-byte (sha256(doc_id) is engine-identical).

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .base import CheckResult, CheckSpec, empty_violations, verdict_frame
+from .base import CheckResult, CheckSpec, empty_violations, null_safe_join, verdict_frame
 
 HIST_SCHEMA = "partition_key string, bucket long, n long"
 SCORE_SCHEMA = "partition_key string, psi double, ks double, n_obs long, n_buckets long"
@@ -484,6 +484,75 @@ def drift_attribution(
             F.col("base_n").cast("long").alias("base_n"),
             "psi_term",
         )
+    )
+
+
+def drift_examples(
+    df: DataFrame,
+    attribution: DataFrame,
+    partition_col: str,
+    col: str = "content",
+    bucket_width: int = 100,
+    per_bucket: int = 5,
+    mode: str = "length",
+    id_cols: tuple[str, str, str] = ("repo", "path", "commit"),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic example ROWS for the buckets drift_attribution blames
+    — the last link of the triage chain (scorecard → incidents →
+    attribution → concrete files a human can open).
+
+    Drift is a partition-level check and emits no violation rows; this
+    recovers row evidence with ONE extra pruned scan: rows re-bucketed
+    exactly as length_histogram, inner-joined (broadcast — attribution is
+    O(partitions x top_k) rows) to the blamed buckets, then sampled with
+    the same map-only hash-threshold rule as plans/manifest.py
+    sample_violations: keep iff draw(identity) < per_bucket / n_bucket.
+    No per-group rank window — a 10^10-row blamed bucket costs the same
+    per row as a 10-row one; groups with n <= per_bucket keep every row;
+    retries/speculation/repartitioning keep the SAME rows.
+
+    ``hash_fn='xxhash64'`` is the production draw; ``'sha256'`` (first 13
+    hex digits / 16^13 — 52 bits, exact in a double) is the
+    cross-engine-reproducible twin the DuckDB oracle mirrors, same plan
+    shape (the minhash/split-leakage precedent).
+
+    A blamed bucket can be one the partition LOST mass from (p << q,
+    positive psi_term, zero matching rows) — by nature it has no rows to
+    exemplify; filter the attribution to gained-mass buckets (n > 0) if
+    every returned group must be non-empty.
+    """
+    if mode == "length":
+        measure = F.length(F.col(col))
+    elif mode == "value":
+        measure = F.col(col)
+    else:
+        raise ValueError(f"mode must be 'length' or 'value', got {mode!r}")
+    ids = list(id_cols)
+    rows = df.filter(F.col(col).isNotNull()).select(
+        *ids,
+        F.col(partition_col).cast("string").alias("partition_key"),
+        F.floor(measure / bucket_width).cast("long").alias("bucket"),
+        measure.cast("long").alias("measured"),
+    )
+    att = attribution.select(
+        "partition_key", "bucket", F.col("n").alias("_n_bucket"), "psi_term"
+    )
+    joined = null_safe_join(
+        rows, att, ["partition_key", "bucket"], "inner", broadcast_right=True
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(per_bucket)) / F.greatest(F.col("_n_bucket"), F.lit(1))
+    )
+    if hash_fn == "xxhash64":
+        draw = F.pmod(F.xxhash64(*ids), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    elif hash_fn == "sha256":
+        hex13 = F.substring(F.sha2(F.concat_ws("|", *ids), 256), 1, 13)
+        draw = F.conv(hex13, 16, 10).cast("double") / F.lit(float(16**13))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'sha256', got {hash_fn!r}")
+    return joined.where(draw < rate).select(
+        *ids, "partition_key", "bucket", "measured", "psi_term"
     )
 
 

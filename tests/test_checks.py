@@ -312,6 +312,49 @@ def test_drift_attribution_decomposes_psi(spark):
     assert (rust["psi_term"] > 0).all()
 
 
+def test_drift_examples_sample_blamed_buckets(spark):
+    from anomaly_detector_spark.checks.drift import drift_attribution, drift_examples
+
+    rows = []
+    for i in range(300):
+        rows.append(("r", f"a{i}", "c", "python", "x" * (50 + i % 20)))
+        rows.append(("r", f"b{i}", "c", "go", "x" * (50 + i % 20)))
+        rows.append(("r", f"c{i}", "c", "rust", "x" * (500 + i % 20)))  # shifted
+    df = mkfiles(spark, rows)
+    hist = length_histogram(df, "lang", bucket_width=50).cache()
+    # top_k=2 so the shifted partition's GAINED-mass bucket (10) is in
+    # scope — its top-1 is the MISSING-mass bucket (1), which by nature
+    # has no rows to exemplify (see drift_examples docstring)
+    att = drift_attribution(hist, global_baseline(hist), top_k=2).cache()
+
+    # per_bucket >= group size: EVERY row of each blamed bucket survives
+    full = drift_examples(df, att, "lang", bucket_width=50, per_bucket=10_000)
+    got = full.toPandas()
+    blamed = {(r["partition_key"], r["bucket"]) for r in att.collect()}
+    assert set(zip(got["partition_key"], got["bucket"])) <= blamed
+    rust = got[got["partition_key"] == "rust"]
+    assert len(rust) == 300 and (rust["bucket"] == 10).all()
+    assert rust["measured"].between(500, 519).all()
+
+    # small per_bucket: a genuine sample — subset, deterministic, and
+    # invariant to input partitioning (hash-threshold, no rank window)
+    few = drift_examples(df, att, "lang", bucket_width=50, per_bucket=5)
+    f1 = sorted(map(tuple, few.collect()))
+    assert 0 < len(f1) < len(got)
+    assert set(f1) <= set(map(tuple, full.collect()))
+    f2 = sorted(map(tuple, drift_examples(
+        df.repartition(7), att, "lang", bucket_width=50, per_bucket=5
+    ).collect()))
+    assert f1 == f2
+    # sha256 oracle mode: same schema/bucket semantics, same determinism
+    sha = drift_examples(
+        df, att, "lang", bucket_width=50, per_bucket=5, hash_fn="sha256"
+    )
+    s1 = sorted(map(tuple, sha.collect()))
+    assert 0 < len(s1) and set(s1) <= set(map(tuple, full.collect()))
+    hist.unpersist(), att.unpersist()
+
+
 def test_reconcile_cross_table(spark):
     from anomaly_detector_spark.checks.base import CheckSpec
     from anomaly_detector_spark.checks.reconcile import run_reconcile
