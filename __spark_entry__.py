@@ -2026,6 +2026,31 @@ def q_files_drift_examples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_vendored(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-repo vendored content (operators/codescan.py
+    vendored_content): one aggregate keyed by the uniform content hash;
+    count + countDistinct(repo) share the scan. Two vendored blobs are
+    planted on interleaved doc_id residues (the synthetic texts are
+    per-doc unique, so natural cross-repo dups are absent); sha256 mode
+    so DuckDB replays the hash."""
+    from anomaly_detector_spark.operators.codescan import vendored_content
+
+    files = files_view(spark, sf)
+    planted = files.select(
+        "repo",
+        F.when(F.col("doc_id") % 25 == 0,
+               F.lit("#!/bin/sh\nmake build  # vendored script v1"))
+        .when(F.col("doc_id") % 40 == 0,
+              F.lit("/* vendored minified bundle v2 */"))
+        .otherwise(F.col("content")).alias("content"),
+    )
+    return vendored_content(planted, by="repo", hash_fn="sha256").select(
+        "content_hash",
+        F.col("n_repos").cast("long").alias("n_repos"),
+        F.col("n_files").cast("long").alias("n_files"),
+    )
+
+
 def q_docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Secret scanning (operators/codescan.py): per-kind credential
     counts from pure JVM regexp_count — map-only, zero shuffle. The
@@ -2138,6 +2163,7 @@ def q_docs_entropy_tokens(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "files_drift_examples": q_files_drift_examples,
+        "files_vendored": q_files_vendored,
         "docs_secret_scan": q_docs_secret_scan,
         "docs_license_scan": q_docs_license_scan,
         "docs_generated": q_docs_generated,
@@ -5345,6 +5371,23 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM drawn
         WHERE ({_hx13}) / 4503599627370496.0
               < least(1.0, CAST(3 AS DOUBLE) / greatest(n_bucket, 1))
+    """
+    out["files_vendored"] = f"""
+        WITH {FILES_CTE_SQL},
+        planted AS (
+          SELECT repo,
+                 CASE WHEN doc_id % 25 = 0
+                      THEN '#!/bin/sh' || chr(10) || 'make build  # vendored script v1'
+                      WHEN doc_id % 40 = 0
+                      THEN '/* vendored minified bundle v2 */'
+                      ELSE content END AS content
+          FROM files
+        )
+        SELECT sha256(content) AS content_hash,
+               CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+               CAST(count(*) AS BIGINT) AS n_files
+        FROM planted WHERE content IS NOT NULL
+        GROUP BY 1 HAVING count(DISTINCT repo) >= 2
     """
     # Code-hygiene family (operators/codescan.py). Plants mirror the
     # Spark side byte-for-byte (sha256(doc_id) is engine-identical).

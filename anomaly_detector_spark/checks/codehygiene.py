@@ -122,6 +122,84 @@ run_generated._rule_builder = _generated_rule  # type: ignore[attr-defined]
 run_entropy_secrets._rule_builder = _entropy_rule  # type: ignore[attr-defined]
 
 
+def run_vendored(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Vendored-content check: FAIL partitions where more than
+    ``max_vendored_frac`` of rows carry content present in
+    >= ``min_repos`` distinct repos (operators/codescan.py
+    vendored_content — the cross-repo duplication the key-uniqueness
+    check cannot see).
+
+    NOT a rowrule: vendoring is a global property of the content's
+    distribution over repos, so it needs ONE aggregation pass keyed by
+    the uniform content hash. The base (hash, repo, partition) counted
+    aggregate feeds THREE differently-pruned consumers (per-hash repo
+    counts, per-(hash, partition) counts, per-partition totals) —
+    column pruning makes each branch's aggregate subtree unique, so
+    Catalyst does NOT reuse the exchange and an unmaterialized plan
+    scans the source three more times (confirmed in the plan: 5 scans).
+    Same fix as checks/fd.py: the base aggregate is localCheckpoint-ed
+    (O(distinct cells) narrow rows — one materialization beats re-scans
+    of a 100-TB table); config {"materialize": False} keeps the pure
+    plan for tiny inputs. Joins on the hash are equi-joins of
+    pre-aggregated frames; joins on the partition key are null-safe.
+    Verdicts + metrics only — row evidence via
+    codescan.vendored_examples (hash-threshold sample, no rank window).
+    NULL content is excluded from n_rows here (completeness's concern).
+
+    config: ``by`` ('repo'), ``column`` ('content'), ``min_repos`` (2),
+    ``max_vendored_frac`` (0.2), ``hash_fn`` ('xxhash64' production |
+    'sha256' oracle twin), ``materialize`` (True).
+    """
+    from ..operators.codescan import content_hash_col
+    from .base import null_safe_join, verdict_frame
+
+    part = spec.partition_col
+    col = spec.config.get("column", "content")
+    by = spec.config.get("by", "repo")
+    min_repos = int(spec.config.get("min_repos", 2))
+    max_frac = float(spec.config.get("max_vendored_frac", 0.2))
+    h = content_hash_col(col, spec.config.get("hash_fn", "xxhash64"))
+
+    g1 = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            h.alias("_h"), F.col(by).alias("_by"), F.col(part).alias("_part")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if spec.config.get("materialize", True):
+        g1 = g1.localCheckpoint()
+    per_h = g1.groupBy("_h").agg(F.countDistinct("_by").alias("n_repos"))
+    vend = per_h.filter(F.col("n_repos") >= min_repos).select("_h")
+    c_hp = g1.groupBy("_h", "_part").agg(F.sum("n").alias("n_hp"))
+    vend_part = (
+        c_hp.join(vend, on="_h", how="inner")  # _h is never NULL (hash of non-null)
+        .groupBy("_part")
+        .agg(
+            F.sum("n_hp").alias("n_vendored_rows"),
+            F.countDistinct("_h").alias("n_vendored_contents"),
+        )
+    )
+    totals = g1.groupBy("_part").agg(F.sum("n").alias("n_rows"))
+    per_part = null_safe_join(totals, vend_part, ["_part"], "left").select(
+        F.col("_part").alias(part),
+        "n_rows",
+        F.coalesce("n_vendored_rows", F.lit(0)).alias("n_vendored_rows"),
+        F.coalesce("n_vendored_contents", F.lit(0)).alias("n_vendored_contents"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        part,
+        fail_when=F.col("n_vendored_rows") > F.col("n_rows") * F.lit(max_frac),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_vendored_rows", "n_vendored_contents"],
+    )
+    from .base import empty_violations
+
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
+
+
 def code_hygiene_rules(
     partition_col: str = "lang",
     min_rows: int = 25,

@@ -64,6 +64,7 @@ def _registry() -> dict[str, Callable]:
         run_generated,
         run_license,
         run_secrets,
+        run_vendored,
     )
     from ..checks.fd import run_fd, run_key_cardinality
     from ..checks.kmv import run_novelty
@@ -129,6 +130,9 @@ def _registry() -> dict[str, Callable]:
         "license": run_license,
         "generated": run_generated,
         "entropy_secrets": run_entropy_secrets,
+        # vendored-content check: aggregation-only (one scan, reused
+        # exchange), verdicts+metrics; evidence via vendored_examples
+        "vendored": run_vendored,
     }
 
 
