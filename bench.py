@@ -96,6 +96,8 @@ def main() -> int:
         # code-hygiene session additions
         "docs_secret_scan",    # credential patterns, map-only regexp_count
         "docs_entropy_tokens",  # high-entropy token triage (HOF entropy, no UDF)
+        "files_vendored",      # cross-repo duplicate content (uniform-hash agg)
+        "files_drift_examples",  # drift row evidence (broadcast + hash threshold)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
