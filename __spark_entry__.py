@@ -2051,6 +2051,36 @@ def q_files_vendored(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_license_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-level license conflict (checks/codehygiene.py
+    run_license_consistency, partition_col=repo): one aggregated shuffle
+    of O(repos) rows, license derived in the map. MIT tags and GPL
+    phrases planted on coprime doc_id residues so some repos carry a
+    conflict and others don't; the verdict is re-derived in SQL."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.codehygiene import run_license_consistency
+
+    files = files_view(spark, sf)
+    hdr = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(F.col("doc_id") % 101 == 0,
+              F.lit("This is free software: GNU General Public License\n"))
+        .otherwise(F.lit(""))
+    )
+    planted = files.select("repo", F.concat(hdr, F.col("content")).alias("content"))
+    spec = CheckSpec(
+        "license_consistency", run_license_consistency, {}, "repo", min_rows=1
+    )
+    res = spec.run(planted)
+    return res.verdicts.select(
+        F.col("partition_key").alias("repo"),
+        "verdict",
+        F.col("metrics")["n_rows"].cast("long").alias("n_rows"),
+        F.col("metrics")["n_licenses"].cast("long").alias("n_licenses"),
+        F.col("metrics")["n_unlicensed"].cast("long").alias("n_unlicensed"),
+    )
+
+
 def q_docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Secret scanning (operators/codescan.py): per-kind credential
     counts from pure JVM regexp_count — map-only, zero shuffle. The
@@ -2164,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
+        "files_license_consistency": q_files_license_consistency,
         "docs_secret_scan": q_docs_secret_scan,
         "docs_license_scan": q_docs_license_scan,
         "docs_generated": q_docs_generated,
@@ -5388,6 +5419,49 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                CAST(count(*) AS BIGINT) AS n_files
         FROM planted WHERE content IS NOT NULL
         GROUP BY 1 HAVING count(DISTINCT repo) >= 2
+    """
+    out["files_license_consistency"] = f"""
+        WITH {FILES_CTE_SQL},
+        planted AS (
+          SELECT repo,
+                 (CASE WHEN doc_id % 11 = 0
+                       THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                       WHEN doc_id % 101 = 0
+                       THEN 'This is free software: GNU General Public License' || chr(10)
+                       ELSE '' END) || content AS content
+          FROM files
+        ),
+        lic AS (
+          SELECT repo,
+                 CASE WHEN regexp_extract(substr(content, 1, 2048),
+                        'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) <> ''
+                      THEN regexp_extract(substr(content, 1, 2048),
+                        'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+                      WHEN regexp_matches(substr(content, 1, 2048),
+                        '(?i)Permission is hereby granted, free of charge') THEN 'MIT'
+                      WHEN regexp_matches(substr(content, 1, 2048),
+                        '(?i)Licensed under the Apache License, Version 2\\.0') THEN 'Apache-2.0'
+                      WHEN regexp_matches(substr(content, 1, 2048),
+                        '(?i)GNU (Lesser |Affero )?General Public License') THEN 'GPL'
+                      WHEN regexp_matches(substr(content, 1, 2048),
+                        '(?i)Redistribution and use in source and binary forms') THEN 'BSD'
+                      ELSE 'none' END AS license
+          FROM planted
+        ),
+        agg AS (
+          SELECT repo,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT CASE WHEN license <> 'none' THEN license END)
+                      AS BIGINT) AS n_licenses,
+                 CAST(sum(CASE WHEN license = 'none' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_unlicensed
+          FROM lic GROUP BY 1
+        )
+        SELECT repo,
+               CASE WHEN n_rows < 1 THEN 'SKIPPED'
+                    WHEN n_licenses > 1 THEN 'FAIL' ELSE 'PASS' END AS verdict,
+               n_rows, n_licenses, n_unlicensed
+        FROM agg
     """
     # Code-hygiene family (operators/codescan.py). Plants mirror the
     # Spark side byte-for-byte (sha256(doc_id) is engine-identical).

@@ -200,6 +200,47 @@ def run_vendored(df: DataFrame, spec: CheckSpec) -> CheckResult:
     return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
 
 
+def run_license_consistency(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """License-consistency check: FAIL partitions (typically
+    ``partition_col='repo'``) whose files resolve to MORE THAN
+    ``max_licenses`` distinct detected licenses (headerless 'none' files
+    are tolerated — an untagged file inherits the repo's license; two
+    CONFLICTING tags do not).
+
+    A repo mixing GPL and MIT headers is a provenance hazard for a
+    training corpus even when each license individually sits in the
+    allowed set — the per-file `license` rowrule can't see it, because
+    consistency is a property of the GROUP. One partial-aggregated
+    shuffle of O(partitions) rows; license derivation happens in the
+    map (operators/codescan.py license_expr), content never rides the
+    exchange.
+
+    config: ``column`` ('content'), ``head_chars`` (2048),
+    ``max_licenses`` (1).
+    """
+    from .base import empty_violations, verdict_frame
+
+    part = spec.partition_col
+    col = spec.config.get("column", "content")
+    head_chars = int(spec.config.get("head_chars", 2048))
+    max_licenses = int(spec.config.get("max_licenses", 1))
+    lic = license_expr(col, head_chars)
+    per_part = df.groupBy(F.col(part).alias(part)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.when(lic != "none", lic)).alias("n_licenses"),
+        F.sum((lic == "none").cast("long")).alias("n_unlicensed"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        part,
+        fail_when=F.col("n_licenses") > max_licenses,
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_licenses", "n_unlicensed"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
+
+
 def code_hygiene_rules(
     partition_col: str = "lang",
     min_rows: int = 25,

@@ -63,6 +63,7 @@ def _registry() -> dict[str, Callable]:
         run_entropy_secrets,
         run_generated,
         run_license,
+        run_license_consistency,
         run_secrets,
         run_vendored,
     )
@@ -133,6 +134,8 @@ def _registry() -> dict[str, Callable]:
         # vendored-content check: aggregation-only (one scan, reused
         # exchange), verdicts+metrics; evidence via vendored_examples
         "vendored": run_vendored,
+        # group-level license conflict (declare partition_col='repo')
+        "license_consistency": run_license_consistency,
     }
 
 
