@@ -78,6 +78,24 @@ def test_secrets_check_violations_never_carry_the_credential(spark):
     assert v == {"python": FAIL, "go": FAIL}
 
 
+def test_redact_secrets_scrubs_and_counts(spark):
+    from anomaly_detector_spark.operators.codescan import redact_secrets
+
+    df = _corpus(spark)
+    out = redact_secrets(df, "content")
+    got = {r["path"]: r for r in out.collect()}
+    assert got["aws.py"]["n_aws_key"] == 1
+    assert got["aws.py"]["redacted"] == "KEY = '<SECRET:aws_key>' # oops"
+    assert AWS not in got["aws.py"]["redacted"]
+    r = got["tok.py"]["redacted"]
+    assert "<SECRET:github_token>" in r and "<SECRET:jwt>" in r
+    assert GHP not in r and JWT not in r
+    # assigned_secret fires on the quoted password and scrubs the value
+    assert got["pw.py"]["redacted"] == "<SECRET:assigned_secret>"
+    assert got["null.go"]["redacted"] is None  # NULL passes through
+    assert got["clean.py"]["redacted"] == got["clean.py"]["content"]
+
+
 def _license_corpus(spark):
     return mkfiles(
         spark,
