@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--manifest", required=True, help="manifest table location (parquet dir)")
     p.add_argument("--violations", default=None, help="violations sink (parquet dir); omit to only count")
+    p.add_argument(
+        "--quarantine-out", default=None,
+        help="route rows failing any ROWRULE in the suite (format/accepted/"
+        "completeness/predicate/json/hygiene checks) to this parquet sink "
+        "with a failed_rules column (checks/rowrules.py quarantine_by_rules "
+        "— zero joins, zero shuffles). Validation still runs over the FULL "
+        "input: the manifest stays the truth about everything that arrived; "
+        "the sink is the enforcement copy. Batch mode only.",
+    )
     p.add_argument("--partition-col", default="lang")
     p.add_argument("--min-rows", type=int, default=25)
     p.add_argument("--run-id", default=None)
@@ -351,6 +360,26 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.sampled import sample_predicate
 
         df = df.filter(sample_predicate(frac=args.sample_frac))
+    n_quarantined = 0
+    if args.quarantine_out:
+        from .checks.rowrules import quarantine_by_rules
+
+        rule_specs = [sp for sp in suite if hasattr(sp.fn, "_rule_builder")]
+        if rule_specs:
+            import time as _time
+
+            from pyspark.sql import functions as F
+
+            _, quar = quarantine_by_rules(df, rule_specs)
+            qrid = args.run_id or f"run_{int(_time.time())}"
+            quar.withColumn("run_id", F.lit(qrid)).write.mode("append").parquet(
+                args.quarantine_out
+            )
+            n_quarantined = (
+                spark.read.parquet(args.quarantine_out)
+                .filter(F.col("run_id") == qrid)
+                .count()
+            )
     # The violations sink is passed INTO the run so it is written before
     # the manifest commit — a crash in between re-runs the partitions
     # rather than losing their violation rows (resume would otherwise
@@ -372,6 +401,9 @@ def main(argv: list[str] | None = None) -> int:
         summary["n_corrupt_rows"] = n_corrupt
         if args.corrupt_out:
             summary["corrupt_out"] = args.corrupt_out
+    if args.quarantine_out:
+        summary["quarantine_out"] = args.quarantine_out
+        summary["n_quarantined_rows"] = n_quarantined
     if args.coverage_audit:
         from .plans.config import suite_column_coverage
 

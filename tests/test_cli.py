@@ -109,6 +109,27 @@ def test_cli_constraint_revalidate_history(spark, dirs, capsys):
     assert m.select("check_id").distinct().count() >= 9
 
 
+def test_cli_quarantine_out_routes_rule_failures(spark, dirs, tmp_path, capsys):
+    qdir = str(tmp_path / "quar")
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--suite", "hygiene", "--quarantine-out", qdir, "--run-id", "q1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quarantine_out"] == qdir
+    assert out["n_quarantined_rows"] > 0  # synth plants rule violations
+    q = spark.read.parquet(qdir)
+    assert "failed_rules" in q.columns
+    # every quarantined row names at least one failing rule; the sink is
+    # the enforcement copy — the manifest still accounted the full input
+    assert q.filter("size(failed_rules) = 0").count() == 0
+    from anomaly_detector_spark.plans.manifest import read_manifest
+
+    m = read_manifest(spark, dirs["manifest"]).filter("run_id = 'q1'")
+    assert m.count() > 0
+
+
 def test_cli_hygiene_suite_commits_hygiene_checks(spark, dirs, capsys):
     rc = main([
         "--input", dirs["input"], "--manifest", dirs["manifest"],
