@@ -2026,6 +2026,24 @@ def q_files_drift_examples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_drift_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan multi-column drift sweep (checks/drift.py
+    multi_column_drift): per-(event_type, column) PSI for the numeric
+    `value` and the length-bucketed `props` from a single exploded
+    histogram shuffle — k columns, one pass, vs one scan per column for
+    the single-column check. 6dp-rounded psi is engine-exact."""
+    from anomaly_detector_spark.checks.drift import multi_column_drift
+
+    ev = load_table(spark, sf, "events")
+    scores = multi_column_drift(ev, "event_type", {"value": 10.0, "props": 40.0})
+    return scores.select(
+        "partition_key", "column",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "psi",
+    )
+
+
 def q_files_vendored(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-repo vendored content (operators/codescan.py
     vendored_content): one aggregate keyed by the uniform content hash;
@@ -2229,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
+        "events_drift_sweep": q_events_drift_sweep,
         "docs_secret_scan": q_docs_secret_scan,
         "docs_secret_redact": q_docs_secret_redact,
         "docs_license_scan": q_docs_license_scan,
@@ -5437,6 +5456,50 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM drawn
         WHERE ({_hx13}) / 4503599627370496.0
               < least(1.0, CAST(3 AS DOUBLE) / greatest(n_bucket, 1))
+    """
+    out["events_drift_sweep"] = """
+        WITH hist AS (
+          SELECT event_type AS partition_key, 'props' AS "column",
+                 CAST(floor(len(props) / 40.0) AS BIGINT) AS bucket, count(*) AS n
+          FROM events WHERE props IS NOT NULL GROUP BY 1, 3
+          UNION ALL
+          SELECT event_type, 'value',
+                 CAST(floor(value / 10.0) AS BIGINT), count(*)
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 3
+        ),
+        base AS (SELECT "column", bucket, sum(n) AS base_n FROM hist GROUP BY 1, 2),
+        parts AS (SELECT DISTINCT partition_key FROM hist),
+        grid AS (
+          SELECT p.partition_key, b."column", b.bucket, b.base_n
+          FROM parts p CROSS JOIN base b
+        ),
+        nobs AS (SELECT partition_key, "column", sum(n) AS n_obs FROM hist GROUP BY 1, 2),
+        btot AS (SELECT "column", sum(base_n) AS n_total FROM base GROUP BY 1),
+        bc AS (SELECT "column", count(*) AS b FROM base GROUP BY 1),
+        f AS (
+          SELECT g.partition_key, g."column",
+                 CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                 CAST(g.base_n AS DOUBLE) AS base_n,
+                 CAST(coalesce(o.n_obs, 0) AS DOUBLE) AS n_obs,
+                 CAST(bc.b AS DOUBLE) AS b, CAST(bt.n_total AS DOUBLE) AS n_total
+          FROM grid g
+          LEFT JOIN hist h ON h.partition_key = g.partition_key
+                          AND h."column" = g."column" AND h.bucket = g.bucket
+          LEFT JOIN nobs o ON o.partition_key = g.partition_key
+                          AND o."column" = g."column"
+          JOIN bc ON bc."column" = g."column"
+          JOIN btot bt ON bt."column" = g."column"
+        )
+        SELECT partition_key, "column",
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(b AS BIGINT) AS n_buckets,
+               round(sum(
+                 ( (n + 0.5) / (n_obs + 0.5 * b)
+                   - (base_n + 0.5) / (n_total + 0.5 * b) )
+                 * ln( ((n + 0.5) / (n_obs + 0.5 * b))
+                     / ((base_n + 0.5) / (n_total + 0.5 * b)) )
+               ), 6) AS psi
+        FROM f GROUP BY 1, 2, 3, 4
     """
     out["files_vendored"] = f"""
         WITH {FILES_CTE_SQL},

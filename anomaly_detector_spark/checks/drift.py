@@ -172,9 +172,15 @@ def flag_outliers(
     min_gap: float = 0.1,
     noise_c: float = 3.0,
     gate_mode: str = "relative",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """z-score / IQR / absolute outlier flags over per-partition scores,
     gated by the median plus a sampling-noise floor.
+
+    ``by``: optional grouping columns — peer statistics (mean/std/median/
+    quartiles) are computed WITHIN each group instead of globally, so one
+    call flags a whole (partition x column) sweep with per-column peers
+    (run_drift_sweep). Empty/None keeps the global 1-row aggregate.
 
     The gate generalizes the reference's median gate (K4): a partition is
     flagged only if its score exceeds median + max(min_gap, noise_c *
@@ -200,17 +206,24 @@ def flag_outliers(
     # (per-repo drift at web scale) the window variant serializes the
     # whole flagging pass through one reducer.
     s = F.col(score_col)
-    g = scores.agg(
+    aggs = [
         F.avg(s).alias("_mean"),
         F.stddev_samp(s).alias("_std"),
         F.expr(f"percentile({score_col}, 0.5)").alias("_med"),
         F.expr(f"percentile({score_col}, 0.25)").alias("_q1"),
         F.expr(f"percentile({score_col}, 0.75)").alias("_q3"),
         F.count(s).alias("_n_scored"),
-    )
+    ]
     if gate_mode not in ("relative", "absolute"):
         raise ValueError(f"gate_mode must be 'relative' or 'absolute', got {gate_mode!r}")
-    stats = scores.crossJoin(F.broadcast(g))
+    if by:
+        from .base import null_safe_join
+
+        g = scores.groupBy(*by).agg(*aggs)
+        stats = null_safe_join(scores, g, list(by), broadcast_right=True)
+    else:
+        g = scores.agg(*aggs)
+        stats = scores.crossJoin(F.broadcast(g))
     z = F.when(F.col("_std") > 0, F.abs(s - F.col("_mean")) / F.col("_std")).otherwise(F.lit(0.0))
     iqr = F.col("_q3") - F.col("_q1")
     relative = (z > z_thresh) | (s > F.col("_q3") + iqr_k * iqr) | (s < F.col("_q1") - iqr_k * iqr)
@@ -554,6 +567,166 @@ def drift_examples(
     return joined.where(draw < rate).select(
         *ids, "partition_key", "bucket", "measured", "psi_term"
     )
+
+
+def multi_column_drift(
+    df: DataFrame,
+    partition_col: str,
+    cols: dict[str, float],
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-(partition, column) PSI for MANY columns from ONE scan.
+
+    Running the single-column drift check per column costs one full
+    table pass each — at 100 TB a 10-column sweep is 10 scans. This
+    sweep explodes a k-entry (column, bucket) struct array per row
+    (map-side, k small) into ONE partial-aggregated shuffle of
+    O(partitions x columns x buckets) rows; every downstream frame is
+    derived from that histogram, never the source. String columns are
+    bucketed by length (the content dimension), numeric columns by
+    value; NULLs drop per column (a column's null-rate is the stats
+    check's concern). The histogram feeds four differently-pruned
+    consumers, so it is localCheckpoint-ed under the same rule as
+    checks/fd.py (``materialize=False`` keeps the pure plan).
+
+    Smoothing/PSI arithmetic matches the drift kernel per column
+    (same grid, same Laplace terms — the drift_attribution identity);
+    psi is rounded to 6dp so results are engine- and
+    partitioning-exact. Returns (partition_key, column, n_obs, psi).
+    """
+    dtypes = dict(df.dtypes)
+    entries = []
+    for c in sorted(cols):
+        w = cols[c]
+        measure = F.length(F.col(c)) if dtypes.get(c) == "string" else F.col(c)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.floor(measure.cast("double") / F.lit(float(w))).cast("long"),
+                ).alias("bucket"),
+            )
+        )
+    hist = (
+        df.select(
+            F.col(partition_col).cast("string").alias("partition_key"),
+            F.explode(F.array(*entries)).alias("_e"),
+        )
+        .select("partition_key", F.col("_e.column").alias("column"), F.col("_e.bucket").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("partition_key", "column", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if materialize:
+        hist = hist.localCheckpoint()
+    base = hist.groupBy("column", "bucket").agg(F.sum("n").alias("base_n"))
+    grid = base.select("column", "bucket")  # pooled support covers every partition's
+    parts = hist.select("partition_key").distinct()
+    nobs = hist.groupBy("partition_key", "column").agg(F.sum("n").alias("n_obs"))
+    btot = base.groupBy("column").agg(F.sum("base_n").alias("n_total"))
+    bcols = grid.groupBy("column").agg(F.count(F.lit(1)).alias("b"))
+    f = (
+        null_safe_join(
+            parts.crossJoin(F.broadcast(grid)),
+            hist, ["partition_key", "column", "bucket"], "left",
+        )
+        .join(F.broadcast(base), ["column", "bucket"])
+        .na.fill({"n": 0})
+        .join(F.broadcast(bcols), "column")
+        .transform(lambda d: null_safe_join(d, nobs, ["partition_key", "column"], "left"))
+        .na.fill({"n_obs": 0})
+        .join(F.broadcast(btot), "column")
+    )
+    p = (F.col("n") + 0.5) / (F.col("n_obs") + 0.5 * F.col("b"))
+    q = (F.col("base_n") + 0.5) / (F.col("n_total") + 0.5 * F.col("b"))
+    return (
+        f.select(
+            "partition_key", "column", "n_obs", "b",
+            ((p - q) * F.log(p / q)).alias("term"),
+        )
+        .groupBy("partition_key", "column", "n_obs", F.col("b").alias("n_buckets"))
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+def run_drift_sweep(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Declarable multi-column drift sweep: one scan for every declared
+    column, verdict per partition from its flagged columns.
+
+    Flagging is the single-column check's K4 machinery applied per
+    column — ``flag_outliers(by=['column'])`` computes peer statistics
+    (median/quartiles/z) WITHIN each column, so a partition is flagged
+    only where it is an outlier among its peers on that column AND
+    clears the median + chi-square noise gate. An absolute gate on the
+    pooled in-batch baseline would mark every partition that merely
+    differs from the pool mixture (a clean partition next to one
+    extreme partition fails — caught by the fixture); the relative gate
+    is the correct default for self-baselined sweeps, with
+    ``gate_mode='absolute'`` available for external-baseline semantics.
+
+    Columns with fewer than ``min_rows`` non-null values in a partition
+    are excluded before flagging; a partition with NO eligible column
+    is SKIPPED. Verdict FAILs when ANY column is flagged; metrics carry
+    n_flagged + the worst flagged column (ties break to the
+    lexicographically first column, engine-exact on the 6dp psi).
+
+    config: ``columns`` ({name: bucket_width}, required), plus the
+    flag_outliers knobs (``z_thresh``/``iqr_k``/``abs_thresh``/
+    ``min_gap``/``noise_c``/``gate_mode``) and ``materialize`` (True).
+    """
+    part = spec.partition_col
+    cols = dict(spec.config["columns"])
+    scores = multi_column_drift(
+        df, part, cols, materialize=spec.config.get("materialize", True)
+    )
+    eligible = scores.where(F.col("n_obs") >= spec.min_rows)
+    flagged = flag_outliers(
+        eligible,
+        score_col="psi",
+        z_thresh=spec.config.get("z_thresh", 3.0),
+        iqr_k=spec.config.get("iqr_k", 1.5),
+        abs_thresh=spec.config.get("abs_thresh", 0.25),
+        min_gap=spec.config.get("min_gap", 0.1),
+        noise_c=spec.config.get("noise_c", 3.0),
+        gate_mode=spec.config.get("gate_mode", "relative"),
+        by=["column"],
+    )
+    bad = flagged.where(F.col("is_drifted"))
+    worst = bad.groupBy("partition_key").agg(F.max("psi").alias("worst_psi"))
+    agg = (
+        null_safe_join(bad, worst, ["partition_key"])
+        .groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.max("psi").alias("worst_psi"),
+            F.min(F.when(F.col("psi") == F.col("worst_psi"), F.col("column"))).alias(
+                "worst_column"
+            ),
+        )
+    )
+    parts = eligible.groupBy("partition_key").agg(F.max("n_obs").alias("n_obs"))
+    all_parts = scores.select("partition_key").distinct()
+    per_part = null_safe_join(
+        all_parts,
+        null_safe_join(parts, agg, ["partition_key"], "left"),
+        ["partition_key"],
+        "left",
+    ).select(
+        "partition_key",
+        "n_obs",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        "worst_psi",
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        "partition_key",
+        fail_when=F.col("n_flagged") > 0,
+        skip_when=F.col("n_obs").isNull(),
+        metric_cols=["n_flagged", "worst_psi", "n_obs"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=flagged)
 
 
 def run_embedding_drift(df: DataFrame, spec: CheckSpec) -> CheckResult:

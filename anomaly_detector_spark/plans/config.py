@@ -49,7 +49,7 @@ def _registry() -> dict[str, Callable]:
     # imported lazily so `import anomaly_detector_spark.plans.config`
     # stays cheap and cycle-free
     from ..checks.contract import run_schema_contract, run_schema_evolution
-    from ..checks.drift import run_count_drift, run_drift, run_embedding_drift
+    from ..checks.drift import run_count_drift, run_drift, run_drift_sweep, run_embedding_drift
     from ..checks.freshness import run_coverage, run_freshness
     from ..checks.referential import run_referential
     from ..checks.rowrules import (
@@ -107,6 +107,8 @@ def _registry() -> dict[str, Callable]:
         "drift": run_drift,
         "count_drift": run_count_drift,
         "embedding_drift": run_embedding_drift,
+        # one-scan multi-column PSI sweep (worst column per partition)
+        "drift_sweep": run_drift_sweep,
         "freshness": run_freshness,
         # calendar completeness: every expected time slot arrived
         "coverage": run_coverage,

@@ -355,6 +355,59 @@ def test_drift_examples_sample_blamed_buckets(spark):
     hist.unpersist(), att.unpersist()
 
 
+def test_drift_sweep_one_scan_worst_column(spark, tmp_path):
+    from anomaly_detector_spark.checks.drift import multi_column_drift, run_drift_sweep
+
+    # three flat peers anchor the per-column median; 'noisy' moved only
+    # its text lengths, 'shifted' only its value distribution
+    rows = []
+    for i in range(300):
+        for g in ("flat1", "flat2", "flat3"):
+            rows.append((g, 10.0 + i % 20, "x" * (40 + i % 10)))
+        rows.append(("noisy", 10.0 + i % 20, "y" * (400 + i % 10)))
+        rows.append(("shifted", 500.0 + i % 20, "z" * (40 + i % 10)))
+    rows.append(("flat1", None, None))  # NULLs drop per column
+    df = spark.createDataFrame(rows, "grp string, value double, txt string")
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    df = spark.read.parquet(p)
+
+    scores = multi_column_drift(df, "grp", {"value": 10.0, "txt": 20.0})
+    got = {(r["partition_key"], r["column"]): (r["psi"], r["n_obs"]) for r in scores.collect()}
+    assert got[("flat1", "value")][1] == 300  # the NULL row dropped
+    # per-column psi equals the single-column kernel's psi (same grid &
+    # smoothing — the attribution identity), column by column
+    for col, width, mode in (("value", 10.0, "value"), ("txt", 20.0, "length")):
+        hist = length_histogram(df, "grp", col, int(width), mode=mode)
+        single = {r["partition_key"]: r["psi"] for r in drift_scores(hist, global_baseline(hist)).collect()}
+        for grp in ("flat1", "flat2", "noisy", "shifted"):
+            assert abs(got[(grp, col)][0] - single[grp]) < 1e-6, (col, grp)
+
+    spec = CheckSpec(
+        "sweep", run_drift_sweep,
+        {"columns": {"value": 10.0, "txt": 20.0}}, "grp", 25,
+    )
+    res = spec.run(df)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v == {"flat1": PASS, "flat2": PASS, "flat3": PASS,
+                 "noisy": FAIL, "shifted": FAIL}
+    # per-(partition, column) flags: each drifter flagged ONLY on its column
+    fl = {(r["partition_key"], r["column"]): r["is_drifted"] for r in res.metrics.collect()}
+    assert fl[("noisy", "txt")] is True and fl[("noisy", "value")] is False
+    assert fl[("shifted", "value")] is True and fl[("shifted", "txt")] is False
+    assert not any(flag for (g, _), flag in fl.items() if g.startswith("flat"))
+
+    # ONE scan: the verdicts plan reads only the checkpointed histogram
+    plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan
+    # materialize=False agrees
+    pure = CheckSpec(
+        "sweep", run_drift_sweep,
+        {"columns": {"value": 10.0, "txt": 20.0}, "materialize": False}, "grp", 25,
+    ).run(df)
+    assert {r["partition_key"]: r["verdict"] for r in pure.verdicts.collect()} == v
+
+
 def test_reconcile_cross_table(spark):
     from anomaly_detector_spark.checks.base import CheckSpec
     from anomaly_detector_spark.checks.reconcile import run_reconcile
