@@ -594,17 +594,25 @@ def multi_column_drift(
     psi is rounded to 6dp so results are engine- and
     partitioning-exact. Returns (partition_key, column, n_obs, psi).
     """
-    dtypes = dict(df.dtypes)
+    # the per-column measure is profile_table's (checks/profile.py
+    # _value_expr): numeric value, epoch seconds for timestamps/dates,
+    # LENGTH for strings/binaries — so suggest_sweep's widths (derived
+    # from the same measure's min/max) bucket consistently here
+    from .profile import _value_expr
+
+    fields = {f.name: f for f in df.schema.fields}
     entries = []
     for c in sorted(cols):
         w = cols[c]
-        measure = F.length(F.col(c)) if dtypes.get(c) == "string" else F.col(c)
+        measure = _value_expr(fields[c])
+        if measure is None:
+            raise ValueError(f"column {c!r} has an unmeasurable type for drift bucketing")
         entries.append(
             F.struct(
                 F.lit(c).alias("column"),
                 F.when(
                     F.col(c).isNotNull(),
-                    F.floor(measure.cast("double") / F.lit(float(w))).cast("long"),
+                    F.floor(measure / F.lit(float(w))).cast("long"),
                 ).alias("bucket"),
             )
         )

@@ -209,6 +209,40 @@ def suggest_rules(
     return specs
 
 
+def suggest_sweep(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    buckets: int = 50,
+    exact: bool = False,
+) -> dict[str, float]:
+    """Profile-driven column set for run_drift_sweep: ``{column:
+    bucket_width}`` with width = observed (max - min) / buckets (string
+    columns: length range — the same measure the sweep buckets), floored
+    at a width of 1. Constant columns (max == min) and unmeasurable
+    types are skipped — a one-bucket histogram can't drift.
+
+    The authoring companion to suggest_rules: profile a trusted snapshot
+    once (one scan), then declare ``{"check": "drift_sweep", "columns":
+    <this>}`` — every measurable column watched for distribution drift
+    from a single extra scan per run.
+    """
+    fields = {f.name: f for f in df.schema.fields}
+    columns = columns or [
+        n for n in fields if _value_expr(fields[n]) is not None
+    ]
+    prof = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, columns=columns, exact=exact).collect()
+    }
+    out: dict[str, float] = {}
+    for name in columns:
+        lo, hi = prof.get((name, "min")), prof.get((name, "max"))
+        if lo is None or hi is None or hi <= lo:
+            continue
+        out[name] = max(1.0, round((hi - lo) / buckets, 4))
+    return out
+
+
 def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:
     """Exact top-k most frequent values of one column (NULL included as a
     value): groupBy + TakeOrdered — map-side combined count shuffle of

@@ -2,6 +2,8 @@
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from anomaly_detector_spark.checks.profile import profile_table, top_values
@@ -88,6 +90,38 @@ def test_profile_grouped(spark):
     # the by column itself is excluded from the default column set
     full = profile_table(df, by="grp", exact=True)
     assert "grp" not in {r["column"] for r in full.collect()}
+
+
+def test_suggest_sweep_feeds_drift_sweep(spark):
+    """Profile-driven sweep authoring: measurable columns get a width of
+    (max-min)/buckets on the SAME measure the sweep buckets (value /
+    length / epoch), constants and unmeasurables are skipped, and the
+    suggested dict drives run_drift_sweep end-to-end (incl. a timestamp
+    column — epoch bucketing, not a raw interval division)."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_drift_sweep
+    from anomaly_detector_spark.checks.profile import suggest_sweep
+
+    df = spark.createDataFrame(
+        [
+            ("g1", float(i % 100), "x" * (10 + i % 40), 7.0,
+             f"2026-01-01 0{i % 10}:00:00", [1])
+            for i in range(200)
+        ],
+        "grp string, v double, txt string, const double, ts string, arr array<int>",
+    ).select("grp", "v", "txt", "const", F.col("ts").cast("timestamp").alias("ts"), "arr")
+
+    sw = suggest_sweep(df, buckets=10)
+    assert set(sw) == {"v", "txt", "ts"}  # const (max==min) + array skipped
+    assert sw["v"] == pytest.approx(9.9, abs=1e-9)  # (99-0)/10
+    assert sw["txt"] == pytest.approx(3.9, abs=1e-9)  # length range 10..49
+    assert sw["ts"] == pytest.approx(9 * 3600 / 10)  # epoch-second range
+
+    spec = CheckSpec("sweep", run_drift_sweep, {"columns": sw}, "grp", 1)
+    res = spec.run(df)
+    assert {r["verdict"] for r in res.verdicts.collect()} <= {"PASS", "FAIL", "SKIPPED"}
+    cols_scored = {r["column"] for r in res.metrics.collect()}
+    assert cols_scored == {"v", "txt", "ts"}
 
 
 def test_suggest_rules_roundtrip(spark):
