@@ -2044,6 +2044,30 @@ def q_events_drift_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_sweep_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """The sweep's per-(partition, column) K4 flags (run_drift_sweep
+    metrics): flag_outliers(by=['column']) — per-column peer stats
+    (mean/std/quartiles/median), z + IQR + absolute outlier paths, the
+    median + chi-square noise gate — all re-derived in SQL over the same
+    6dp psi scores, so the sweep's DECISION machinery is oracle-covered,
+    not just its scores."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.drift import run_drift_sweep
+
+    ev = load_table(spark, sf, "events")
+    spec = CheckSpec(
+        "sweep", run_drift_sweep,
+        {"columns": {"value": 10.0, "props": 40.0}}, "event_type", 25,
+    )
+    res = spec.run(ev)
+    return res.metrics.select(
+        "partition_key", "column", "psi",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("z_score", 4).alias("z4"),
+        "is_drifted",
+    )
+
+
 def q_files_vendored(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-repo vendored content (operators/codescan.py
     vendored_content): one aggregate keyed by the uniform content hash;
@@ -2248,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
         "events_drift_sweep": q_events_drift_sweep,
+        "events_sweep_flags": q_events_sweep_flags,
         "docs_secret_scan": q_docs_secret_scan,
         "docs_secret_redact": q_docs_secret_redact,
         "docs_license_scan": q_docs_license_scan,
@@ -5500,6 +5525,82 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                      / ((base_n + 0.5) / (n_total + 0.5 * b)) )
                ), 6) AS psi
         FROM f GROUP BY 1, 2, 3, 4
+    """
+    # events_sweep_flags: the sweep-score CTE chain + the K4 flag
+    # machinery (per-column peer stats, z/IQR/absolute outlier paths,
+    # median + chi-square noise gate) re-derived in SQL.
+    out["events_sweep_flags"] = """
+        WITH hist AS (
+          SELECT event_type AS partition_key, 'props' AS "column",
+                 CAST(floor(len(props) / 40.0) AS BIGINT) AS bucket, count(*) AS n
+          FROM events WHERE props IS NOT NULL GROUP BY 1, 3
+          UNION ALL
+          SELECT event_type, 'value',
+                 CAST(floor(value / 10.0) AS BIGINT), count(*)
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 3
+        ),
+        base AS (SELECT "column", bucket, sum(n) AS base_n FROM hist GROUP BY 1, 2),
+        parts AS (SELECT DISTINCT partition_key FROM hist),
+        grid AS (
+          SELECT p.partition_key, b."column", b.bucket, b.base_n
+          FROM parts p CROSS JOIN base b
+        ),
+        nobs AS (SELECT partition_key, "column", sum(n) AS n_obs FROM hist GROUP BY 1, 2),
+        btot AS (SELECT "column", sum(base_n) AS n_total FROM base GROUP BY 1),
+        bc AS (SELECT "column", count(*) AS b FROM base GROUP BY 1),
+        f AS (
+          SELECT g.partition_key, g."column",
+                 CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+                 CAST(g.base_n AS DOUBLE) AS base_n,
+                 CAST(coalesce(o.n_obs, 0) AS DOUBLE) AS n_obs,
+                 CAST(bc.b AS DOUBLE) AS b, CAST(bt.n_total AS DOUBLE) AS n_total
+          FROM grid g
+          LEFT JOIN hist h ON h.partition_key = g.partition_key
+                          AND h."column" = g."column" AND h.bucket = g.bucket
+          LEFT JOIN nobs o ON o.partition_key = g.partition_key
+                          AND o."column" = g."column"
+          JOIN bc ON bc."column" = g."column"
+          JOIN btot bt ON bt."column" = g."column"
+        ),
+        scores AS (
+          SELECT partition_key, "column",
+                 CAST(n_obs AS BIGINT) AS n_obs, CAST(b AS BIGINT) AS n_buckets,
+                 round(sum(
+                   ( (n + 0.5) / (n_obs + 0.5 * b)
+                     - (base_n + 0.5) / (n_total + 0.5 * b) )
+                   * ln( ((n + 0.5) / (n_obs + 0.5 * b))
+                       / ((base_n + 0.5) / (n_total + 0.5 * b)) )
+                 ), 6) AS psi
+          FROM f GROUP BY 1, 2, 3, 4
+        ),
+        eligible AS (SELECT * FROM scores WHERE n_obs >= 25),
+        st AS (
+          SELECT "column", avg(psi) AS _mean, stddev_samp(psi) AS _std,
+                 quantile_cont(psi, 0.5) AS _med,
+                 quantile_cont(psi, 0.25) AS _q1,
+                 quantile_cont(psi, 0.75) AS _q3,
+                 count(*) AS _ns
+          FROM eligible GROUP BY 1
+        ),
+        flg AS (
+          SELECT e.partition_key, e."column", e.psi, e.n_obs,
+                 CASE WHEN s._std > 0 THEN abs(e.psi - s._mean) / s._std
+                      ELSE 0.0 END AS z,
+                 ( CASE WHEN s._std > 0 THEN abs(e.psi - s._mean) / s._std
+                        ELSE 0.0 END > 3.0
+                   OR e.psi > s._q3 + 1.5 * (s._q3 - s._q1)
+                   OR e.psi < s._q1 - 1.5 * (s._q3 - s._q1)
+                   OR e.psi > 0.25 ) AS outlier,
+                 e.psi > s._med + greatest(0.1,
+                   3.0 * (e.n_buckets - 1) / greatest(e.n_obs, 1)) AS gate,
+                 (s._ns = 1 AND e.psi > 0.25
+                  AND e.psi > 3.0 * (e.n_buckets - 1) / greatest(e.n_obs, 1))
+                   AS single_abs
+          FROM eligible e JOIN st s ON s."column" = e."column"
+        )
+        SELECT partition_key, "column", psi, n_obs, round(z, 4) AS z4,
+               ((outlier AND gate) OR single_abs) AS is_drifted
+        FROM flg
     """
     out["files_vendored"] = f"""
         WITH {FILES_CTE_SQL},
