@@ -569,10 +569,67 @@ def drift_examples(
     )
 
 
+def sweep_baseline(
+    df: DataFrame, cols: dict[str, float], materialize: bool = False
+) -> DataFrame:
+    """Pooled multi-column histogram (column, bucket, base_n) — the
+    persistable external baseline for multi_column_drift. Rows are
+    ADDITIVE across runs (sum base_n per (column, bucket)), so a parquet
+    store of per-run rows merges by plain aggregation — the same
+    mergeable-sketch story as the drift hist_store / embedding_histogram.
+    One scan (the same exploded histogram shuffle as the sweep)."""
+    hist = _sweep_histogram(df, None, cols)
+    out = hist.groupBy("column", "bucket").agg(F.sum("n").alias("base_n"))
+    return out.localCheckpoint() if materialize else out
+
+
+def _sweep_histogram(
+    df: DataFrame, partition_col: str | None, cols: dict[str, float]
+) -> DataFrame:
+    """(partition_key?, column, bucket, n) from one exploded scan; the
+    measure is profile_table's _value_expr (value / length / epoch) so
+    suggest_sweep's widths bucket consistently."""
+    from .profile import _value_expr
+
+    fields = {f.name: f for f in df.schema.fields}
+    entries = []
+    for c in sorted(cols):
+        w = cols[c]
+        measure = _value_expr(fields[c])
+        if measure is None:
+            raise ValueError(f"column {c!r} has an unmeasurable type for drift bucketing")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.floor(measure / F.lit(float(w))).cast("long"),
+                ).alias("bucket"),
+            )
+        )
+    keys = (
+        [F.col(partition_col).cast("string").alias("partition_key")]
+        if partition_col is not None
+        else []
+    )
+    return (
+        df.select(*keys, F.explode(F.array(*entries)).alias("_e"))
+        .select(
+            *([c for c in ("partition_key",) if partition_col is not None]),
+            F.col("_e.column").alias("column"),
+            F.col("_e.bucket").alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy(*([c for c in ("partition_key",) if partition_col is not None]), "column", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def multi_column_drift(
     df: DataFrame,
     partition_col: str,
     cols: dict[str, float],
+    baseline: DataFrame | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Per-(partition, column) PSI for MANY columns from ONE scan.
@@ -592,44 +649,33 @@ def multi_column_drift(
     Smoothing/PSI arithmetic matches the drift kernel per column
     (same grid, same Laplace terms — the drift_attribution identity);
     psi is rounded to 6dp so results are engine- and
-    partitioning-exact. Returns (partition_key, column, n_obs, psi).
-    """
-    # the per-column measure is profile_table's (checks/profile.py
-    # _value_expr): numeric value, epoch seconds for timestamps/dates,
-    # LENGTH for strings/binaries — so suggest_sweep's widths (derived
-    # from the same measure's min/max) bucket consistently here
-    from .profile import _value_expr
+    partitioning-exact. Returns (partition_key, column, n_obs,
+    n_buckets, psi).
 
-    fields = {f.name: f for f in df.schema.fields}
-    entries = []
-    for c in sorted(cols):
-        w = cols[c]
-        measure = _value_expr(fields[c])
-        if measure is None:
-            raise ValueError(f"column {c!r} has an unmeasurable type for drift bucketing")
-        entries.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.floor(measure / F.lit(float(w))).cast("long"),
-                ).alias("bucket"),
-            )
-        )
-    hist = (
-        df.select(
-            F.col(partition_col).cast("string").alias("partition_key"),
-            F.explode(F.array(*entries)).alias("_e"),
-        )
-        .select("partition_key", F.col("_e.column").alias("column"), F.col("_e.bucket").alias("bucket"))
-        .filter(F.col("bucket").isNotNull())
-        .groupBy("partition_key", "column", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    ``baseline``: optional external (column, bucket, base_n) frame
+    (sweep_baseline rows, summed across runs) — each column scores
+    against the PERSISTED distribution instead of this run's pool,
+    which is REQUIRED to catch a wholesale shift (every partition of a
+    column moving together leaves the in-batch pool centered on the
+    shifted data and the relative gate blind — same argument as
+    run_embedding_drift's external mode); pair with
+    gate_mode='absolute' in run_drift_sweep. The grid support is the
+    UNION of today's and the baseline's buckets, so brand-new mass is
+    never invisible.
+    """
+    hist = _sweep_histogram(df, partition_col, cols)
     if materialize:
         hist = hist.localCheckpoint()
-    base = hist.groupBy("column", "bucket").agg(F.sum("n").alias("base_n"))
-    grid = base.select("column", "bucket")  # pooled support covers every partition's
+    if baseline is not None:
+        base = baseline.groupBy("column", "bucket").agg(F.sum("base_n").alias("base_n"))
+        grid = (
+            hist.select("column", "bucket")
+            .unionByName(base.select("column", "bucket"))
+            .distinct()
+        )
+    else:
+        base = hist.groupBy("column", "bucket").agg(F.sum("n").alias("base_n"))
+        grid = base.select("column", "bucket")  # pooled support covers every partition's
     parts = hist.select("partition_key").distinct()
     nobs = hist.groupBy("partition_key", "column").agg(F.sum("n").alias("n_obs"))
     btot = base.groupBy("column").agg(F.sum("base_n").alias("n_total"))
@@ -639,8 +685,8 @@ def multi_column_drift(
             parts.crossJoin(F.broadcast(grid)),
             hist, ["partition_key", "column", "bucket"], "left",
         )
-        .join(F.broadcast(base), ["column", "bucket"])
-        .na.fill({"n": 0})
+        .join(F.broadcast(base), ["column", "bucket"], "left")
+        .na.fill({"n": 0, "base_n": 0})
         .join(F.broadcast(bcols), "column")
         .transform(lambda d: null_safe_join(d, nobs, ["partition_key", "column"], "left"))
         .na.fill({"n_obs": 0})
@@ -685,8 +731,16 @@ def run_drift_sweep(df: DataFrame, spec: CheckSpec) -> CheckResult:
     """
     part = spec.partition_col
     cols = dict(spec.config["columns"])
+    # baseline_df: runtime-injected external (column, bucket, base_n)
+    # frame (sweep_baseline rows summed across runs) — excluded from the
+    # check id like every injected frame; pair with gate_mode='absolute'
+    # to catch wholesale shifts the in-batch relative gate cannot see.
     scores = multi_column_drift(
-        df, part, cols, materialize=spec.config.get("materialize", True)
+        df,
+        part,
+        cols,
+        baseline=spec.config.get("baseline_df"),
+        materialize=spec.config.get("materialize", True),
     )
     eligible = scores.where(F.col("n_obs") >= spec.min_rows)
     flagged = flag_outliers(

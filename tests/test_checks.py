@@ -408,6 +408,55 @@ def test_drift_sweep_one_scan_worst_column(spark, tmp_path):
     assert {r["partition_key"]: r["verdict"] for r in pure.verdicts.collect()} == v
 
 
+def test_drift_sweep_external_baseline_catches_wholesale_shift(spark):
+    from anomaly_detector_spark.checks.drift import (
+        multi_column_drift,
+        run_drift_sweep,
+        sweep_baseline,
+    )
+
+    cols = {"value": 10.0, "txt": 20.0}
+
+    def snap(value_off):
+        rows = []
+        for i in range(300):
+            for g in ("a", "b", "c"):
+                rows.append((g, value_off + i % 20, "x" * (40 + i % 10)))
+        return spark.createDataFrame(rows, "grp string, value double, txt string")
+
+    day1, day2 = snap(10.0), snap(500.0)  # EVERY partition's value moved
+    base = sweep_baseline(day1, cols, materialize=True)
+
+    # in-batch relative sweep on day2 is structurally blind: all three
+    # partitions moved together, the pool moved with them
+    blind = CheckSpec("sweep", run_drift_sweep, {"columns": cols}, "grp", 25)
+    assert {r["verdict"] for r in blind.run(day2).verdicts.collect()} == {PASS}
+
+    # the external baseline + absolute gate flags every partition on
+    # `value` and none on the untouched `txt`
+    ext = CheckSpec(
+        "sweep", run_drift_sweep,
+        {"columns": cols, "baseline_df": base, "gate_mode": "absolute"}, "grp", 25,
+    )
+    res = ext.run(day2)
+    assert {r["verdict"] for r in res.verdicts.collect()} == {FAIL}
+    fl = {(r["partition_key"], r["column"]): r["is_drifted"] for r in res.metrics.collect()}
+    assert all(fl[(g, "value")] for g in "abc") and not any(fl[(g, "txt")] for g in "abc")
+
+    # sanity: scoring day1 against its own pooled baseline rows is the
+    # in-batch pooled computation exactly (same support, same totals)
+    s_ext = {(r["partition_key"], r["column"]): r["psi"]
+             for r in multi_column_drift(day1, "grp", cols, baseline=base).collect()}
+    s_pool = {(r["partition_key"], r["column"]): r["psi"]
+              for r in multi_column_drift(day1, "grp", cols).collect()}
+    assert s_ext == s_pool
+    # new-mass visibility: day2's value buckets are absent from the
+    # baseline support — union grid keeps them (psi large, not zero)
+    s2 = {(r["partition_key"], r["column"]): r["psi"]
+          for r in multi_column_drift(day2, "grp", cols, baseline=base).collect()}
+    assert all(s2[(g, "value")] > 1.0 for g in "abc")
+
+
 def test_reconcile_cross_table(spark):
     from anomaly_detector_spark.checks.base import CheckSpec
     from anomaly_detector_spark.checks.reconcile import run_reconcile
