@@ -2266,8 +2266,78 @@ def q_docs_entropy_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_path_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural path rules (checks/paths.py path_rule_kinds): traversal /
+    absolute / backslash / double-slash / control / edge-space anomalies
+    planted on doc_id residues, classified by ONE codegen'd expression
+    (no UDF, no join)."""
+    from anomaly_detector_spark.checks.paths import path_rule_kinds
+
+    files = files_view(spark, sf)
+    r = F.col("doc_id") % 97
+    p = F.col("path")
+    mutated = (
+        F.when(r == 3, F.concat(F.lit("../"), p))
+        .when(r == 17, F.concat(F.lit("/"), p))
+        .when(r == 31, F.translate(p, "/", "\\"))
+        .when(r == 45, F.regexp_replace(p, "/", "//"))
+        .when(r == 59, F.concat(p, F.lit("\t")))
+        .when(r == 73, F.concat(F.lit("a /"), p))
+        .otherwise(p)
+    )
+    return (
+        files.select("doc_id", mutated.alias("path"))
+        .select("doc_id", "path", path_rule_kinds("path").alias("kinds"))
+        .filter(F.col("kinds") != "")
+    )
+
+
+def q_files_case_collisions(spark: SparkSession, sf: str) -> DataFrame:
+    """Case-insensitive path collisions within (repo, commit)
+    (checks/paths.py case_collision_rows): upper-case variants planted
+    for doc_id % 10 == 0, detected via min!=max over ONE slim window
+    exchange; survivor = byte-minimal form (exempt)."""
+    from anomaly_detector_spark.checks.paths import case_collision_rows
+
+    base = files_view(spark, sf)
+    files2 = base.drop("doc_id").unionByName(
+        base.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("path", F.upper("path"))
+        .drop("doc_id")
+    )
+    rows = case_collision_rows(files2, ["repo", "commit"], "path", "lang")
+    return rows.select(
+        "repo",
+        "path",
+        "commit",
+        F.col("_part").alias("partition_key"),
+        F.col("_min_form").alias("survivor"),
+    )
+
+
+def q_files_lang_ext(spark: SparkSession, sf: str) -> DataFrame:
+    """lang-vs-extension agreement (checks/paths.py expected_lang_expr):
+    the ext->lang map compiled to a CASE chain (no dim join); lang
+    mutated on doc_id % 53 == 7 to plant mismatches."""
+    from anomaly_detector_spark.checks.paths import DEFAULT_EXT_LANGS, expected_lang_expr
+
+    files = files_view(spark, sf)
+    mut = F.when(
+        F.col("doc_id") % 53 == 7,
+        F.when(F.col("lang") == "en", F.lit("de")).otherwise(F.lit("en")),
+    ).otherwise(F.col("lang"))
+    d = files.select("doc_id", "path", mut.alias("lang"))
+    exp = expected_lang_expr("path", DEFAULT_EXT_LANGS)
+    return d.select(
+        "doc_id", "path", "lang", exp.alias("expected_lang")
+    ).filter(exp.isNotNull() & ~F.col("lang").eqNullSafe(exp))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "files_path_rules": q_files_path_rules,
+        "files_case_collisions": q_files_case_collisions,
+        "files_lang_ext": q_files_lang_ext,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2433,6 +2503,78 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "files_path_rules": f"""
+            WITH {FILES_CTE_SQL},
+            mut AS (
+              SELECT doc_id,
+                CASE doc_id % 97
+                  WHEN 3 THEN '../' || path
+                  WHEN 17 THEN '/' || path
+                  WHEN 31 THEN replace(path, '/', '\\')
+                  WHEN 45 THEN replace(path, '/', '//')
+                  WHEN 59 THEN path || chr(9)
+                  WHEN 73 THEN 'a /' || path
+                  ELSE path END AS path
+              FROM files
+            ),
+            k AS (
+              SELECT doc_id, path,
+                concat_ws(',',
+                  CASE WHEN path IS NULL THEN 'null_path' END,
+                  CASE WHEN regexp_matches(path, '(^|/)\\.\\.(/|$)') THEN 'traversal' END,
+                  CASE WHEN regexp_matches(path, '^/') THEN 'absolute' END,
+                  CASE WHEN contains(path, '\\') THEN 'backslash' END,
+                  CASE WHEN contains(path, '//') THEN 'double_slash' END,
+                  CASE WHEN regexp_matches(path, '[\\x00-\\x1f\\x7f]') THEN 'control' END,
+                  CASE WHEN regexp_matches(path, '(^|/) | (/|$)') THEN 'edge_space' END,
+                  CASE WHEN length(path) > 1024 THEN 'too_long' END,
+                  CASE WHEN list_max(list_transform(string_split(path, '/'),
+                                                    s -> length(s))) > 255
+                       THEN 'long_segment' END
+                ) AS kinds
+              FROM mut
+            )
+            SELECT doc_id, path, kinds FROM k WHERE kinds <> ''
+        """,
+        "files_case_collisions": f"""
+            WITH {FILES_CTE_SQL},
+            files2 AS (
+              SELECT repo, path, "commit", lang FROM files
+              UNION ALL
+              SELECT repo, upper(path), "commit", lang FROM files
+              WHERE doc_id % 10 = 0
+            ),
+            g AS (
+              SELECT repo, path, "commit", lang,
+                     min(path) OVER w AS min_form,
+                     max(path) OVER w AS max_form
+              FROM files2
+              WINDOW w AS (PARTITION BY repo, "commit", lower(path))
+            )
+            SELECT repo, path, "commit", lang AS partition_key,
+                   min_form AS survivor
+            FROM g WHERE min_form <> max_form AND path <> min_form
+        """,
+        "files_lang_ext": f"""
+            WITH {FILES_CTE_SQL},
+            mut AS (
+              SELECT doc_id, path,
+                CASE WHEN doc_id % 53 = 7
+                     THEN (CASE WHEN lang = 'en' THEN 'de' ELSE 'en' END)
+                     ELSE lang END AS lang
+              FROM files
+            ),
+            e AS (
+              SELECT doc_id, path, lang,
+                CASE WHEN lower(regexp_extract(path, '\\.([A-Za-z0-9_]+)$', 1))
+                          IN ('de','en','es','fr','ja','zh')
+                     THEN lower(regexp_extract(path, '\\.([A-Za-z0-9_]+)$', 1))
+                END AS expected_lang
+              FROM mut
+            )
+            SELECT doc_id, path, lang, expected_lang FROM e
+            WHERE expected_lang IS NOT NULL AND lang IS DISTINCT FROM expected_lang
+        """,
         "files_stats": f"""
             WITH {FILES_CTE_SQL}
             SELECT lang,

@@ -63,11 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--suite", default="default",
-        choices=["default", "extended", "constraint", "hygiene"],
+        choices=["default", "extended", "constraint", "hygiene", "paths"],
         help="extended adds the categorical count-drift check; constraint "
         "additionally adds the fused row-rule checks; hygiene additionally "
         "adds the code-hygiene rules (secrets/license/generated/entropy — "
-        "checks/codehygiene.py). Each is a new suite_id -> revalidates",
+        "checks/codehygiene.py); paths additionally adds the path-integrity "
+        "family (path_format/lang_ext/case_collisions — checks/paths.py). "
+        "Each is a new suite_id -> revalidates",
     )
     p.add_argument(
         "--suite-config", default=None,
@@ -211,11 +213,19 @@ def main(argv: list[str] | None = None) -> int:
             base = _cs(partition_col=partition_col, min_rows=min_rows)
             return base + code_hygiene_rules(partition_col, min_rows)
 
+        def paths_suite(partition_col: str, min_rows: int):
+            from .checks.paths import path_integrity_rules
+            from .plans.suite import constraint_suite as _cs
+
+            base = _cs(partition_col=partition_col, min_rows=min_rows)
+            return base + path_integrity_rules(partition_col, min_rows)
+
         make_suite = {
             "default": default_suite,
             "extended": extended_suite,
             "constraint": constraint_suite,
             "hygiene": hygiene_suite,
+            "paths": paths_suite,
         }[args.suite]
         suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     if args.sample_frac is not None:

@@ -68,6 +68,7 @@ def _registry() -> dict[str, Callable]:
         run_vendored,
     )
     from ..checks.fd import run_fd, run_key_cardinality
+    from ..checks.paths import run_case_collisions, run_lang_ext, run_path_format
     from ..checks.kmv import run_novelty
     from ..checks.membership import run_seen_before
     from ..checks.metadata import (
@@ -138,6 +139,13 @@ def _registry() -> dict[str, Callable]:
         "vendored": run_vendored,
         # group-level license conflict (declare partition_col='repo')
         "license_consistency": run_license_consistency,
+        # path-integrity rowrules (checks/paths.py): structural path
+        # rules + extension/lang agreement, both fuse-ready
+        "path_format": run_path_format,
+        "lang_ext": run_lang_ext,
+        # case-insensitive path collisions within (repo, commit) — one
+        # slim window exchange on the high-cardinality composite key
+        "case_collisions": run_case_collisions,
     }
 
 
@@ -221,7 +229,10 @@ def suite_to_config(suite: list[CheckSpec]) -> dict:
 # config keys whose values name input COLUMNS, per check kind — the
 # basis of the coverage audit below. A key absent here (store paths,
 # thresholds, patterns) never names a column.
-_COLUMN_KEYS = ("column", "columns", "key", "lhs", "rhs", "ts_col", "value_col", "order_col")
+_COLUMN_KEYS = (
+    "column", "columns", "key", "lhs", "rhs", "ts_col", "value_col", "order_col",
+    "lang_col", "scope",
+)
 
 
 def suite_column_coverage(suite: list[CheckSpec], df) -> list[dict]:

@@ -1,0 +1,195 @@
+"""Path-integrity family: structural path rules, case collisions,
+lang-vs-extension agreement (checks/paths.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.checks.base import CheckSpec
+from anomaly_detector_spark.checks.paths import (
+    case_collision_rows,
+    expected_lang_expr,
+    path_integrity_rules,
+    path_rule_kinds,
+    run_case_collisions,
+    run_lang_ext,
+    run_path_format,
+)
+
+FILES_COLS = "repo string, path string, commit string, lang string, content string"
+
+
+def mkfiles(spark, rows):
+    return spark.createDataFrame(rows, FILES_COLS)
+
+
+def test_path_rule_kinds_classification(spark):
+    cases = [
+        ("src/ok/file.py", ""),
+        ("../etc/passwd", "traversal"),
+        ("src/../up.py", "traversal"),
+        ("src/..dots/x.py", ""),  # `..` prefix inside a segment is legal
+        ("/rooted/file.py", "absolute"),
+        ("src\\win\\file.py", "backslash"),
+        ("src//empty.py", "double_slash"),
+        ("src/tab\there.py", "control"),
+        ("src/ lead.py", "edge_space"),
+        ("src/trail .py", ""),  # interior space before the dot is legal
+        ("src/seg /x.py", "edge_space"),
+        ("x" * 2000, "too_long,long_segment"),
+        (None, "null_path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)], "i long, path string"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", path_rule_kinds("path").alias("k")).collect()
+    }
+    for i, (p, want) in enumerate(cases):
+        assert got[i] == want, (p, got[i], want)
+
+
+def test_path_format_check_verdicts_and_violations(spark):
+    rows = [
+        ("r1", "src/a.py", "c1", "python", "x"),
+        ("r1", "../evil.py", "c2", "python", "x"),
+        ("r2", "ok/b.go", "c3", "go", "x"),
+    ]
+    spec = CheckSpec("path_format", run_path_format, {"column": "path"}, "lang", 1)
+    res = run_path_format(mkfiles(spark, rows), spec)
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["path"] == "../evil.py"
+    assert "traversal" in v[0]["observed"]
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"python": "FAIL", "go": "PASS"}
+
+
+def test_lang_ext_rule(spark):
+    rows = [
+        ("r", "src/a.de", "c1", "de", "x"),       # agree
+        ("r", "src/b.de", "c2", "en", "x"),       # mismatch
+        ("r", "src/c.unknownext", "c3", "de", "x"),  # unmapped ext: clean
+        ("r", "noext", "c4", "de", "x"),          # no ext: clean
+        ("r", "src/d.fr", "c5", None, "x"),       # NULL lang, mapped ext: bad
+    ]
+    spec = CheckSpec("lang_ext", run_lang_ext, {}, "lang", 1)
+    res = run_lang_ext(mkfiles(spark, rows), spec)
+    bad = {r["path"]: r["observed"] for r in res.violations.collect()}
+    assert set(bad) == {"src/b.de", "src/d.fr"}
+    assert bad["src/b.de"] == "lang=en expected=de"
+    assert bad["src/d.fr"] == "lang=NULL expected=fr"
+
+
+def test_lang_ext_custom_mapping_and_case(spark):
+    rows = [
+        ("r", "src/a.PY", "c1", "python", "x"),   # upper ext, mapped: agree
+        ("r", "src/b.py", "c2", "rust", "x"),     # mismatch
+    ]
+    spec = CheckSpec(
+        "lang_ext", run_lang_ext, {"ext_langs": {"py": "python", "rs": "rust"}}, "lang", 1
+    )
+    res = run_lang_ext(mkfiles(spark, rows), spec)
+    assert [r["path"] for r in res.violations.collect()] == ["src/b.py"]
+    # expression form: unmapped -> NULL
+    df = spark.createDataFrame([("a.py",), ("a.xyz",)], "path string")
+    got = [
+        r["e"]
+        for r in df.select(
+            expected_lang_expr("path", {"py": "python"}).alias("e")
+        ).collect()
+    ]
+    assert got == ["python", None]
+
+
+def test_case_collisions_survivor_and_attribution(spark):
+    rows = [
+        # two-variant group, same (repo, commit): min form 'src/A.py' survives
+        ("r1", "src/A.py", "c1", "python", "x"),
+        ("r1", "src/a.py", "c1", "go", "x"),
+        # same lower path, DIFFERENT commit: no collision
+        ("r1", "src/a.py", "c2", "python", "x"),
+        # three-variant group: two violations
+        ("r2", "Lib/X.rs", "c3", "rust", "x"),
+        ("r2", "lib/x.rs", "c3", "rust", "x"),
+        ("r2", "LIB/x.rs", "c3", "rust", "x"),
+        # byte-duplicate rows (same form) alone are NOT case collisions
+        ("r3", "dup/same.py", "c4", "python", "x"),
+        ("r3", "dup/same.py", "c4", "python", "y"),
+    ]
+    df = mkfiles(spark, rows)
+    spec = CheckSpec("case_collisions", run_case_collisions, {}, "lang", 1)
+    res = run_case_collisions(df, spec)
+    v = sorted((r["path"], r["partition_key"]) for r in res.violations.collect())
+    # survivors: 'src/A.py' (A < a), 'LIB/x.rs' (binary min of the three)
+    assert v == [
+        ("Lib/X.rs", "rust"),
+        ("lib/x.rs", "rust"),
+        ("src/a.py", "go"),
+    ]
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd["go"] == "FAIL" and verd["rust"] == "FAIL" and verd["python"] == "PASS"
+
+
+def test_case_collisions_null_partition_and_scope(spark):
+    rows = [
+        ("r", "A.py", "c", None, "x"),
+        ("r", "a.py", "c", None, "x"),
+    ]
+    spec = CheckSpec("case_collisions", run_case_collisions, {}, "lang", 1)
+    res = run_case_collisions(mkfiles(spark, rows), spec)
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["partition_key"] is None
+    verd = res.verdicts.collect()
+    assert len(verd) == 1 and verd[0]["verdict"] == "FAIL"
+    # widened scope (repo only): variants across commits now collide
+    wide = case_collision_rows(
+        mkfiles(spark, [("r", "A.py", "c1", "de", "x"), ("r", "a.py", "c2", "de", "x")]),
+        scope=["repo"],
+    ).collect()
+    assert len(wide) == 1 and wide[0]["path"] == "a.py"
+
+
+def test_case_collisions_single_exchange(spark):
+    df = mkfiles(spark, [("r", f"p{i}.py", "c", "python", "x") for i in range(100)])
+    plan = (
+        case_collision_rows(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one window partitioning = one hash exchange; content is pruned out
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "content" not in plan.split("Exchange")[0], "content must not ride the shuffle"
+
+
+def test_path_rules_fold_with_zero_extra_scans(spark, tmp_path):
+    """path_format + lang_ext must ride the constraint suite's existing
+    row-pass scans (same pin as the hygiene family)."""
+    from anomaly_detector_spark.plans.suite import constraint_suite, run_suite
+
+    p = str(tmp_path / "files")
+    mkfiles(
+        spark, [("r", f"p{i}.de", f"c{i}", "de", "x" * (i + 1)) for i in range(50)]
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def n_scans(frame):
+        return (
+            frame._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+        )
+
+    rules = [s for s in path_integrity_rules("lang", 1) if s.name != "case_collisions"]
+    base = run_suite(df, suite=constraint_suite("lang", 1), fused=True)
+    ext = run_suite(df, suite=constraint_suite("lang", 1) + rules, fused=True)
+    assert n_scans(ext.violations) == n_scans(base.violations)
+    assert n_scans(ext.verdicts) == n_scans(base.verdicts)
+
+
+def test_paths_config_roundtrip(spark):
+    from anomaly_detector_spark.plans.config import suite_from_config, suite_to_config
+
+    code = path_integrity_rules("lang", 25)
+    doc = suite_to_config(code)
+    back = suite_from_config(doc)
+    assert [s.id for s in back] == [s.id for s in code]
+    assert [s.fn for s in back] == [s.fn for s in code]
