@@ -98,6 +98,9 @@ def main() -> int:
         "docs_entropy_tokens",  # high-entropy token triage (HOF entropy, no UDF)
         "files_vendored",      # cross-repo duplicate content (uniform-hash agg)
         "files_drift_examples",  # drift row evidence (broadcast + hash threshold)
+        # path-integrity session additions
+        "files_path_rules",    # structural path kinds, one codegen'd classifier
+        "files_case_collisions",  # case-variant paths, one slim window exchange
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
