@@ -2266,6 +2266,53 @@ def q_docs_entropy_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BOILER_HEADER = "Copyright 2026 Example Corp - all rights reserved."
+_BOILER_LICENSE = "Licensed under the Apache License, Version 2.0 (the License)"
+
+
+def _planted_boiler_docs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER_HEADER)),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILER_LICENSE)),
+        ).alias("content"),
+    )
+
+
+def q_docs_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate mass per doc (operators/lines.py
+    boilerplate_share): header/license lines planted on doc_id
+    residues; frequency keyed by xxhash64 in Spark, by raw line text
+    in the oracle — identical answer, hash never reaches the output."""
+    from anomaly_detector_spark.operators.lines import boilerplate_share
+
+    return boilerplate_share(
+        _planted_boiler_docs(spark, sf), id_cols=["doc_id"], min_docs=5
+    ).select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        "boiler_share",
+    )
+
+
+def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """strip_boilerplate enforcement twin, byte-pinned cross-engine:
+    sha256 of the rebuilt content per doc (ineligible lines kept
+    untrimmed, order restored from explode position, all-stripped docs
+    keep an empty-content row)."""
+    from anomaly_detector_spark.operators.lines import strip_boilerplate
+
+    out = strip_boilerplate(
+        _planted_boiler_docs(spark, sf), id_cols=["doc_id"], min_docs=5
+    )
+    return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
 def q_files_path_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Structural path rules (checks/paths.py path_rule_kinds): traversal /
     absolute / backslash / double-slash / control / edge-space anomalies
@@ -2338,6 +2385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_path_rules": q_files_path_rules,
         "files_case_collisions": q_files_case_collisions,
         "files_lang_ext": q_files_lang_ext,
+        "docs_boilerplate": q_docs_boilerplate,
+        "docs_boiler_strip": q_docs_boiler_strip,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2503,6 +2552,67 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_boilerplate": f"""
+            WITH src AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     concat_ws(chr(10), text,
+                       CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_HEADER}' END,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '{_BOILER_LICENSE}' END) AS content
+              FROM documents WHERE text IS NOT NULL
+            ),
+            lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM src, unnest(string_split(content, chr(10))) AS t(l)
+              WHERE length(trim(l)) >= 16
+            ),
+            freq AS (
+              SELECT line, count(DISTINCT doc_id) AS n_docs
+              FROM lines GROUP BY 1
+            )
+            SELECT l.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN f.n_docs >= 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler,
+                   round(sum(CASE WHEN f.n_docs >= 5 THEN 1.0 ELSE 0.0 END)
+                         / count(*), 6) AS boiler_share
+            FROM lines l JOIN freq f USING (line)
+            GROUP BY 1
+        """,
+        "docs_boiler_strip": f"""
+            WITH src AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     concat_ws(chr(10), text,
+                       CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_HEADER}' END,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '{_BOILER_LICENSE}' END) AS content
+              FROM documents WHERE text IS NOT NULL
+            ),
+            parts AS (
+              SELECT doc_id, string_split(content, chr(10)) AS ls FROM src
+            ),
+            lines AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS l
+              FROM parts
+            ),
+            freq AS (
+              SELECT trim(l) AS line
+              FROM lines WHERE length(trim(l)) >= 16
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+            ),
+            kept AS (
+              SELECT doc_id, pos, l FROM lines
+              WHERE NOT (length(trim(l)) >= 16
+                         AND trim(l) IN (SELECT line FROM freq))
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS content
+              FROM kept GROUP BY 1
+            )
+            SELECT s.doc_id, sha256(coalesce(r.content, '')) AS content_sha
+            FROM src s LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "files_path_rules": f"""
             WITH {FILES_CTE_SQL},
             mut AS (

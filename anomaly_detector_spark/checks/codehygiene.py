@@ -241,6 +241,79 @@ def run_license_consistency(df: DataFrame, spec: CheckSpec) -> CheckResult:
     return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
 
 
+def run_boilerplate(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Line-level boilerplate check: FAIL partitions where more than
+    ``max_boiler_share`` of eligible line mass is corpus-frequent
+    (operators/lines.py boilerplate_share — the sub-document sibling of
+    run_vendored: license headers and generated preambles repeat across
+    thousands of NON-duplicate files, invisible to key uniqueness,
+    whole-content vendoring, and mostly to MinHash).
+
+    NOT a rowrule: line frequency is a global property of the corpus.
+    Scale shape: one explode (map-side), one slim (line_hash, doc_hash)
+    partial-aggregated shuffle, one equi-join on the uniform hash, one
+    doc aggregate, one partition aggregate. Partition verdicts weight
+    by line mass (sum n_boiler / sum n_lines), not by unweighted doc
+    shares — a 10-line doc must not count like a 10k-line one.
+    Violations = the worst offending DOCS (share >= doc_share_thresh
+    AND >= min_doc_lines eligible lines), giving row evidence the
+    partition-level verdict alone would not.
+
+    config: ``column`` ('content'), ``min_len`` (16), ``min_docs``
+    (5), ``max_boiler_share`` (0.3), ``doc_share_thresh`` (0.8),
+    ``min_doc_lines`` (3).
+    """
+    from ..operators.lines import boilerplate_share
+    from .base import as_violations, empty_violations, null_safe_join, verdict_frame
+
+    part = spec.partition_col
+    col = spec.config.get("column", "content")
+    min_len = int(spec.config.get("min_len", 16))
+    min_docs = int(spec.config.get("min_docs", 5))
+    max_share = float(spec.config.get("max_boiler_share", 0.3))
+    doc_thresh = float(spec.config.get("doc_share_thresh", 0.8))
+    min_doc_lines = int(spec.config.get("min_doc_lines", 3))
+
+    shares = boilerplate_share(
+        df, col=col, min_len=min_len, min_docs=min_docs, extra_cols=[part]
+    )
+    offenders = shares.filter(
+        (F.col("boiler_share") >= doc_thresh) & (F.col("n_lines") >= min_doc_lines)
+    )
+    violations = as_violations(
+        offenders,
+        spec.id,
+        observed=F.concat(
+            F.lit("boiler_share="), F.col("boiler_share").cast("string"),
+            F.lit(" ("), F.col("n_boiler").cast("string"),
+            F.lit("/"), F.col("n_lines").cast("string"), F.lit(" lines)"),
+        ),
+        expected=F.lit(f"doc boilerplate share < {doc_thresh}"),
+        partition_key=F.col(part),
+    )
+    per_part = shares.groupBy(F.col(part).alias(part)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_boiler").alias("n_boiler"),
+        F.round(F.sum("n_boiler") / F.sum("n_lines"), 6).alias("boiler_share"),
+    )
+    # partitions whose docs ALL lack eligible lines are absent from
+    # shares — restore them as zero-mass rows so min_rows SKIP applies
+    totals = df.groupBy(F.col(part).alias(part)).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = null_safe_join(totals, per_part, [part], "left").na.fill(
+        {"n_docs": 0, "n_lines": 0, "n_boiler": 0}
+    )
+    verdicts = verdict_frame(
+        stats,
+        spec.id,
+        part,
+        fail_when=F.col("boiler_share") > max_share,
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_docs", "n_lines", "n_boiler", "boiler_share"],
+    )
+    return CheckResult(violations=violations, verdicts=verdicts, metrics=stats)
+
+
 def code_hygiene_rules(
     partition_col: str = "lang",
     min_rows: int = 25,

@@ -60,6 +60,7 @@ def _registry() -> dict[str, Callable]:
         run_row_predicate,
     )
     from ..checks.codehygiene import (
+        run_boilerplate,
         run_entropy_secrets,
         run_generated,
         run_license,
@@ -139,6 +140,9 @@ def _registry() -> dict[str, Callable]:
         "vendored": run_vendored,
         # group-level license conflict (declare partition_col='repo')
         "license_consistency": run_license_consistency,
+        # line-level boilerplate mass (corpus-frequent lines per doc);
+        # aggregation-only — explode + one slim hash shuffle, no rowrule
+        "boilerplate": run_boilerplate,
         # path-integrity rowrules (checks/paths.py): structural path
         # rules + extension/lang agreement, both fuse-ready
         "path_format": run_path_format,

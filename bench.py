@@ -101,6 +101,7 @@ def main() -> int:
         # path-integrity session additions
         "files_path_rules",    # structural path kinds, one codegen'd classifier
         "files_case_collisions",  # case-variant paths, one slim window exchange
+        "docs_boilerplate",    # corpus-frequent line mass per doc (slim hash shuffle)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -1,0 +1,134 @@
+"""Line-level boilerplate: frequency, per-doc share, strip enforcement
+(operators/lines.py + checks/codehygiene.py run_boilerplate)."""
+
+from pyspark.sql import functions as F
+
+from anomaly_detector_spark.checks.base import CheckSpec
+from anomaly_detector_spark.checks.codehygiene import run_boilerplate
+from anomaly_detector_spark.operators.lines import (
+    boilerplate_share,
+    doc_lines,
+    line_frequency,
+    strip_boilerplate,
+)
+
+FILES_COLS = "repo string, path string, commit string, lang string, content string"
+
+HEADER = "Copyright 2026 Example Corp - all rights reserved"
+LICENSE = "Licensed under the Apache License Version 2.0"
+
+
+def mkfiles(spark, rows):
+    return spark.createDataFrame(rows, FILES_COLS)
+
+
+def _corpus(spark):
+    rows = []
+    # 6 docs carrying the header + license + one unique long line each
+    for i in range(6):
+        rows.append(
+            ("r", f"a{i}.py", f"c{i}", "python",
+             f"{HEADER}\n{LICENSE}\nunique payload line number {i:04d}")
+        )
+    # one clean doc: three unique long lines
+    rows.append(("r", "clean.py", "c9", "python",
+                 "alpha unique line one\nbeta unique line two\ngamma unique line three"))
+    # short-line doc: trivial lines are ineligible
+    rows.append(("r", "short.go", "c10", "go", "}\n{\nx=1"))
+    # NULL content
+    rows.append(("r", "null.go", "c11", "go", None))
+    return mkfiles(spark, rows)
+
+
+def test_doc_lines_eligibility_and_trim(spark):
+    df = mkfiles(spark, [("r", "p", "c", "x", "  padded eligible line here  \nshort\n\n")])
+    got = doc_lines(df).collect()
+    assert len(got) == 1
+    assert got[0]["line"] == "padded eligible line here"
+    assert got[0]["pos"] == 0
+
+
+def test_line_frequency_counts_distinct_docs(spark):
+    df = mkfiles(spark, [
+        ("r", "p1", "c", "x", f"{HEADER}\n{HEADER}"),   # same doc twice: 1
+        ("r", "p2", "c", "x", HEADER),
+    ])
+    lines = doc_lines(df)
+    freq = line_frequency(lines).collect()
+    assert len(freq) == 1 and freq[0]["n_docs"] == 2
+
+
+def test_boilerplate_share_and_check(spark):
+    df = _corpus(spark)
+    shares = {
+        r["path"]: r
+        for r in boilerplate_share(df, min_docs=5, extra_cols=["lang"]).collect()
+    }
+    # header+license appear in 6 docs (>=5): 2 of each boiler doc's 3 lines
+    for i in range(6):
+        r = shares[f"a{i}.py"]
+        assert r["n_lines"] == 3 and r["n_boiler"] == 2
+        assert abs(r["boiler_share"] - 0.666667) < 1e-6
+    assert shares["clean.py"]["n_boiler"] == 0
+    assert "short.go" not in shares and "null.go" not in shares  # no eligible lines
+
+    spec = CheckSpec(
+        "boilerplate", run_boilerplate,
+        {"min_docs": 5, "max_boiler_share": 0.3, "doc_share_thresh": 0.6}, "lang", 1,
+    )
+    res = run_boilerplate(df, spec)
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    # python: 12 boiler / 21 eligible lines = 0.571 > 0.3 -> FAIL
+    # go: no eligible lines -> zero mass -> PASS (n_rows >= min_rows)
+    assert verd == {"python": "FAIL", "go": "PASS"}
+    v = sorted(r["path"] for r in res.violations.collect())
+    assert v == [f"a{i}.py" for i in range(6)]  # clean.py below doc threshold
+
+
+def test_strip_boilerplate_roundtrip_and_removal(spark):
+    df = _corpus(spark)
+    out = {r["path"]: r for r in strip_boilerplate(df, min_docs=5).collect()}
+    # row-count parity incl. NULL passthrough
+    assert len(out) == df.count()
+    for i in range(6):
+        assert out[f"a{i}.py"]["content"] == f"unique payload line number {i:04d}"
+    # clean docs round-trip byte-exact (incl. short/ineligible lines)
+    assert out["clean.py"]["content"] == (
+        "alpha unique line one\nbeta unique line two\ngamma unique line three"
+    )
+    assert out["short.go"]["content"] == "}\n{\nx=1"
+    assert out["null.go"]["content"] is None
+    # other columns survive
+    assert out["a0.py"]["lang"] == "python"
+
+
+def test_strip_boilerplate_all_stripped_keeps_row(spark):
+    rows = [("r", f"p{i}.py", f"c{i}", "x", HEADER) for i in range(5)]
+    df = mkfiles(spark, rows)
+    out = strip_boilerplate(df, min_docs=5).collect()
+    assert len(out) == 5
+    assert all(r["content"] == "" for r in out)
+
+
+def test_strip_broadcast_off_agrees(spark):
+    df = _corpus(spark)
+    a = sorted(
+        (r["path"], r["content"])
+        for r in strip_boilerplate(df, min_docs=5, broadcast_freq=True).collect()
+    )
+    b = sorted(
+        (r["path"], r["content"])
+        for r in strip_boilerplate(df, min_docs=5, broadcast_freq=False).collect()
+    )
+    assert a == b
+
+
+def test_boilerplate_config_declarable(spark):
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    specs = suite_from_config(
+        {"checks": [{"check": "boilerplate", "min_docs": 5, "partition_col": "lang",
+                     "min_rows": 1}]}
+    )
+    res = specs[0].run(_corpus(spark))
+    assert {r["verdict"] for r in res.verdicts.collect()} == {"FAIL", "PASS"}
