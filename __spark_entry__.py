@@ -2313,6 +2313,29 @@ def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_docs_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-damage kinds (checks/codehygiene.py encoding_kinds):
+    BOM / NUL / U+FFFD / CR planted on doc_id residues, classified by
+    one codegen'd expression."""
+    from anomaly_detector_spark.checks.codehygiene import encoding_kinds
+
+    d = load_table(spark, sf, "documents")
+    r = F.col("doc_id") % 13
+    t = F.col("text")
+    mutated = (
+        F.when(r == 1, F.concat(F.lit("\ufeff"), t))
+        .when(r == 4, F.concat(t, F.lit("line1\r\nline2")))
+        .when(r == 7, F.concat(t, F.lit("bad\ufffdchar")))
+        .when(r == 10, F.concat(t, F.lit("bin\u0000ary")))
+        .otherwise(t)
+    )
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), mutated.alias("content"))
+        .select("doc_id", encoding_kinds("content").alias("kinds"))
+        .filter(F.col("kinds") != "")
+    )
+
+
 def q_files_path_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Structural path rules (checks/paths.py path_rule_kinds): traversal /
     absolute / backslash / double-slash / control / edge-space anomalies
@@ -2362,6 +2385,29 @@ def q_files_case_collisions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_path_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """normalize_paths enforcement twin over the same planted anomalies
+    as files_path_rules: separators/dot-segments/edge-whitespace fixed,
+    traversal deliberately NOT resolved, NULL passthrough."""
+    from anomaly_detector_spark.checks.paths import normalize_paths
+
+    files = files_view(spark, sf)
+    r = F.col("doc_id") % 97
+    p = F.col("path")
+    mutated = (
+        F.when(r == 3, F.concat(F.lit("../"), p))
+        .when(r == 17, F.concat(F.lit("/"), p))
+        .when(r == 31, F.translate(p, "/", "\\"))
+        .when(r == 45, F.regexp_replace(p, "/", "//"))
+        .when(r == 59, F.concat(F.lit("./"), p))
+        .when(r == 73, F.concat(F.lit("a /"), p))
+        .otherwise(p)
+    )
+    return normalize_paths(files.select("doc_id", mutated.alias("path"))).select(
+        "doc_id", "path", "path_changed"
+    )
+
+
 def q_files_lang_ext(spark: SparkSession, sf: str) -> DataFrame:
     """lang-vs-extension agreement (checks/paths.py expected_lang_expr):
     the ext->lang map compiled to a CASE chain (no dim join); lang
@@ -2385,8 +2431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_path_rules": q_files_path_rules,
         "files_case_collisions": q_files_case_collisions,
         "files_lang_ext": q_files_lang_ext,
+        "files_path_norm": q_files_path_norm,
         "docs_boilerplate": q_docs_boilerplate,
         "docs_boiler_strip": q_docs_boiler_strip,
+        "docs_encoding": q_docs_encoding,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2552,6 +2600,29 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_encoding": """
+            WITH mut AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CASE doc_id % 13
+                  WHEN 1 THEN chr(65279) || text
+                  WHEN 4 THEN text || 'line1' || chr(13) || chr(10) || 'line2'
+                  WHEN 7 THEN text || 'bad' || chr(65533) || 'char'
+                  WHEN 10 THEN text || 'bin' || chr(0) || 'ary'
+                  ELSE text END AS content
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id,
+                concat_ws(',',
+                  CASE WHEN regexp_matches(content, '^' || chr(65279)) THEN 'bom' END,
+                  CASE WHEN contains(content, chr(0)) THEN 'nul' END,
+                  CASE WHEN contains(content, chr(65533)) THEN 'replacement' END,
+                  CASE WHEN contains(content, chr(13)) THEN 'cr' END
+                ) AS kinds
+              FROM mut
+            )
+            SELECT doc_id, kinds FROM k WHERE kinds <> ''
+        """,
         "docs_boilerplate": f"""
             WITH src AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2664,6 +2735,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, "commit", lang AS partition_key,
                    min_form AS survivor
             FROM g WHERE min_form <> max_form AND path <> min_form
+        """,
+        "files_path_norm": f"""
+            WITH {FILES_CTE_SQL},
+            mut AS (
+              SELECT doc_id,
+                CASE doc_id % 97
+                  WHEN 3 THEN '../' || path
+                  WHEN 17 THEN '/' || path
+                  WHEN 31 THEN replace(path, '/', '\\')
+                  WHEN 45 THEN replace(path, '/', '//')
+                  WHEN 59 THEN './' || path
+                  WHEN 73 THEN 'a /' || path
+                  ELSE path END AS path
+              FROM files
+            ),
+            n AS (
+              SELECT doc_id, path,
+                CASE WHEN path IS NOT NULL THEN
+                  array_to_string(
+                    list_filter(
+                      list_transform(string_split(replace(path, '\\', '/'), '/'),
+                                     s -> trim(s)),
+                      s -> s <> '' AND s <> '.'),
+                    '/')
+                END AS norm
+              FROM mut
+            )
+            SELECT doc_id, norm AS path,
+                   (norm IS DISTINCT FROM path) AS path_changed
+            FROM n
         """,
         "files_lang_ext": f"""
             WITH {FILES_CTE_SQL},

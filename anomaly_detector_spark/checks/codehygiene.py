@@ -29,6 +29,15 @@ Semantics of each check:
 * ``entropy_secrets`` — recall net for credentials no named pattern
                     catches: any >=20-char base64/hex-ish token whose
                     character entropy exceeds ``min_entropy`` nats.
+* ``encoding``    — encoding damage in the text column: NUL bytes
+                    (binary mis-landed as text), U+FFFD (a transcoding
+                    pass already destroyed bytes), BOM prefix, CR line
+                    endings — named kinds from one codegen'd
+                    classifier, fuse-ready like the rest.
+
+Group-level (NOT rowrules): ``vendored`` (cross-repo duplicate
+content), ``license_consistency`` (conflicting tags per repo), and
+``boilerplate`` (corpus-frequent line mass, operators/lines.py).
 """
 
 from __future__ import annotations
@@ -98,6 +107,44 @@ def _entropy_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
     bad = has_high_entropy_token(col, min_entropy=min_entropy, min_len=min_len)
     observed = F.lit(f"candidate token entropy > {min_entropy}")
     return bad, observed, f"no high-entropy (>{min_entropy} nats) secret-shaped tokens"
+
+
+# (kind, Java/RE2-compatible regex) — mis-landed binary and encoding
+# damage in a text column: NUL bytes (binary file read as text), U+FFFD
+# (a transcoding pass already destroyed bytes), BOM prefix, CR line
+# endings (corpus-inconsistent newline discipline).
+ENCODING_PATTERNS: list[tuple[str, str]] = [
+    ("bom", "^\ufeff"),
+    ("nul", "\u0000"),
+    ("replacement", "\ufffd"),
+    ("cr", "\r"),
+]
+
+
+def encoding_kinds(col: str = "content", patterns: list[tuple[str, str]] | None = None):
+    """Comma-joined encoding-damage kinds (empty when clean) — the
+    path_rule_kinds / secret_kinds classifier pattern, one codegen'd
+    expression."""
+    pats = patterns if patterns is not None else ENCODING_PATTERNS
+    c = F.coalesce(F.col(col), F.lit(""))
+    kinds = [F.when(c.rlike(rx), F.lit(kind)) for kind, rx in pats]
+    return F.array_join(F.filter(F.array(*kinds), lambda x: x.isNotNull()), ",")
+
+
+def _encoding_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    col = spec.config.get("column", "content")
+    pats = spec.config.get("patterns", ENCODING_PATTERNS)
+    kinds = encoding_kinds(col, pats)
+    bad = kinds != ""
+    observed = F.concat(F.lit("encoding kinds: "), kinds)
+    return bad, observed, f"{col} is clean utf-8 text (no BOM/NUL/U+FFFD/CR)"
+
+
+def run_encoding(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    return _run_rule(df, spec, _encoding_rule)
+
+
+run_encoding._rule_builder = _encoding_rule  # type: ignore[attr-defined]
 
 
 def run_secrets(df: DataFrame, spec: CheckSpec) -> CheckResult:
@@ -340,4 +387,5 @@ def code_hygiene_rules(
             "entropy_secrets", run_entropy_secrets,
             {"column": "content"}, partition_col, min_rows,
         ),
+        CheckSpec("encoding", run_encoding, {"column": "content"}, partition_col, min_rows),
     ]

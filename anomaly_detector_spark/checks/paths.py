@@ -224,6 +224,32 @@ def run_case_collisions(df: DataFrame, spec: CheckSpec) -> CheckResult:
     return CheckResult(violations=violations, verdicts=verdicts, metrics=stats)
 
 
+def normalize_paths(df: DataFrame, col: str = "path") -> DataFrame:
+    """Enforcement twin of path_format (the redact_secrets pattern):
+    rewrite ``col`` into normal form — backslashes to '/', segment edge
+    whitespace trimmed, empty and '.' segments dropped (which also
+    collapses '//' and strips leading './' and rooted '/').
+
+    Deliberately NOT resolved: '..' segments (resolving can escape the
+    repo root — traversal rows are path_format violations to
+    quarantine, not to repair) and control characters (removing bytes
+    changes identity silently; flag, don't mutate). Pure JVM
+    higher-order functions — no UDF, no shuffle, NULL passes through.
+    Adds ``path_changed`` so enforcement lineage is visible."""
+    segs = F.split(F.translate(F.col(col), "\\", "/"), "/")
+    norm = F.array_join(
+        F.filter(
+            F.transform(segs, lambda s: F.trim(s)),
+            lambda s: (s != "") & (s != "."),
+        ),
+        "/",
+    )
+    normed = F.when(F.col(col).isNotNull(), norm)
+    return df.withColumn("path_changed", ~normed.eqNullSafe(F.col(col))).withColumn(
+        col, normed
+    )
+
+
 def path_integrity_rules(
     partition_col: str = "lang",
     min_rows: int = 25,

@@ -61,6 +61,7 @@ def _registry() -> dict[str, Callable]:
     )
     from ..checks.codehygiene import (
         run_boilerplate,
+        run_encoding,
         run_entropy_secrets,
         run_generated,
         run_license,
@@ -135,6 +136,8 @@ def _registry() -> dict[str, Callable]:
         "license": run_license,
         "generated": run_generated,
         "entropy_secrets": run_entropy_secrets,
+        # encoding-damage rowrule (BOM/NUL/U+FFFD/CR kinds), fuse-ready
+        "encoding": run_encoding,
         # vendored-content check: aggregation-only (one scan, reused
         # exchange), verdicts+metrics; evidence via vendored_examples
         "vendored": run_vendored,

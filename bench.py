@@ -102,6 +102,7 @@ def main() -> int:
         "files_path_rules",    # structural path kinds, one codegen'd classifier
         "files_case_collisions",  # case-variant paths, one slim window exchange
         "docs_boilerplate",    # corpus-frequent line mass per doc (slim hash shuffle)
+        "docs_encoding",       # encoding-damage kinds, map-only classifier
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

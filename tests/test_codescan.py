@@ -406,3 +406,44 @@ def test_hygiene_rules_fused_equals_standalone(spark):
     assert viols(fused.violations) == viols(naive.violations)
     fused.unpersist()
     naive.unpersist()
+
+
+def test_encoding_kinds_and_rule(spark):
+    from anomaly_detector_spark.checks.codehygiene import (
+        encoding_kinds,
+        run_encoding,
+    )
+    from anomaly_detector_spark.checks.base import CheckSpec
+
+    BOM, NUL, REP, CR = chr(0xFEFF), chr(0), chr(0xFFFD), chr(13)
+    cases = [
+        ("clean text here", ""),
+        (BOM + "bom prefixed", "bom"),
+        ("mid" + BOM + "text bom is fine", ""),   # BOM only counts as a PREFIX
+        ("has" + NUL + "nul", "nul"),
+        ("lost" + REP + "byte", "replacement"),
+        ("dos" + CR + chr(10) + "line", "cr"),
+        (BOM + "all" + NUL + "of" + REP + "them" + CR, "bom,nul,replacement,cr"),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i long, content string"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", encoding_kinds("content").alias("k")).collect()
+    }
+    for i, (c, want) in enumerate(cases):
+        assert got[i] == want, (c, got[i], want)
+
+    rows = [
+        ("r", "a.py", "c1", "python", "ok line"),
+        ("r", "b.py", "c2", "python", "bin" + NUL + "blob"),
+        ("r", "c.go", "c3", "go", "fine"),
+    ]
+    spec = CheckSpec("encoding", run_encoding, {"column": "content"}, "lang", 1)
+    res = run_encoding(mkfiles(spark, rows), spec)
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["path"] == "b.py" and "nul" in v[0]["observed"]
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"python": "FAIL", "go": "PASS"}

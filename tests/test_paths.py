@@ -193,3 +193,28 @@ def test_paths_config_roundtrip(spark):
     back = suite_from_config(doc)
     assert [s.id for s in back] == [s.id for s in code]
     assert [s.fn for s in back] == [s.fn for s in code]
+
+
+def test_normalize_paths(spark):
+    from anomaly_detector_spark.checks.paths import normalize_paths
+
+    cases = [
+        ("src\\win\\f.py", "src/win/f.py"),
+        ("src//a.py", "src/a.py"),
+        ("./src/a.py", "src/a.py"),
+        ("/rooted/a.py", "rooted/a.py"),
+        ("a /src/ b.py", "a/src/b.py"),
+        ("../up/a.py", "../up/a.py"),       # traversal NOT resolved
+        ("ok/already.py", "ok/already.py"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)], "i long, path string"
+    )
+    out = {r["i"]: r for r in normalize_paths(df).collect()}
+    for i, (p, want) in enumerate(cases):
+        assert out[i]["path"] == want, (p, out[i]["path"], want)
+        assert out[i]["path_changed"] == (p != want), (p, want)
+    # idempotent: a second pass changes nothing
+    again = normalize_paths(normalize_paths(df).drop("path_changed"))
+    assert again.filter(F.col("path_changed")).count() == 0
