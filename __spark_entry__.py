@@ -2313,6 +2313,24 @@ def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_files_vendored_dirs(spark: SparkSession, sf: str) -> DataFrame:
+    """Wholesale-copied subtrees (operators/codescan.py vendored_dirs):
+    a 5-file vendor/lib directory planted identically into two repos;
+    fingerprint = sha256 over sorted filename:content_sha lines."""
+    from anomaly_detector_spark.operators.codescan import vendored_dirs
+
+    files = files_view(spark, sf)
+    k2 = (F.floor(F.col("doc_id") / 50) % 2).cast("long")
+    f5 = F.floor(F.col("doc_id") / 100).cast("long")
+    planted = files.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("org"), k2.cast("string"), F.lit("/vendorhost")).alias("repo"),
+        F.concat(F.lit("vendor/lib/f"), f5.cast("string"), F.lit(".js")).alias("path"),
+        F.concat(F.lit("vendored blob "), f5.cast("string")).alias("content"),
+    )
+    allf = files.select("repo", "path", "content").unionByName(planted)
+    return vendored_dirs(allf, min_repos=2, min_files=3, hash_fn="sha256")
+
+
 def q_docs_encoding(spark: SparkSession, sf: str) -> DataFrame:
     """Encoding-damage kinds (checks/codehygiene.py encoding_kinds):
     BOM / NUL / U+FFFD / CR planted on doc_id residues, classified by
@@ -2435,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate": q_docs_boilerplate,
         "docs_boiler_strip": q_docs_boiler_strip,
         "docs_encoding": q_docs_encoding,
+        "files_vendored_dirs": q_files_vendored_dirs,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2600,6 +2619,42 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "files_vendored_dirs": f"""
+            WITH {FILES_CTE_SQL},
+            planted AS (
+              SELECT 'org' || CAST((doc_id // 50) % 2 AS VARCHAR)
+                           || '/vendorhost' AS repo,
+                     'vendor/lib/f' || CAST(doc_id // 100 AS VARCHAR)
+                           || '.js' AS path,
+                     'vendored blob ' || CAST(doc_id // 100 AS VARCHAR) AS content
+              FROM files WHERE doc_id % 50 = 0
+            ),
+            allf AS (
+              SELECT repo, path, content FROM files
+              UNION ALL SELECT repo, path, content FROM planted
+            ),
+            lns AS (
+              SELECT repo,
+                     CASE WHEN contains(path, '/')
+                          THEN regexp_replace(path, '/[^/]*$', '')
+                          ELSE '' END AS dir,
+                     regexp_extract(path, '([^/]*)$', 1) || ':'
+                       || sha256(content) AS line
+              FROM allf WHERE content IS NOT NULL
+            ),
+            fps AS (
+              SELECT repo, dir, CAST(count(*) AS BIGINT) AS n_files,
+                     sha256(string_agg(line, chr(10) ORDER BY line)) AS dir_fp
+              FROM lns GROUP BY 1, 2
+              HAVING count(*) >= 3
+            ),
+            rec AS (
+              SELECT dir_fp, CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+              FROM fps GROUP BY 1
+            )
+            SELECT f.repo, f.dir, f.n_files, r.n_repos, f.dir_fp
+            FROM fps f JOIN rec r USING (dir_fp) WHERE r.n_repos >= 2
+        """,
         "docs_encoding": """
             WITH mut AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -103,6 +103,7 @@ def main() -> int:
         "files_case_collisions",  # case-variant paths, one slim window exchange
         "docs_boilerplate",    # corpus-frequent line mass per doc (slim hash shuffle)
         "docs_encoding",       # encoding-damage kinds, map-only classifier
+        "files_vendored_dirs",  # copied-subtree fingerprints (two bounded aggs)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -447,3 +447,40 @@ def test_encoding_kinds_and_rule(spark):
     assert len(v) == 1 and v[0]["path"] == "b.py" and "nul" in v[0]["observed"]
     verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
     assert verd == {"python": "FAIL", "go": "PASS"}
+
+
+def test_vendored_dirs(spark):
+    from anomaly_detector_spark.operators.codescan import dir_fingerprints, vendored_dirs
+
+    lib = [("lib/a.js", "aaa"), ("lib/b.js", "bbb"), ("lib/c.js", "ccc")]
+    rows = []
+    for repo in ("org/x", "org/y"):
+        rows += [(repo, p, "c", "js", c) for p, c in lib]
+    # same dir name, one file differs: NOT a vendored dir
+    rows += [("org/z", "lib/a.js", "c", "js", "aaa"),
+             ("org/z", "lib/b.js", "c", "js", "bbb"),
+             ("org/z", "lib/c.js", "c", "js", "DIFFERENT")]
+    # one-file dir shared by two repos: below min_files
+    rows += [("org/x", "tiny/one.js", "c", "js", "t"),
+             ("org/y", "tiny/one.js", "c", "js", "t")]
+    # root-level file lands in dir ''
+    rows += [("org/x", "README", "c", "md", "hello root readme")]
+    df = mkfiles(spark, rows)
+
+    out = vendored_dirs(df, min_repos=2, min_files=3).collect()
+    assert sorted(r["repo"] for r in out) == ["org/x", "org/y"]
+    assert {r["dir"] for r in out} == {"lib"} and {r["n_files"] for r in out} == {3}
+    assert {r["n_repos"] for r in out} == {2}
+    assert len({r["dir_fp"] for r in out}) == 1
+
+    fps = {(r["repo"], r["dir"]): r["dir_fp"] for r in dir_fingerprints(df).collect()}
+    assert fps[("org/x", "lib")] == fps[("org/y", "lib")]
+    assert fps[("org/z", "lib")] != fps[("org/x", "lib")]
+    assert ("org/x", "") in fps  # root-level dir
+
+    # fingerprints are row-order / partitioning invariant
+    fps2 = {
+        (r["repo"], r["dir"]): r["dir_fp"]
+        for r in dir_fingerprints(df.repartition(7).orderBy(F.rand(42))).collect()
+    }
+    assert fps == fps2
