@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
         "stand in for full validation",
     )
     p.add_argument(
+        "--report", default=None,
+        help="after the run, write a markdown validation report (latest-run "
+        "verdict mix, per-check burn-down, open incidents) to this path — "
+        "rendered from manifest METADATA only (plans/report.py), zero data "
+        "scans at any table size",
+    )
+    p.add_argument(
         "--coverage-audit", action="store_true",
         help="report input columns the suite declares NO check on "
         "(plans/config.py suite_column_coverage) — zero scans; the "
@@ -458,6 +465,18 @@ def main(argv: list[str] | None = None) -> int:
             {k: r[k] for k in ("partition_key", "check_id", "metric", "value", "z_score")}
             for r in flags.where(F.col("is_anomalous")).collect()
         ]
+    if args.report:
+        from .plans.manifest import read_manifest, suite_id as _sid
+        from .plans.report import name_map, render_report
+
+        md = render_report(
+            read_manifest(spark, args.manifest),
+            suite_sid=_sid(suite),
+            check_names=name_map(suite),
+        )
+        with open(args.report, "w", encoding="utf-8") as f:
+            f.write(md)
+        summary["report"] = args.report
     print(json.dumps(summary))
     return 0
 

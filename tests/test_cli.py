@@ -251,3 +251,23 @@ def test_cli_watch_json_drop_dir(spark, tmp_path, capsys):
     assert "_corrupt_record" in out2["uncovered_columns"]
     m = spark.read.parquet(str(tmp_path / "m"))
     assert m.filter(F.col("partition_key") == "rust").count() > 0
+
+
+def test_cli_markdown_report(spark, dirs, tmp_path, capsys):
+    rep = str(tmp_path / "report.md")
+    for rid in ("rep1", "rep2"):
+        rc = main([
+            "--input", dirs["input"], "--manifest", dirs["manifest"],
+            "--run-id", rid, "--revalidate", "--report", rep,
+        ])
+        assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["report"] == rep
+    md = open(rep, encoding="utf-8").read()
+    assert "# Validation report" in md
+    assert "## Latest run" in md and "## Checks (all-time burn-down)" in md
+    assert "latest run: `rep2`" in md
+    # check NAMES are rendered next to truncated ids
+    assert "uniqueness (" in md and "referential (" in md
+    # the planted defects make incidents non-empty with a FAIL verdict row
+    assert "## Open incidents" in md and "| FAIL |" in md
