@@ -2313,6 +2313,27 @@ def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_docs_skeleton_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Formatting-variant duplicates (operators/dedup.py
+    skeleton_dup_groups, sha256 oracle mode): whitespace-doubled +
+    comment-appended variants planted on doc_id % 40."""
+    from anomaly_detector_spark.operators.dedup import skeleton_dup_groups
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    variants = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"), " ", "  "),
+            F.lit("\n# variant comment"),
+        ).alias("text"),
+    )
+    return skeleton_dup_groups(d.unionByName(variants), hash_fn="sha256")
+
+
 def q_files_vendored_dirs(spark: SparkSession, sf: str) -> DataFrame:
     """Wholesale-copied subtrees (operators/codescan.py vendored_dirs):
     a 5-file vendor/lib directory planted identically into two repos;
@@ -2454,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boiler_strip": q_docs_boiler_strip,
         "docs_encoding": q_docs_encoding,
         "files_vendored_dirs": q_files_vendored_dirs,
+        "docs_skeleton_dups": q_docs_skeleton_dups,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2619,6 +2641,35 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_skeleton_dups": """
+            WITH src AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            allr AS (
+              SELECT doc_id, text FROM src
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     replace(text, ' ', '  ') || chr(10) || '# variant comment'
+              FROM src WHERE doc_id % 40 = 0
+            ),
+            sk AS (
+              SELECT doc_id, text,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '(?s)/\\*.*?\\*/', '', 'g'),
+                    '(//|#)[^\\n]*', '', 'g'),
+                  '\\s+', '', 'g') AS skel
+              FROM allr
+            )
+            SELECT sha256(skel) AS skeleton_hash,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_variants,
+                   min(doc_id) AS keep_id
+            FROM sk WHERE skel <> ''
+            GROUP BY 1
+            HAVING count(*) > 1 AND count(DISTINCT sha256(text)) > 1
+        """,
         "files_vendored_dirs": f"""
             WITH {FILES_CTE_SQL},
             planted AS (

@@ -40,6 +40,57 @@ def exact_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def skeleton(col: Column | str = "text") -> Column:
+    """Formatting-invariant code skeleton: block comments (/* */), line
+    comments (// and #) and ALL whitespace stripped, map-side regex
+    only. Two files differing solely by reformatting or comment churn —
+    the dominant near-dup class in code corpora after exact copies —
+    collapse to the same skeleton; exact hashing misses them and
+    MinHash finds them only at shingle cost. A HEURISTIC, not a parser:
+    a '#' inside a string literal is treated as a comment start — fine
+    for duplicate DETECTION (both copies mangle identically), never for
+    content rewriting. Regexes are RE2-compatible (inline (?s), lazy
+    quantifier) so the DuckDB oracle replays them verbatim."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    no_block = F.regexp_replace(c, r"(?s)/\*.*?\*/", "")
+    no_line = F.regexp_replace(no_block, r"(//|#)[^\n]*", "")
+    return F.regexp_replace(no_line, r"\s+", "")
+
+
+def skeleton_dup_groups(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Formatting-variant duplicate groups: one row per skeleton shared
+    by >1 file with >1 DISTINCT byte content —
+    (skeleton_hash, n_files, n_variants, keep_id).
+
+    Byte-identical copies (n_variants == 1) are excluded: those are
+    exact_dup_groups / uniqueness territory; this operator reports only
+    groups where reformatting hides the duplication. Empty skeletons
+    (whitespace/comment-only files) are excluded — every such file
+    would otherwise collapse into one meaningless mega-group. One
+    partial-aggregated shuffle keyed by the uniform skeleton hash;
+    content never rides it (both hashes computed map-side).
+    ``hash_fn='sha256'`` is the oracle-replayable twin."""
+    sk = skeleton(col)
+    h = F.xxhash64(sk) if hash_fn == "xxhash64" else F.sha2(sk, 256)
+    if hash_fn not in ("xxhash64", "sha256"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'sha256', got {hash_fn!r}")
+    return (
+        df.filter(F.col(col).isNotNull() & (F.length(sk) > 0))
+        .groupBy(h.alias("skeleton_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct(F.sha2(F.col(col), 256)).alias("n_variants"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter((F.col("n_files") > 1) & (F.col("n_variants") > 1))
+    )
+
+
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Character k-shingles of normalized text, JVM-side."""
     c = F.col(col) if isinstance(col, str) else col

@@ -104,6 +104,7 @@ def main() -> int:
         "docs_boilerplate",    # corpus-frequent line mass per doc (slim hash shuffle)
         "docs_encoding",       # encoding-damage kinds, map-only classifier
         "files_vendored_dirs",  # copied-subtree fingerprints (two bounded aggs)
+        "docs_skeleton_dups",  # formatting-variant dups (uniform-hash agg)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -690,3 +690,38 @@ def test_ann_recall_harness(spark):
         assert 0.0 <= r["recall"] <= 1.0 and r["n_hits"] == round(r["recall"] * 5)
     # the ivf probe always covers the query's own cell -> self-hit
     assert all(by[("ivf", q)]["n_hits"] >= 1 for q in range(4))
+
+
+def test_skeleton_dup_groups(spark):
+    from anomaly_detector_spark.operators.dedup import skeleton, skeleton_dup_groups
+
+    code = "def f(x):\n    return x + 1\n"
+    reformatted = "def f(x):  \n\treturn x   + 1"          # whitespace churn
+    commented = code + "# trailing comment\n// another\n/* block\ncomment */"
+    rows = [
+        (1, code), (2, reformatted), (3, commented),       # one skeleton group
+        (10, "exact copy"), (11, "exact copy"),            # byte dups: excluded
+        (20, "# only a comment\n   \n"),                   # empty skeleton
+        (21, "/* nothing else */"),                        # empty skeleton
+        (30, None),                                        # NULL excluded
+        (40, 'print("has # inside")'),                     # mangled consistently
+        (41, 'print("has # inside")   '),                  # ws variant of 40
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sk = {r["doc_id"]: r["s"] for r in df.select("doc_id", skeleton().alias("s")).collect()}
+    assert sk[1] == sk[2] == sk[3] == "deff(x):returnx+1"
+    assert sk[20] == "" and sk[21] == ""
+    assert sk[40] == sk[41] == 'print("has'  # heuristic: # in string mangles BOTH
+
+    groups = skeleton_dup_groups(df, hash_fn="sha256").collect()
+    by_keep = {r["keep_id"]: r for r in groups}
+    assert set(by_keep) == {1, 40}
+    assert by_keep[1]["n_files"] == 3 and by_keep[1]["n_variants"] == 3
+    assert by_keep[40]["n_files"] == 2 and by_keep[40]["n_variants"] == 2
+    # xxhash64 production mode: identical group structure
+    prod = sorted(
+        (r["keep_id"], r["n_files"], r["n_variants"])
+        for r in skeleton_dup_groups(df, hash_fn="xxhash64").collect()
+    )
+    assert prod == [(1, 3, 3), (40, 2, 2)]
