@@ -218,3 +218,73 @@ def test_normalize_paths(spark):
     # idempotent: a second pass changes nothing
     again = normalize_paths(normalize_paths(df).drop("path_changed"))
     assert again.filter(F.col("path_changed")).count() == 0
+
+
+def test_normalize_paths_batch_random_invariance(spark):
+    """Seeded-random batch property (the codescan entropy pattern — one
+    Spark job, not per-example): any canonical path survives arbitrary
+    decoration with './', rooted '/', doubled slashes, backslash
+    separators, and segment edge whitespace."""
+    import random
+
+    from anomaly_detector_spark.checks.paths import normalize_paths
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_."
+    rows = []
+    for i in range(200):
+        segs = []
+        for _ in range(rng.randint(1, 6)):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+            # '.'-only segments are exactly what normalization drops —
+            # a canonical path must not contain them
+            segs.append(s if s.strip(".") else "x")
+        canon = "/".join(segs)
+        dec = segs[:]
+        if rng.random() < 0.5:
+            dec = [" " * rng.randint(0, 2) + s + " " * rng.randint(0, 2) for s in dec]
+        sep = "\\" if rng.random() < 0.3 else "/"
+        path = sep.join(dec)
+        if rng.random() < 0.4:
+            path = "./" * rng.randint(1, 3) + path
+        if rng.random() < 0.3:
+            path = "/" + path
+        if rng.random() < 0.4 and sep == "/":
+            path = path.replace("/", "//", 1)
+        rows.append((i, path, canon))
+    df = spark.createDataFrame(rows, "i long, path string, canon string")
+    out = normalize_paths(df)
+    bad = out.filter(F.col("path") != F.col("canon")).collect()
+    assert not bad, bad[:5]
+
+
+def test_skeleton_batch_random_invariance(spark):
+    """Seeded-random batch property: for comment-free texts, inserting
+    whitespace anywhere and appending comment lines never changes the
+    skeleton."""
+    import random
+
+    from anomaly_detector_spark.operators.dedup import skeleton
+
+    rng = random.Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz(){}[]=+-;:,.'0123456789"
+    rows = []
+    for i in range(200):
+        base = "".join(rng.choice(alphabet + "  \n") for _ in range(rng.randint(5, 120)))
+        mutated = "".join(
+            ch + (" " * rng.randint(0, 2) if rng.random() < 0.3 else "")
+            + ("\t" if rng.random() < 0.05 else "")
+            for ch in base
+        )
+        if rng.random() < 0.5:
+            mutated += "\n# appended comment " + str(i)
+        if rng.random() < 0.3:
+            mutated += "\n// another note"
+        rows.append((i, base, mutated))
+    df = spark.createDataFrame(rows, "i long, base string, mutated string")
+    out = df.select(
+        "i",
+        skeleton("base").alias("a"),
+        skeleton("mutated").alias("b"),
+    ).filter(F.col("a") != F.col("b")).collect()
+    assert not out, out[:5]
