@@ -2313,6 +2313,30 @@ def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_files_fork_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fork/mirror detection (operators/codescan.py repo_fork_pairs):
+    one repo mirrored wholesale under a new name; paths fanned into 3
+    dirs per repo so the jaccard is over a real dir set."""
+    from anomaly_detector_spark.operators.codescan import repo_fork_pairs
+
+    files = files_view(spark, sf).filter(F.col("content").isNotNull())
+    base = files.select(
+        "repo",
+        F.concat(
+            F.lit("d"), (F.col("doc_id") % 3).cast("string"), F.lit("/"), F.col("path")
+        ).alias("path"),
+        "content",
+    )
+    allr = base.unionByName(
+        base.filter(F.col("repo") == "org0/repo0").withColumn(
+            "repo", F.lit("forks/mirror0")
+        )
+    )
+    return repo_fork_pairs(
+        allr, min_shared=1, min_jaccard=0.9, max_recurrence=64, hash_fn="sha256"
+    )
+
+
 def q_docs_skeleton_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Formatting-variant duplicates (operators/dedup.py
     skeleton_dup_groups, sha256 oracle mode): whitespace-doubled +
@@ -2476,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_encoding": q_docs_encoding,
         "files_vendored_dirs": q_files_vendored_dirs,
         "docs_skeleton_dups": q_docs_skeleton_dups,
+        "files_fork_pairs": q_files_fork_pairs,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2641,6 +2666,55 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "files_fork_pairs": f"""
+            WITH {FILES_CTE_SQL},
+            base AS (
+              SELECT repo,
+                     'd' || CAST(doc_id % 3 AS VARCHAR) || '/' || path AS path,
+                     content
+              FROM files WHERE content IS NOT NULL
+            ),
+            allr AS (
+              SELECT repo, path, content FROM base
+              UNION ALL
+              SELECT 'forks/mirror0', path, content FROM base
+              WHERE repo = 'org0/repo0'
+            ),
+            lns AS (
+              SELECT repo,
+                     regexp_replace(path, '/[^/]*$', '') AS dir,
+                     regexp_extract(path, '([^/]*)$', 1) || ':'
+                       || sha256(content) AS line
+              FROM allr
+            ),
+            fps AS (
+              SELECT repo, dir,
+                     sha256(string_agg(line, chr(10) ORDER BY line)) AS dir_fp
+              FROM lns GROUP BY 1, 2
+            ),
+            rec AS (SELECT dir_fp FROM fps GROUP BY 1 HAVING count(*) <= 64),
+            capped AS (SELECT f.repo, f.dir_fp FROM fps f JOIN rec USING (dir_fp)),
+            sizes AS (
+              SELECT repo, CAST(count(*) AS BIGINT) AS n_dirs
+              FROM capped GROUP BY 1
+            ),
+            shared AS (
+              SELECT a.repo AS repo_a, b.repo AS repo_b,
+                     CAST(count(*) AS BIGINT) AS shared_dirs
+              FROM capped a JOIN capped b USING (dir_fp)
+              WHERE a.repo < b.repo GROUP BY 1, 2
+            )
+            SELECT s.repo_a, s.repo_b, s.shared_dirs,
+                   sa.n_dirs AS n_dirs_a, sb.n_dirs AS n_dirs_b,
+                   round(s.shared_dirs / (sa.n_dirs + sb.n_dirs - s.shared_dirs),
+                         6) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.repo = s.repo_a
+            JOIN sizes sb ON sb.repo = s.repo_b
+            WHERE s.shared_dirs >= 1
+              AND round(s.shared_dirs
+                        / (sa.n_dirs + sb.n_dirs - s.shared_dirs), 6) >= 0.9
+        """,
         "docs_skeleton_dups": """
             WITH src AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, text

@@ -105,6 +105,7 @@ def main() -> int:
         "docs_encoding",       # encoding-damage kinds, map-only classifier
         "files_vendored_dirs",  # copied-subtree fingerprints (two bounded aggs)
         "docs_skeleton_dups",  # formatting-variant dups (uniform-hash agg)
+        "files_fork_pairs",    # fork/mirror pairs over capped dir fingerprints
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -484,3 +484,43 @@ def test_vendored_dirs(spark):
         for r in dir_fingerprints(df.repartition(7).orderBy(F.rand(42))).collect()
     }
     assert fps == fps2
+
+
+def test_repo_fork_pairs(spark):
+    from anomaly_detector_spark.operators.codescan import repo_fork_pairs
+
+    def tree(repo, dirs, salt=""):
+        rows = []
+        for d in dirs:
+            for i in range(2):
+                rows.append((repo, f"{d}/f{i}.js", "c", "js", f"{d} body {i}{salt}"))
+        return rows
+
+    rows = []
+    rows += tree("org/orig", ["a", "b", "c", "d"])
+    rows += tree("org/fork", ["a", "b", "c", "d"])          # full fork
+    rows += tree("org/partial", ["a", "b"]) + tree("org/partial", ["zz"], salt="!")
+    rows += tree("org/unrelated", ["x", "y"], salt="?")
+    # a ubiquitous dir present everywhere: must be capped out
+    for r in ("org/orig", "org/fork", "org/partial", "org/unrelated"):
+        rows += [(r, "common/LICENSE.js", "c", "js", "same everywhere"),
+                 (r, "common/NOTICE.js", "c", "js", "ditto")]
+
+    df = mkfiles(spark, rows)
+    out = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in repo_fork_pairs(df, min_shared=2, min_jaccard=0.4, max_recurrence=3).collect()
+    }
+    # full fork: 4 shared dirs of 4+4 -> jaccard 1.0
+    full = out[("org/fork", "org/orig")]
+    assert full["shared_dirs"] == 4 and full["jaccard"] == 1.0
+    # partial: shares a,b with orig/fork -> jaccard 2/(4+3-2)=0.4
+    assert out[("org/orig", "org/partial")]["jaccard"] == 0.4
+    assert out[("org/fork", "org/partial")]["jaccard"] == 0.4
+    # unrelated never pairs; the common dir was capped out (occ=4 > 3)
+    assert not any("org/unrelated" in k for pair in out for k in pair)
+    # with the cap relaxed, the ubiquitous dir drags unrelated into pairs
+    loose = repo_fork_pairs(df, min_shared=1, min_jaccard=0.1, max_recurrence=64)
+    assert any(
+        "org/unrelated" in (r["repo_a"], r["repo_b"]) for r in loose.collect()
+    )
