@@ -280,7 +280,10 @@ def landed_key_profile(
     )
     decl = spark.createDataFrame([(n,) for n in names], "key string")
     totals = raw.agg(F.count(F.lit(1)).alias("n_lines"))
-    prof = obs.join(F.broadcast(decl.withColumn("_decl", F.lit(True))), "key", "full_outer")
+    # No broadcast hint: Spark cannot build-right a FULL OUTER hash join,
+    # so the hint was ignored with a per-run HintErrorLogger warning.
+    # Both sides are O(distinct keys) aggregates — the SMJ is trivial.
+    prof = obs.join(decl.withColumn("_decl", F.lit(True)), "key", "full_outer")
     return (
         prof.crossJoin(F.broadcast(totals))
         .select(
