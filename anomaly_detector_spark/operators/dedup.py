@@ -91,6 +91,33 @@ def skeleton_dup_groups(
     )
 
 
+def skeleton_dup_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Skeleton groups as a canonical near-dup PAIR list (id_a, id_b)
+    with id_a = the group's keep_id — the same shape minhash/simhash
+    candidates produce, so skeleton dups compose into the one
+    dup_clusters closure (operators/corpus.py) alongside every other
+    dedup family. The group frame is O(duplicated skeletons) and
+    broadcast back onto one row scan (the vendored_examples pattern)."""
+    groups = skeleton_dup_groups(df, col, id_col, hash_fn).select(
+        "skeleton_hash", "keep_id"
+    )
+    sk = skeleton(col)
+    h = F.xxhash64(sk) if hash_fn == "xxhash64" else F.sha2(sk, 256)
+    rows = df.filter(F.col(col).isNotNull() & (F.length(sk) > 0)).select(
+        F.col(id_col).alias("_id"), h.alias("skeleton_hash")
+    )
+    return (
+        rows.join(F.broadcast(groups), "skeleton_hash")
+        .filter(F.col("_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+
+
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Character k-shingles of normalized text, JVM-side."""
     c = F.col(col) if isinstance(col, str) else col

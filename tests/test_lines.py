@@ -132,3 +132,17 @@ def test_boilerplate_config_declarable(spark):
     )
     res = specs[0].run(_corpus(spark))
     assert {r["verdict"] for r in res.verdicts.collect()} == {"FAIL", "PASS"}
+
+
+def test_strip_boilerplate_idempotent(spark):
+    """Stripping is a fixed point: every line with corpus frequency >=
+    min_docs is removed everywhere in pass one, and removal never raises
+    another line's document count — a second pass changes nothing."""
+    from anomaly_detector_spark.operators.lines import strip_boilerplate
+
+    df = _corpus(spark)
+    once = strip_boilerplate(df, min_docs=5)
+    twice = strip_boilerplate(once, min_docs=5)
+    a = sorted((r["path"], r["content"]) for r in once.collect())
+    b = sorted((r["path"], r["content"]) for r in twice.collect())
+    assert a == b

@@ -725,3 +725,26 @@ def test_skeleton_dup_groups(spark):
         for r in skeleton_dup_groups(df, hash_fn="xxhash64").collect()
     )
     assert prod == [(1, 3, 3), (40, 2, 2)]
+
+
+def test_skeleton_pairs_compose_into_clusters(spark):
+    """Skeleton dup groups emit the canonical (id_a, id_b) pair shape,
+    so they close into dup_clusters alongside every other family."""
+    from anomaly_detector_spark.operators.corpus import dup_clusters
+    from anomaly_detector_spark.operators.dedup import skeleton_dup_pairs
+
+    rows = [
+        (1, "def f(x):\n    return x\n"),
+        (2, "def f(x):  \n\treturn x"),
+        (3, "def f(x): return x  # same skeleton? no - spaces differ"),
+        (10, "unrelated body one"),
+        (11, "unrelated  body one"),   # ws variant of 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = skeleton_dup_pairs(df)
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(1, 2), (1, 3), (10, 11)]
+    clusters = {r["doc_id"]: r for r in dup_clusters(pairs).collect()}
+    assert clusters[2]["cluster_id"] == 1 and clusters[3]["cluster_id"] == 1
+    assert clusters[1]["is_survivor"] and clusters[10]["is_survivor"]
+    assert clusters[11]["cluster_size"] == 2
