@@ -271,3 +271,17 @@ def test_cli_markdown_report(spark, dirs, tmp_path, capsys):
     assert "uniqueness (" in md and "referential (" in md
     # the planted defects make incidents non-empty with a FAIL verdict row
     assert "## Open incidents" in md and "| FAIL |" in md
+
+
+def test_cli_paths_suite(spark, dirs, capsys):
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--suite", "paths", "--run-id", "p1", "--min-rows", "1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pending_partitions"] > 0
+    # the derived files table has clean paths and matching extensions:
+    # the three path checks all PASS, so total verdicts grew but FAILs
+    # come only from the planted base-suite defects
+    assert out["verdicts"].get("PASS", 0) > 0
