@@ -2313,6 +2313,31 @@ def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_emb_sanity(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding pre-flight (operators/similarity.py vector_sanity):
+    NaN / Inf / truncated / zero-norm vectors planted on doc_id
+    residues, classified by one HOF expression."""
+    from anomaly_detector_spark.operators.similarity import vector_sanity
+
+    e = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    v = F.col("v")
+    r = F.col("vec_id") % 9
+    nan = F.lit(float("nan"))
+    inf = F.lit(float("inf"))
+    mutated = (
+        F.when(r == 2, F.concat(F.array(nan), F.slice(v, 2, 63)))
+        .when(r == 4, F.slice(v, 1, 5))
+        .when(r == 6, F.transform(v, lambda x: F.lit(0.0)))
+        .when(r == 8, F.concat(F.array(inf), F.slice(v, 2, 63)))
+        .otherwise(v)
+    )
+    d = e.select("vec_id", mutated.alias("embedding"))
+    return vector_sanity(d, dim=64, id_col="vec_id")
+
+
 def q_files_fork_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Fork/mirror detection (operators/codescan.py repo_fork_pairs):
     one repo mirrored wholesale under a new name; paths fanned into 3
@@ -2501,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_vendored_dirs": q_files_vendored_dirs,
         "docs_skeleton_dups": q_docs_skeleton_dups,
         "files_fork_pairs": q_files_fork_pairs,
+        "emb_sanity": q_emb_sanity,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2666,6 +2692,37 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "emb_sanity": """
+            WITH e AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            mut AS (
+              SELECT vec_id,
+                CASE CAST(vec_id % 9 AS INTEGER)
+                  WHEN 2 THEN ['nan'::DOUBLE] || v[2:]
+                  WHEN 4 THEN v[1:5]
+                  WHEN 6 THEN list_transform(v, x -> 0.0)
+                  WHEN 8 THEN ['inf'::DOUBLE] || v[2:]
+                  ELSE v END AS v
+              FROM e
+            ),
+            k AS (
+              SELECT vec_id, concat_ws(',',
+                CASE WHEN v IS NULL THEN 'null_vec' END,
+                CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 'wrong_dim' END,
+                CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+                     THEN 'has_nan' END,
+                CASE WHEN len(list_filter(v, x -> isinf(x))) > 0
+                     THEN 'has_inf' END,
+                CASE WHEN v IS NOT NULL
+                          AND list_sum(list_transform(v, x -> x * x)) = 0
+                     THEN 'zero_norm' END
+              ) AS kinds FROM mut
+            )
+            SELECT vec_id, kinds FROM k WHERE kinds <> ''
+        """,
         "files_fork_pairs": f"""
             WITH {FILES_CTE_SQL},
             base AS (

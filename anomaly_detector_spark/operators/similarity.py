@@ -35,6 +35,52 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def vector_kinds(vec_col: str = "embedding", dim: int = 64) -> Column:
+    """Embedding-damage kinds (empty string when clean) — the
+    path_rule_kinds classifier pattern for the vector column: NULL
+    vector, wrong dimensionality, NaN elements (an upstream divide
+    blew up), Inf elements (overflowed norm), all-zero vector (cosine
+    is undefined — a zero-norm vector silently poisons every
+    similarity/ANN/drift operator downstream). One codegen'd HOF
+    expression; no UDF, no shuffle. A NaN-bearing vector is NOT also
+    flagged zero_norm (its sum-of-squares is NaN, not 0)."""
+    v = F.col(vec_col)
+    kinds = [
+        F.when(v.isNull(), F.lit("null_vec")),
+        F.when(v.isNotNull() & (F.size(v) != dim), F.lit("wrong_dim")),
+        F.when(F.exists(v, lambda x: F.isnan(x)), F.lit("has_nan")),
+        F.when(
+            F.exists(
+                v,
+                lambda x: (x == F.lit(float("inf"))) | (x == F.lit(float("-inf"))),
+            ),
+            F.lit("has_inf"),
+        ),
+        F.when(
+            v.isNotNull()
+            & (F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x) == 0),
+            F.lit("zero_norm"),
+        ),
+    ]
+    return F.array_join(F.filter(F.array(*kinds), lambda x: x.isNotNull()), ",")
+
+
+def vector_sanity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row vector damage rows: (id_col, kinds) for damaged vectors
+    only. The pre-flight every embedding pipeline needs before ANN /
+    drift / near-dup consume the column — all of which assume finite,
+    non-zero, fixed-dim vectors."""
+    return (
+        df.select(F.col(id_col), vector_kinds(vec_col, dim).alias("kinds"))
+        .filter(F.col("kinds") != "")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -106,6 +106,7 @@ def main() -> int:
         "files_vendored_dirs",  # copied-subtree fingerprints (two bounded aggs)
         "docs_skeleton_dups",  # formatting-variant dups (uniform-hash agg)
         "files_fork_pairs",    # fork/mirror pairs over capped dir fingerprints
+        "emb_sanity",          # embedding damage kinds, map-only HOF classifier
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

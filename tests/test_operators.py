@@ -748,3 +748,30 @@ def test_skeleton_pairs_compose_into_clusters(spark):
     assert clusters[2]["cluster_id"] == 1 and clusters[3]["cluster_id"] == 1
     assert clusters[1]["is_survivor"] and clusters[10]["is_survivor"]
     assert clusters[11]["cluster_size"] == 2
+
+
+def test_vector_sanity_kinds(spark):
+    from anomaly_detector_spark.operators.similarity import vector_kinds, vector_sanity
+
+    nan, inf = float("nan"), float("inf")
+    cases = [
+        (0, [1.0, 2.0, 3.0], ""),
+        (1, None, "null_vec"),
+        (2, [1.0, 2.0], "wrong_dim"),
+        (3, [nan, 2.0, 3.0], "has_nan"),
+        (4, [inf, 2.0, 3.0], "has_inf"),
+        (5, [-inf, 2.0, 3.0], "has_inf"),
+        (6, [0.0, 0.0, 0.0], "zero_norm"),
+        (7, [nan, 0.0], "wrong_dim,has_nan"),  # NaN never also zero_norm
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in cases], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["k"]
+        for r in df.select("vec_id", vector_kinds(dim=3).alias("k")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    bad = {r["vec_id"] for r in vector_sanity(df, dim=3, id_col="vec_id").collect()}
+    assert bad == {1, 2, 3, 4, 5, 6, 7}
