@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
         "stand in for full validation",
     )
     p.add_argument(
+        "--fork-audit", default=None,
+        help="after the run, write corpus-level duplication audits to this "
+        "directory: <dir>/fork_pairs (repo pairs by directory-fingerprint "
+        "jaccard) and <dir>/vendored_dirs (wholesale-copied subtrees) — "
+        "operators/codescan.py; summary carries the pair/dir counts",
+    )
+    p.add_argument(
         "--report", default=None,
         help="after the run, write a markdown validation report (latest-run "
         "verdict mix, per-check burn-down, open incidents) to this path — "
@@ -465,6 +472,20 @@ def main(argv: list[str] | None = None) -> int:
             {k: r[k] for k in ("partition_key", "check_id", "metric", "value", "z_score")}
             for r in flags.where(F.col("is_anomalous")).collect()
         ]
+    if args.fork_audit:
+        from .operators.codescan import repo_fork_pairs, vendored_dirs
+
+        forks = repo_fork_pairs(df)
+        vdirs = vendored_dirs(df)
+        forks.write.mode("overwrite").parquet(f"{args.fork_audit}/fork_pairs")
+        vdirs.write.mode("overwrite").parquet(f"{args.fork_audit}/vendored_dirs")
+        summary["fork_audit"] = args.fork_audit
+        summary["n_fork_pairs"] = spark.read.parquet(
+            f"{args.fork_audit}/fork_pairs"
+        ).count()
+        summary["n_vendored_dirs"] = spark.read.parquet(
+            f"{args.fork_audit}/vendored_dirs"
+        ).count()
     if args.report:
         from .plans.manifest import read_manifest, suite_id as _sid
         from .plans.report import name_map, render_report

@@ -285,3 +285,19 @@ def test_cli_paths_suite(spark, dirs, capsys):
     # the three path checks all PASS, so total verdicts grew but FAILs
     # come only from the planted base-suite defects
     assert out["verdicts"].get("PASS", 0) > 0
+
+
+def test_cli_fork_audit(spark, dirs, tmp_path, capsys):
+    audit = str(tmp_path / "audit")
+    rc = main([
+        "--input", dirs["input"], "--manifest", str(tmp_path / "m2"),
+        "--run-id", "fa1", "--fork-audit", audit,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fork_audit"] == audit
+    # the derived table has no mirrored repos or copied subtrees
+    assert out["n_fork_pairs"] == 0 and out["n_vendored_dirs"] == 0
+    assert spark.read.parquet(audit + "/fork_pairs").columns == [
+        "repo_a", "repo_b", "shared_dirs", "n_dirs_a", "n_dirs_b", "jaccard"
+    ]
