@@ -24,6 +24,17 @@ files ``(repo, path, commit, lang, content)``:
 * mergeable t-digest quantile sketches   (checks.quantiles)
 * run-over-run violation diffing + CDC-style snapshot diff (plans.diff)
 * footer-tier -> scan-suite escalation   (plans.tiered)
+* code-hygiene rules: secrets / license / generated / entropy /
+  encoding damage                        (checks.codehygiene)
+* path integrity: structural rules, case collisions, lang/ext
+  agreement + normalization enforcement  (checks.paths)
+* the corpus dedup ladder: content (vendored), line (boilerplate +
+  strip), skeleton (formatting variants), directory (copied subtrees),
+  repo (fork/mirror pairs)               (operators.codescan,
+  operators.lines, operators.dedup)
+* embedding sanity pre-flight (NULL/dim/NaN/Inf/zero-norm)
+                                         (operators.similarity)
+* markdown validation report from manifest metadata (plans.report)
 
 plus large-scale training-data-pipeline operators (operators.dedup,
 operators.similarity, operators.text, operators.multimodal, operators.windows)
