@@ -361,6 +361,61 @@ def run_boilerplate(df: DataFrame, spec: CheckSpec) -> CheckResult:
     return CheckResult(violations=violations, verdicts=verdicts, metrics=stats)
 
 
+def run_fork_exposure(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Fork-exposure check: FAIL repos participating in a fork/mirror
+    pair (operators/codescan.py repo_fork_pairs) at or above
+    ``fail_jaccard`` — the suite-gateable form of the --fork-audit CLI
+    surface. Declare ``partition_col='repo'`` (like
+    license_consistency): the partition IS the repo whose duplication
+    exposure is judged; each repo's verdict carries its worst-pair
+    jaccard and pair count. Verdicts + metrics only — pair evidence
+    via repo_fork_pairs / --fork-audit (dir-level rows have no
+    (repo, path, commit) identity to put in the violation envelope).
+
+    config: ``column`` ('content'), ``path_col`` ('path'),
+    ``min_shared`` (2), ``min_jaccard`` (0.5) — the candidate floor,
+    ``fail_jaccard`` (0.8) — the verdict threshold, ``max_recurrence``
+    (64), ``hash_fn`` ('xxhash64' production | 'sha256' oracle twin).
+    """
+    from ..operators.codescan import repo_fork_pairs
+    from .base import empty_violations, null_safe_join, verdict_frame
+
+    part = spec.partition_col
+    c = spec.config
+    pairs = repo_fork_pairs(
+        df,
+        col=c.get("column", "content"),
+        path_col=c.get("path_col", "path"),
+        by=part,
+        min_shared=int(c.get("min_shared", 2)),
+        min_jaccard=float(c.get("min_jaccard", 0.5)),
+        max_recurrence=int(c.get("max_recurrence", 64)),
+        hash_fn=c.get("hash_fn", "xxhash64"),
+    )
+    exposed = (
+        pairs.select(F.col("repo_a").alias(part), "jaccard")
+        .unionByName(pairs.select(F.col("repo_b").alias(part), "jaccard"))
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).alias("n_fork_pairs"),
+            F.max("jaccard").alias("worst_jaccard"),
+        )
+    )
+    totals = df.groupBy(F.col(part).alias(part)).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = null_safe_join(totals, exposed, [part], "left").na.fill(
+        {"n_fork_pairs": 0}
+    )
+    verdicts = verdict_frame(
+        stats,
+        spec.id,
+        part,
+        fail_when=F.col("worst_jaccard") >= float(c.get("fail_jaccard", 0.8)),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_fork_pairs", "worst_jaccard"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=stats)
+
+
 def code_hygiene_rules(
     partition_col: str = "lang",
     min_rows: int = 25,

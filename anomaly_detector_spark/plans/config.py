@@ -62,6 +62,7 @@ def _registry() -> dict[str, Callable]:
     from ..checks.codehygiene import (
         run_boilerplate,
         run_encoding,
+        run_fork_exposure,
         run_entropy_secrets,
         run_generated,
         run_license,
@@ -146,6 +147,8 @@ def _registry() -> dict[str, Callable]:
         # line-level boilerplate mass (corpus-frequent lines per doc);
         # aggregation-only — explode + one slim hash shuffle, no rowrule
         "boilerplate": run_boilerplate,
+        # fork/mirror exposure per repo (declare partition_col='repo')
+        "fork_exposure": run_fork_exposure,
         # path-integrity rowrules (checks/paths.py): structural path
         # rules + extension/lang agreement, both fuse-ready
         "path_format": run_path_format,

@@ -524,3 +524,38 @@ def test_repo_fork_pairs(spark):
     assert any(
         "org/unrelated" in (r["repo_a"], r["repo_b"]) for r in loose.collect()
     )
+
+
+def test_fork_exposure_check(spark):
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.codehygiene import run_fork_exposure
+
+    def tree(repo, dirs, salt=""):
+        return [
+            (repo, f"{d}/f{i}.js", "c", "js", f"{d} body {i}{salt}")
+            for d in dirs for i in range(2)
+        ]
+
+    rows = (
+        tree("org/orig", ["a", "b", "c"])
+        + tree("org/fork", ["a", "b", "c"])
+        + tree("org/clean", ["x", "y", "z"], salt="?")
+    )
+    df = mkfiles(spark, rows)
+    spec = CheckSpec(
+        "fork_exposure", run_fork_exposure,
+        {"min_shared": 2, "min_jaccard": 0.4, "fail_jaccard": 0.8, "hash_fn": "sha256"},
+        "repo", 1,
+    )
+    res = run_fork_exposure(df, spec)
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"org/orig": "FAIL", "org/fork": "FAIL", "org/clean": "PASS"}
+    m = {r["repo"]: r for r in res.metrics.collect()}
+    assert m["org/orig"]["worst_jaccard"] == 1.0 and m["org/orig"]["n_fork_pairs"] == 1
+    assert m["org/clean"]["n_fork_pairs"] == 0
+    # declarable round-trip
+    from anomaly_detector_spark.plans.config import suite_from_config, suite_to_config
+
+    doc = suite_to_config([spec])
+    back = suite_from_config(doc)
+    assert back[0].id == spec.id and back[0].fn is run_fork_exposure
