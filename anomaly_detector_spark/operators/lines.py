@@ -94,6 +94,7 @@ def boilerplate_share(
     min_len: int = 16,
     min_docs: int = 5,
     extra_cols: list[str] | None = None,
+    history: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document boilerplate mass: (id_cols..., [extra_cols...,]
     n_lines, n_boiler, boiler_share).
@@ -103,11 +104,24 @@ def boilerplate_share(
     distinct documents corpus-wide. Documents with no eligible lines
     (or NULL content) are absent from the output — gate with min_rows
     upstream. ``extra_cols`` (e.g. the partition column) ride the
-    explode so the check never joins back to the source."""
+    explode so the check never joins back to the source.
+
+    ``history``: optional (line_hash, n_docs) frame from
+    ``load_line_frequency`` — historical counts SUM with this batch's,
+    so an incremental batch scores against the corpus-so-far (a
+    license header frequent in past runs flags today's single new copy
+    — the in-batch count alone would not). Batch == incremental
+    equality under disjoint runs is test-pinned."""
     ids = list(id_cols) if id_cols is not None else DOC_KEY
     carry = list(extra_cols or [])
     lines = doc_lines(df, ids + carry, col, min_len)
     freq = line_frequency(lines, ids)
+    if history is not None:
+        freq = (
+            freq.unionByName(history.select("line_hash", "n_docs"))
+            .groupBy("line_hash")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
     tagged = lines.select(
         *ids, *carry, F.xxhash64("line").alias("line_hash")
     ).join(freq, "line_hash", "left")
@@ -121,6 +135,39 @@ def boilerplate_share(
             / F.count(F.lit(1)),
             6,
         ).alias("boiler_share"),
+    )
+
+
+def append_line_frequency(
+    df: DataFrame,
+    store_dir: str,
+    run_id: str,
+    id_cols: list[str] | None = None,
+    col: str = "content",
+    min_len: int = 16,
+) -> None:
+    """Persist this batch's (line_hash, n_docs) rows — the cross-run
+    boilerplate store (the KMV/band-store pattern): each run appends
+    its per-line distinct-doc counts; readers SUM per line_hash, which
+    is exact under incremental ingestion (every document arrives in
+    exactly one run — the same single-arrival caveat the membership
+    and novelty stores document). Re-validating the same documents in
+    two runs over-counts their lines; use revalidation runs with a
+    fresh store. Rows are O(distinct lines) per run; compaction =
+    ``plans/stores.py compact_store(..., 'linefreq')``."""
+    ids = list(id_cols) if id_cols is not None else DOC_KEY
+    freq = line_frequency(doc_lines(df, ids, col, min_len), ids).select(
+        F.lit(run_id).alias("run_id"), "line_hash", "n_docs"
+    )
+    freq.write.mode("append").parquet(store_dir)
+
+
+def load_line_frequency(spark, store_dir: str) -> DataFrame:
+    """Summed (line_hash, n_docs) across every persisted run."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("line_hash")
+        .agg(F.sum("n_docs").alias("n_docs"))
     )
 
 

@@ -113,7 +113,17 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
 
         out = reduce(lambda a, b: a.unionByName(b), parts).select(*df.columns)
         return _rewrite(spark, out.unionByName(latest.select(*df.columns)), store_dir)
+    if family == "linefreq":
+        # additive counts: readers SUM per line_hash, so the compacted
+        # form is one summed row per line under a synthetic run id —
+        # reader answers preserved exactly (idempotent re-compaction)
+        out = (
+            df.groupBy("line_hash")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .select(F.lit("0compact").alias("run_id"), "line_hash", "n_docs")
+        )
+        return _rewrite(spark, out.select(*df.columns), store_dir)
     raise ValueError(
         f"unknown store family {family!r}: use hll | tdigest | topk | "
-        "membership | kmv | quarantine"
+        "membership | kmv | linefreq | quarantine"
     )

@@ -146,3 +146,53 @@ def test_strip_boilerplate_idempotent(spark):
     a = sorted((r["path"], r["content"]) for r in once.collect())
     b = sorted((r["path"], r["content"]) for r in twice.collect())
     assert a == b
+
+
+def test_incremental_boilerplate_store(spark, tmp_path):
+    """Batch == incremental: scoring run 2's docs against the persisted
+    run-1 line frequencies equals scoring them inside one combined
+    corpus; compaction preserves the reader answer."""
+    from anomaly_detector_spark.operators.lines import (
+        append_line_frequency,
+        boilerplate_share,
+        load_line_frequency,
+    )
+    from anomaly_detector_spark.plans.stores import compact_store
+
+    store = str(tmp_path / "linefreq")
+    run1 = mkfiles(
+        spark,
+        [("r", f"a{i}.py", f"c{i}", "py", f"{HEADER}\nunique r1 line {i:03d}")
+         for i in range(4)],
+    )
+    run2 = mkfiles(
+        spark,
+        [("r", f"b{i}.py", f"x{i}", "py", f"{HEADER}\nunique r2 line {i:03d}")
+         for i in range(2)],
+    )
+    append_line_frequency(run1, store, "r1")
+
+    hist = load_line_frequency(spark, store)
+    inc = {
+        r["path"]: r
+        for r in boilerplate_share(run2, min_docs=5, history=hist).collect()
+    }
+    batch = {
+        r["path"]: r
+        for r in boilerplate_share(run1.unionByName(run2), min_docs=5).collect()
+        if r["path"].startswith("b")
+    }
+    assert set(inc) == set(batch) == {"b0.py", "b1.py"}
+    for p in inc:
+        assert inc[p]["n_boiler"] == batch[p]["n_boiler"] == 1  # header: 6 docs total
+        assert inc[p]["boiler_share"] == batch[p]["boiler_share"]
+    # without history the header is only in 2 in-batch docs: not boiler
+    alone = boilerplate_share(run2, min_docs=5).collect()
+    assert all(r["n_boiler"] == 0 for r in alone)
+
+    # compaction: summed one-row-per-line store, answers preserved
+    append_line_frequency(run2, store, "r2")
+    before = {r["line_hash"]: r["n_docs"] for r in load_line_frequency(spark, store).collect()}
+    n = compact_store(spark, store, "linefreq")
+    after = {r["line_hash"]: r["n_docs"] for r in load_line_frequency(spark, store).collect()}
+    assert before == after and n == len(after)
