@@ -775,3 +775,33 @@ def test_vector_sanity_kinds(spark):
         assert got[i] == want, (i, got[i], want)
     bad = {r["vec_id"] for r in vector_sanity(df, dim=3, id_col="vec_id").collect()}
     assert bad == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_skeleton_membership_composition(spark):
+    """Families compose: a skeleton-hash column + the bloom membership
+    primitives give cross-run formatting-variant 'seen before' with no
+    new machinery — run 2's reformatted copy of a run-1 file probes
+    maybe_seen even though its bytes are new."""
+    from anomaly_detector_spark.checks.membership import bloom_probe, bloom_words
+    from anomaly_detector_spark.operators.dedup import skeleton
+    from pyspark.sql import functions as F
+
+    def with_sk(df):
+        return df.withColumn("sk", F.xxhash64(skeleton("text")).cast("string"))
+
+    run1 = with_sk(spark.createDataFrame(
+        [(1, "python", "def f(x):\n    return x\n")], "doc_id long, lang string, text string"
+    ))
+    run2 = with_sk(spark.createDataFrame(
+        [(2, "python", "def f(x):\treturn x"),       # reformatted: same skeleton
+         (3, "python", "def g(y): return y+y")],      # genuinely new
+        "doc_id long, lang string, text string",
+    ))
+    words = bloom_words(run1, "lang", ["sk"], n_bits=1 << 12, k=4)
+    probed = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in bloom_probe(run2, words, "lang", ["sk"], n_bits=1 << 12, k=4).join(
+            run2.select(F.col("sk"), "doc_id"), "sk"
+        ).collect()
+    }
+    assert probed == {2: True, 3: False}
