@@ -314,7 +314,11 @@ def run_boilerplate(df: DataFrame, spec: CheckSpec) -> CheckResult:
 
     config: ``column`` ('content'), ``min_len`` (16), ``min_docs``
     (5), ``max_boiler_share`` (0.3), ``doc_share_thresh`` (0.8),
-    ``min_doc_lines`` (3).
+    ``min_doc_lines`` (3), ``history_dir`` (optional persisted
+    line-frequency store path — operators/lines.py
+    append_line_frequency; rides the check id like every store path,
+    so a different store is a different check. Missing/empty store =
+    in-batch frequencies only, the warm-up analog).
     """
     from ..operators.lines import boilerplate_share
     from .base import as_violations, empty_violations, null_safe_join, verdict_frame
@@ -327,8 +331,18 @@ def run_boilerplate(df: DataFrame, spec: CheckSpec) -> CheckResult:
     doc_thresh = float(spec.config.get("doc_share_thresh", 0.8))
     min_doc_lines = int(spec.config.get("min_doc_lines", 3))
 
+    history = None
+    hist_dir = spec.config.get("history_dir")
+    if hist_dir:
+        from ..operators.lines import load_line_frequency
+
+        try:
+            history = load_line_frequency(df.sparkSession, hist_dir)
+        except Exception:
+            history = None  # no store yet: first run scores in-batch only
     shares = boilerplate_share(
-        df, col=col, min_len=min_len, min_docs=min_docs, extra_cols=[part]
+        df, col=col, min_len=min_len, min_docs=min_docs, extra_cols=[part],
+        history=history,
     )
     offenders = shares.filter(
         (F.col("boiler_share") >= doc_thresh) & (F.col("n_lines") >= min_doc_lines)

@@ -196,3 +196,31 @@ def test_incremental_boilerplate_store(spark, tmp_path):
     n = compact_store(spark, store, "linefreq")
     after = {r["line_hash"]: r["n_docs"] for r in load_line_frequency(spark, store).collect()}
     assert before == after and n == len(after)
+
+
+def test_boilerplate_check_with_history_store(spark, tmp_path):
+    from anomaly_detector_spark.operators.lines import append_line_frequency
+
+    store = str(tmp_path / "lf")
+    run1 = mkfiles(
+        spark,
+        [("r", f"a{i}.py", f"c{i}", "py", f"{HEADER}\nunique r1 line {i:03d}")
+         for i in range(5)],
+    )
+    run2 = mkfiles(
+        spark, [("r", "b.py", "x", "py", f"{HEADER}\nbrand new unique line")]
+    )
+    cfg = {"min_docs": 5, "max_boiler_share": 0.3, "doc_share_thresh": 0.5,
+           "min_doc_lines": 2, "history_dir": store}
+    spec = CheckSpec("boilerplate", run_boilerplate, cfg, "lang", 1)
+    # first run: store missing -> in-batch only, header not yet frequent
+    # for run2 alone
+    res0 = run_boilerplate(run2, spec)
+    assert [r["verdict"] for r in res0.verdicts.collect()] == ["PASS"]
+    append_line_frequency(run1, store, "r1")
+    res1 = run_boilerplate(run2, spec)
+    assert [r["verdict"] for r in res1.verdicts.collect()] == ["FAIL"]
+    assert [r["path"] for r in res1.violations.collect()] == ["b.py"]
+    # store path rides the check id
+    other = CheckSpec("boilerplate", run_boilerplate, {**cfg, "history_dir": store + "2"}, "lang", 1)
+    assert other.id != spec.id
