@@ -559,3 +559,29 @@ def test_fork_exposure_check(spark):
     doc = suite_to_config([spec])
     back = suite_from_config(doc)
     assert back[0].id == spec.id and back[0].fn is run_fork_exposure
+
+
+def test_drop_forks(spark):
+    from anomaly_detector_spark.operators.codescan import drop_forks
+
+    def tree(repo, dirs, salt=""):
+        return [
+            (repo, f"{d}/f{i}.js", "c", "js", f"{d} body {i}{salt}")
+            for d in dirs for i in range(2)
+        ]
+
+    rows = (
+        tree("org/b-orig", ["a", "b", "c"])
+        + tree("org/a-fork", ["a", "b", "c"])     # min name: survives
+        + tree("org/c-fork", ["a", "b", "c"])     # 3-way cluster
+        + tree("org/clean", ["x", "y"], salt="?")
+    )
+    df = mkfiles(spark, rows)
+    kept, dropped = drop_forks(
+        df, min_shared=2, min_jaccard=0.8, hash_fn="sha256"
+    )
+    d = {r["repo"]: r["cluster_repo"] for r in dropped.collect()}
+    assert d == {"org/b-orig": "org/a-fork", "org/c-fork": "org/a-fork"}
+    kept_repos = {r["repo"] for r in kept.select("repo").distinct().collect()}
+    assert kept_repos == {"org/a-fork", "org/clean"}
+    assert kept.count() == 6 + 4  # survivor's rows + clean rows, untouched
