@@ -2313,6 +2313,24 @@ def q_docs_boiler_strip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_files_commit_bloat(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot bloat (checks/uniqueness.py run_commit_bloat): the same
+    (repo, path) content replayed under a second commit, planted on
+    doc_id % 35; the check's window algebra and violation strings
+    replayed in SQL (sha256 group twin of the xxhash64 key)."""
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.uniqueness import run_commit_bloat
+
+    files = files_view(spark, sf)
+    planted = files.filter(F.col("doc_id") % 35 == 0).withColumn(
+        "commit", F.concat(F.col("commit"), F.lit("b"))
+    )
+    allr = files.drop("doc_id").unionByName(planted.drop("doc_id"))
+    spec = CheckSpec("commit_bloat", run_commit_bloat, {}, "lang", 1)
+    res = run_commit_bloat(allr, spec)
+    return res.violations.select("repo", "path", "commit", "partition_key", "observed")
+
+
 def q_emb_sanity(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding pre-flight (operators/similarity.py vector_sanity):
     NaN / Inf / truncated / zero-norm vectors planted on doc_id
@@ -2527,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_skeleton_dups": q_docs_skeleton_dups,
         "files_fork_pairs": q_files_fork_pairs,
         "emb_sanity": q_emb_sanity,
+        "files_commit_bloat": q_files_commit_bloat,
         "files_drift_examples": q_files_drift_examples,
         "files_vendored": q_files_vendored,
         "files_license_consistency": q_files_license_consistency,
@@ -2692,6 +2711,27 @@ _LOADS_PREFIX = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "files_commit_bloat": f"""
+            WITH {FILES_CTE_SQL},
+            allr AS (
+              SELECT repo, path, "commit", lang, content FROM files
+              UNION ALL
+              SELECT repo, path, "commit" || 'b', lang, content FROM files
+              WHERE doc_id % 35 = 0
+            ),
+            g AS (
+              SELECT repo, path, "commit", lang,
+                     count(*) OVER w AS n,
+                     row_number() OVER w2 AS rn
+              FROM allr WHERE content IS NOT NULL
+              WINDOW w AS (PARTITION BY repo, path, sha256(content)),
+                     w2 AS (PARTITION BY repo, path, sha256(content)
+                            ORDER BY "commit" ASC)
+            )
+            SELECT repo, path, "commit", lang AS partition_key,
+                   'content repeated across ' || n || ' commits' AS observed
+            FROM g WHERE n > 1 AND rn > 1
+        """,
         "emb_sanity": """
             WITH e AS (
               SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -59,6 +59,62 @@ def dedup_keep_first(df: DataFrame, key: list[str] = KEY, order_col: str = "cont
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def run_commit_bloat(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Snapshot-bloat check: the SAME (repo, path) carrying byte-equal
+    content under MULTIPLE commits. Key-uniqueness can't see it (the
+    commits differ, so the keys differ) and vendored-content won't
+    either (same repo) — yet a file unchanged across k snapshots lands
+    k times in a training corpus, multiplying its weight for free.
+
+    Same slim single-exchange shape as run_uniqueness: one window over
+    (repo, path, xxhash64(content)) — the composite is high-cardinality
+    so the exchange is skew-immune, and content itself never rides the
+    shuffle (hashed map-side). The minimal-commit row per group is the
+    exempt survivor (deterministic, binary collation); every other
+    occurrence is a violation attributed to its own carried partition
+    value. NULL content rows are excluded (completeness's concern).
+
+    config: ``column`` ('content'). Violations + per-partition verdicts
+    with n_bloat_rows metrics; FAIL when any bloat row exists.
+    """
+    part = spec.partition_col
+    col = spec.config.get("column", "content")
+    cid = spec.id
+
+    wkey = Window.partitionBy("repo", "path", F.xxhash64(F.col(col)))
+    slim = df.filter(F.col(col).isNotNull()).select(
+        "repo",
+        "path",
+        "commit",
+        F.col(part).alias("_part"),
+        F.count(F.lit(1)).over(wkey).alias("n"),
+        F.row_number().over(wkey.orderBy(F.col("commit").asc_nulls_last())).alias("_rn"),
+    )
+    offenders = slim.filter((F.col("n") > 1) & (F.col("_rn") > 1))
+    violations = as_violations(
+        offenders,
+        cid,
+        observed=F.concat(
+            F.lit("content repeated across "), F.col("n").cast("string"), F.lit(" commits")
+        ),
+        expected=F.lit("one commit per unchanged (repo, path) content"),
+        partition_key=F.col("_part"),
+    )
+    per_part = slim.groupBy(F.col("_part").alias(part)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.col("n") > 1) & (F.col("_rn") > 1)).cast("long")).alias("n_bloat_rows"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        cid,
+        part,
+        fail_when=F.col("n_bloat_rows") > 0,
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_bloat_rows"],
+    )
+    return CheckResult(violations=violations, verdicts=verdicts, metrics=per_part)
+
+
 def run_uniqueness(df: DataFrame, spec: CheckSpec) -> CheckResult:
     part = spec.partition_col
     key = spec.config.get("key", KEY)

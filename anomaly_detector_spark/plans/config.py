@@ -83,7 +83,7 @@ def _registry() -> dict[str, Callable]:
     from ..checks.quantiles import run_quantile_drift
     from ..checks.reconcile import run_reconcile
     from ..checks.stats import run_stats
-    from ..checks.uniqueness import run_uniqueness
+    from ..checks.uniqueness import run_commit_bloat, run_uniqueness
 
     return {
         "stats": run_stats,
@@ -96,6 +96,9 @@ def _registry() -> dict[str, Callable]:
         "small_files": run_small_files,
         "quantile_drift": run_quantile_drift,
         "uniqueness": run_uniqueness,
+        # same (repo, path) content repeated under multiple commits —
+        # snapshot bloat; one slim window exchange (uniqueness's shape)
+        "commit_bloat": run_commit_bloat,
         # cross-run key membership: config carries the persisted bloom
         # store PATH (part of the check id — different store, different
         # check), never a frame

@@ -107,6 +107,7 @@ def main() -> int:
         "docs_skeleton_dups",  # formatting-variant dups (uniform-hash agg)
         "files_fork_pairs",    # fork/mirror pairs over capped dir fingerprints
         "emb_sanity",          # embedding damage kinds, map-only HOF classifier
+        "files_commit_bloat",  # unchanged-content commit replays (slim window)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

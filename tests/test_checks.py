@@ -632,3 +632,30 @@ def test_key_cardinality_check(spark):
     )[0]
     got = {r["partition_key"]: r["verdict"] for r in uniq.run(df).verdicts.collect()}
     assert got == {"py": "FAIL", "go": "FAIL"}  # k2/k3/NULL all multi-row
+
+
+def test_commit_bloat(spark):
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.uniqueness import run_commit_bloat
+
+    rows = [
+        # same (repo, path) + same content across 3 commits: 2 bloat rows
+        ("r1", "src/a.py", "c1", "python", "unchanged body"),
+        ("r1", "src/a.py", "c2", "python", "unchanged body"),
+        ("r1", "src/a.py", "c3", "python", "unchanged body"),
+        # same path, content CHANGED: legitimate history
+        ("r1", "src/b.py", "c1", "python", "v1"),
+        ("r1", "src/b.py", "c2", "python", "v2"),
+        # same content different path: not bloat (vendoring's concern)
+        ("r1", "src/c.py", "c1", "go", "shared"),
+        ("r1", "src/d.py", "c1", "go", "shared"),
+        # NULL content excluded
+        ("r1", "src/e.py", "c1", "go", None),
+    ]
+    df = mkfiles(spark, rows)
+    spec = CheckSpec("commit_bloat", run_commit_bloat, {}, "lang", 1)
+    res = run_commit_bloat(df, spec)
+    v = sorted((r["path"], r["commit"]) for r in res.violations.collect())
+    assert v == [("src/a.py", "c2"), ("src/a.py", "c3")]  # c1 survives (min commit)
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"python": "FAIL", "go": "PASS"}
