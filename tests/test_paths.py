@@ -288,3 +288,28 @@ def test_skeleton_batch_random_invariance(spark):
         skeleton("mutated").alias("b"),
     ).filter(F.col("a") != F.col("b")).collect()
     assert not out, out[:5]
+
+
+def test_new_checks_empty_input(spark):
+    """Verify-probe parity for the session's checks: an empty input
+    yields zero verdicts/violations and no crash."""
+    from anomaly_detector_spark.checks.codehygiene import (
+        run_boilerplate,
+        run_encoding,
+        run_fork_exposure,
+    )
+    from anomaly_detector_spark.checks.uniqueness import run_commit_bloat
+
+    empty = mkfiles(spark, []).filter("1=0")
+    for name, fn, cfg in [
+        ("path_format", run_path_format, {}),
+        ("lang_ext", run_lang_ext, {}),
+        ("case_collisions", run_case_collisions, {}),
+        ("encoding", run_encoding, {}),
+        ("boilerplate", run_boilerplate, {}),
+        ("fork_exposure", run_fork_exposure, {"hash_fn": "sha256"}),
+        ("commit_bloat", run_commit_bloat, {}),
+    ]:
+        res = fn(empty, CheckSpec(name, fn, cfg, "lang", 1))
+        assert res.verdicts.count() == 0, name
+        assert res.violations.count() == 0, name
