@@ -2442,6 +2442,74 @@ def q_docs_encoding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Unicode-security plants (ASCII escapes; Python resolves them, so the
+# Spark literal and the oracle's chr() composition carry identical code
+# points). One plant per kind of operators/codescan.py UNICODE_PATTERNS.
+_U_BIDI = "if (x) {" + chr(0x202E) + "eslaf nruter" + chr(0x2066) + "}"
+_U_ZW = "pass" + chr(0x200B) + "word "
+_U_BOM = "a" + chr(0xFEFF) + "b"
+_U_TAG = chr(0xE0041) + chr(0xE0042)
+_U_HOMO = "p" + chr(0x0430) + "ypal "
+_U_C0 = chr(7)
+_U_VS = "x" + chr(0xFE0F)
+
+
+def q_docs_unicode_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-security kinds (operators/codescan.py unicode_kinds —
+    Trojan Source bidi controls, zero-width, interior BOM, tag-block
+    payloads, variation selectors, mixed-script homoglyphs, raw C0):
+    one plant per kind on doc_id residues, classified by ONE codegen'd
+    expression (map-only, zero shuffle, zero Python)."""
+    from anomaly_detector_spark.operators.codescan import unicode_kinds
+
+    d = load_table(spark, sf, "documents")
+    r = F.col("doc_id") % 23
+    t = F.col("text")
+    mutated = (
+        F.when(r == 2, F.concat(t, F.lit(_U_BIDI)))
+        .when(r == 5, F.concat(F.lit(_U_ZW), t))
+        .when(r == 8, F.concat(t, F.lit(_U_BOM)))
+        .when(r == 11, F.concat(t, F.lit(_U_TAG)))
+        .when(r == 14, F.concat(F.lit(_U_HOMO), t))
+        .when(r == 17, F.concat(t, F.lit(_U_C0)))
+        .when(r == 20, F.concat(t, F.lit(_U_VS)))
+        .otherwise(t)
+    )
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), mutated.alias("content"))
+        .select("doc_id", unicode_kinds("content").alias("kinds"))
+        .filter(F.col("kinds") != "")
+    )
+
+
+def q_docs_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style partial-copy pairs (operators/dedup.py
+    containment_pairs): for doc_id % 17 == 3 the doc's text gains its
+    PREDECESSOR's full text as a suffix, so (d-1, d) is an asymmetric
+    partial-copy pair — containment 1.0 while Jaccard ~ |A|/|B| stays
+    far below any symmetric near-dup bar. Inverted-index self-join on
+    winnowed fingerprints, posting-capped (never all-pairs)."""
+    from anomaly_detector_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    prev = d.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_prev"))
+    mut = (
+        d.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 17 == 3) & F.col("_prev").isNotNull(),
+                F.concat_ws(" ", F.col("text"), F.col("_prev")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return containment_pairs(mut, threshold=0.8)
+
+
 def q_files_path_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Structural path rules (checks/paths.py path_rule_kinds): traversal /
     absolute / backslash / double-slash / control / edge-space anomalies
@@ -2541,6 +2609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate": q_docs_boilerplate,
         "docs_boiler_strip": q_docs_boiler_strip,
         "docs_encoding": q_docs_encoding,
+        "docs_unicode_scan": q_docs_unicode_scan,
+        "docs_containment": q_docs_containment,
         "files_vendored_dirs": q_files_vendored_dirs,
         "docs_skeleton_dups": q_docs_skeleton_dups,
         "files_fork_pairs": q_files_fork_pairs,
@@ -6291,6 +6361,113 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                     WHEN n_licenses > 1 THEN 'FAIL' ELSE 'PASS' END AS verdict,
                n_rows, n_licenses, n_unlicensed
         FROM agg
+    """
+    # Unicode-security scan: the regexes and plants are SHARED Python
+    # constants (UNICODE_PATTERNS / _U_* above) rendered into DuckDB SQL
+    # by _rx_sql — printable ASCII stays a quoted literal, every other
+    # code point becomes chr(n), so both engines receive byte-identical
+    # pattern and plant text from one source of truth.
+    def _rx_sql(rx: str) -> str:
+        parts: list[str] = []
+        buf = ""
+        for ch in rx:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                buf += ch
+            else:
+                if buf:
+                    parts.append(f"'{buf}'")
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+        if buf:
+            parts.append(f"'{buf}'")
+        return " || ".join(parts) if parts else "''"
+
+    from anomaly_detector_spark.operators.codescan import UNICODE_PATTERNS
+
+    _uni_cases = ",\n                 ".join(
+        f"CASE WHEN regexp_matches(content, {_rx_sql(rx)}) THEN '{kind}' END"
+        for kind, rx in UNICODE_PATTERNS
+    )
+    out["docs_unicode_scan"] = f"""
+        WITH mut AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            CASE doc_id % 23
+              WHEN 2 THEN text || {_rx_sql(_U_BIDI)}
+              WHEN 5 THEN {_rx_sql(_U_ZW)} || text
+              WHEN 8 THEN text || {_rx_sql(_U_BOM)}
+              WHEN 11 THEN text || {_rx_sql(_U_TAG)}
+              WHEN 14 THEN {_rx_sql(_U_HOMO)} || text
+              WHEN 17 THEN text || {_rx_sql(_U_C0)}
+              WHEN 20 THEN text || {_rx_sql(_U_VS)}
+              ELSE text END AS content
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id,
+                 concat_ws(',',
+                 {_uni_cases}
+                 ) AS kinds
+          FROM (SELECT doc_id, coalesce(content, '') AS content FROM mut)
+        )
+        SELECT doc_id, kinds FROM k WHERE kinds <> ''
+    """
+    # MOSS containment pairs: the full winnow + inverted-index + posting
+    # cap + size-normalization algebra replayed over the same planted
+    # predecessor-suffix partial copies (same token/shingle/sha256-hex
+    # pipeline as docs_winnow_fp — string min is binary-collated in both
+    # engines; integer '/' is float division in DuckDB).
+    out["docs_containment"] = f"""
+        WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        mut AS (
+          SELECT b.doc_id,
+                 CASE WHEN b.doc_id % 17 = 3 AND p.text IS NOT NULL
+                      THEN concat_ws(' ', b.text, p.text)
+                      ELSE b.text END AS text
+          FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1
+        ),
+        t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM mut),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+          FROM t
+        ),
+        h AS (
+          SELECT doc_id,
+                 list_transform(shingles, s -> substr(sha256(s), 1, 16)) AS hs
+          FROM sh
+        ),
+        sel AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) - 3 < 1 THEN CAST([] AS VARCHAR[])
+                      ELSE list_distinct(list_transform(range(1, len(hs) - 3 + 1),
+                                         i -> list_aggregate(hs[i:i+3], 'min')))
+                 END AS fps
+          FROM h
+        ),
+        fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel),
+        sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+        posting AS (SELECT fingerprint, count(*) AS p FROM fp GROUP BY 1),
+        kept AS (
+          SELECT fp.doc_id, fp.fingerprint
+          FROM fp JOIN posting USING (fingerprint) WHERE p <= 5000
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM kept a JOIN kept b
+            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT id_a, id_b, shared,
+                 CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+                 round(shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT * FROM scored WHERE containment >= 0.8
     """
     # Code-hygiene family (operators/codescan.py). Plants mirror the
     # Spark side byte-for-byte (sha256(doc_id) is engine-identical).

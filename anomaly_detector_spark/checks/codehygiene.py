@@ -34,6 +34,13 @@ Semantics of each check:
                     pass already destroyed bytes), BOM prefix, CR line
                     endings — named kinds from one codegen'd
                     classifier, fuse-ready like the rest.
+* ``unicode``     — unicode-security anomalies (Trojan Source /
+                    CVE-2021-42574): bidi controls, zero-width chars,
+                    interior BOM, tag-block payloads, variation
+                    selectors, mixed-script homoglyph runs, raw C0
+                    controls (operators/codescan.py UNICODE_PATTERNS);
+                    strip_invisible is the enforcement twin for the
+                    strippable subset.
 
 Group-level (NOT rowrules): ``vendored`` (cross-repo duplicate
 content), ``license_consistency`` (conflicting tags per repo), and
@@ -48,9 +55,11 @@ from pyspark.sql import functions as F
 from ..operators.codescan import (
     GENERATED_MARKER_RX,
     SECRET_PATTERNS,
+    UNICODE_PATTERNS,
     has_high_entropy_token,
     license_expr,
     secret_kinds,
+    unicode_kinds,
 )
 from .base import CheckResult, CheckSpec
 from .rowrules import _run_rule
@@ -151,6 +160,33 @@ def run_encoding(df: DataFrame, spec: CheckSpec) -> CheckResult:
 
 
 run_encoding._rule_builder = _encoding_rule  # type: ignore[attr-defined]
+
+
+def _unicode_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    col = spec.config.get("column", "content")
+    pats = spec.config.get("patterns", UNICODE_PATTERNS)
+    kinds = unicode_kinds(col, pats)
+    bad = kinds != ""
+    observed = F.concat(F.lit("unicode kinds: "), kinds)
+    return bad, observed, (
+        f"{col} has no bidi/zero-width/tag/homoglyph/control unicode"
+    )
+
+
+def run_unicode(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Unicode-security rowrule: FAIL rows whose text carries invisible
+    or deceptive unicode (unicode_kinds classifier — Trojan Source bidi
+    reordering, zero-width identifier splitters, interior BOM, tag-block
+    hidden payloads, variation selectors, mixed-script homoglyphs, raw
+    C0 controls). Violations name the KINDS, never the bytes (the
+    secrets-sink policy); fuse-ready like every rowrule — the whole
+    family folds into the suite's existing violations scan + verdict
+    aggregate. config: ``column`` ('content'), ``patterns``
+    (UNICODE_PATTERNS override)."""
+    return _run_rule(df, spec, _unicode_rule)
+
+
+run_unicode._rule_builder = _unicode_rule  # type: ignore[attr-defined]
 
 
 def run_secrets(df: DataFrame, spec: CheckSpec) -> CheckResult:
@@ -463,4 +499,5 @@ def code_hygiene_rules(
             {"column": "content"}, partition_col, min_rows,
         ),
         CheckSpec("encoding", run_encoding, {"column": "content"}, partition_col, min_rows),
+        CheckSpec("unicode", run_unicode, {"column": "content"}, partition_col, min_rows),
     ]

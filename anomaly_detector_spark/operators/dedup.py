@@ -703,6 +703,83 @@ def simhash_near_dups(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 4,
+    threshold: float = 0.8,
+    max_posting: int = 5_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """MOSS-style partial-copy detection: pairs whose winnowing
+    fingerprint CONTAINMENT (shared / min set size) clears ``threshold``
+    — the asymmetric near-dup class every symmetric measure misses (a
+    file wholesale-embedded in a larger one has Jaccard ~= |A|/|B|, far
+    below any MinHash threshold, but containment ~= 1.0: winnowing
+    guarantees any shared run of window+shingle_k-1 tokens shares a
+    fingerprint, and a copied region's interior windows select
+    identical mins in both documents).
+
+    Scale shape: an inverted-index self-join bucketed by the winnowed
+    fingerprint (operators/text.py winnow_fingerprints — narrow map,
+    per-doc distinct), exactly the banded-LSH join geometry: cost is
+    O(sum posting_list^2), NOT all-pairs. ``max_posting`` drops
+    fingerprints recurring in more than that many documents before the
+    join — corpus boilerplate (license headers, generated preambles)
+    would otherwise create mega-postings, and a fingerprint shared by
+    half the corpus identifies nothing (the minhash max_bucket / lines
+    boilerplate rationale; lower it or strip_boilerplate first when
+    boilerplate mass is high). Shared counts partial-aggregate to one
+    row per surviving pair before the size join; text never rides any
+    shuffle. The fingerprint frame feeds three consumers (sizes,
+    posting filter, both join sides), so it is localCheckpoint-ed by
+    default (``materialize=False`` keeps the pure plan for oracle/plan
+    inspection).
+
+    Returns (id_a, id_b, shared, n_a, n_b, containment) with
+    id_a < id_b; containment rounded to 6dp (engine-exact). Documents
+    too short to emit a fingerprint (< window+shingle_k-1 tokens)
+    cannot appear — chunk-level dedup for sub-shingle texts is
+    segment_dedup's job.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, col, id_col, shingle_k=shingle_k, window=window)
+    if materialize:
+        fps = fps.localCheckpoint()
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_fp"))
+    posting = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_p"))
+    kept = fps.join(
+        posting.filter(F.col("_p") > max_posting).select("fingerprint"),
+        on="fingerprint",
+        how="left_anti",
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = kept.select(F.col(id_col).alias("id_b"), "fingerprint")
+    shared = (
+        a.join(b, on="fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n_fp").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n_fp").alias("n_b")), "id_b"
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6),
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def doc_segments(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", seg_tokens: int = 16
 ) -> DataFrame:

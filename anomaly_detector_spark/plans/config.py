@@ -68,6 +68,7 @@ def _registry() -> dict[str, Callable]:
         run_license,
         run_license_consistency,
         run_secrets,
+        run_unicode,
         run_vendored,
     )
     from ..checks.fd import run_fd, run_key_cardinality
@@ -142,6 +143,9 @@ def _registry() -> dict[str, Callable]:
         "entropy_secrets": run_entropy_secrets,
         # encoding-damage rowrule (BOM/NUL/U+FFFD/CR kinds), fuse-ready
         "encoding": run_encoding,
+        # unicode-security rowrule (Trojan Source bidi / zero-width /
+        # tag-payload / homoglyph / C0 kinds), fuse-ready
+        "unicode": run_unicode,
         # vendored-content check: aggregation-only (one scan, reused
         # exchange), verdicts+metrics; evidence via vendored_examples
         "vendored": run_vendored,

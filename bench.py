@@ -108,6 +108,8 @@ def main() -> int:
         "files_fork_pairs",    # fork/mirror pairs over capped dir fingerprints
         "emb_sanity",          # embedding damage kinds, map-only HOF classifier
         "files_commit_bloat",  # unchanged-content commit replays (slim window)
+        "docs_unicode_scan",   # Trojan-Source unicode kinds, map-only classifier
+        "docs_containment",    # MOSS partial-copy pairs (posting-capped join)
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -449,6 +449,87 @@ def test_encoding_kinds_and_rule(spark):
     assert verd == {"python": "FAIL", "go": "PASS"}
 
 
+def test_unicode_kinds_and_rule(spark):
+    from anomaly_detector_spark.checks.codehygiene import run_unicode
+    from anomaly_detector_spark.operators.codescan import unicode_kinds
+
+    RLO, LRI = chr(0x202E), chr(0x2066)
+    ZWSP, BOM = chr(0x200B), chr(0xFEFF)
+    TAG_A, TAG_B = chr(0xE0041), chr(0xE0042)
+    VS16, BEL = chr(0xFE0F), chr(7)
+    CYR_A = chr(0x0430)  # Cyrillic а
+    cases = [
+        ("plain ascii, nothing to see", ""),
+        ("if (x) {" + RLO + "eslaf nruter" + LRI + "}", "bidi_control"),
+        ("pass" + ZWSP + "word = 1", "zero_width"),
+        ("a" + BOM + "b", "interior_bom"),
+        (BOM + "leading bom is the encoding check's kind", ""),
+        ("hello " + TAG_A + TAG_B + " world", "tag_chars"),
+        ("x" + VS16 + " marker", "variation_sel"),
+        ("p" + CYR_A + "ypal login", "homoglyph_mix"),
+        # whole-word Cyrillic (real non-English text) must NOT fire
+        ("все хорошо", ""),
+        ("bell" + BEL + "char", "c0_control"),
+        ("tab\tand\nnewline and\r cr are not c0 kinds here", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i long, content string"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", unicode_kinds("content").alias("k")).collect()
+    }
+    for i, (c, want) in enumerate(cases):
+        assert got[i] == want, (c, got[i], want)
+
+    rows = [
+        ("r", "a.py", "c1", "python", "ok line"),
+        ("r", "b.py", "c2", "python", "x = 1 " + RLO + "hidden"),
+        ("r", "c.go", "c3", "go", "fine"),
+    ]
+    spec = CheckSpec("unicode", run_unicode, {"column": "content"}, "lang", 1)
+    res = run_unicode(mkfiles(spark, rows), spec)
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["path"] == "b.py"
+    # violation hygiene: kinds only, never the payload bytes
+    assert "bidi_control" in v[0]["observed"] and RLO not in v[0]["observed"]
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"python": "FAIL", "go": "PASS"}
+
+
+def test_strip_invisible(spark):
+    from anomaly_detector_spark.operators.codescan import strip_invisible, unicode_kinds
+
+    RLO, ZWSP, BOM = chr(0x202E), chr(0x200B), chr(0xFEFF)
+    TAG_A, VS16, BEL = chr(0xE0041), chr(0xFE0F), chr(7)
+    CYR_A = chr(0x0430)
+    rows = [
+        (1, "if {" + RLO + "x" + chr(0x2066) + "} " + ZWSP + TAG_A + VS16),
+        (2, BOM + "leading bom stays"),
+        (3, "p" + CYR_A + "ypal and bell" + BEL + " stay (visible kinds)"),
+        (4, "untouched"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content string")
+    out = {r["doc_id"]: r for r in strip_invisible(df).collect()}
+    assert out[1]["cleaned"] == "if {x} "
+    assert out[1]["n_stripped"] == 5
+    # a LEADING BOM is the encoding pipeline's decision, not stripped
+    assert out[2]["cleaned"] == rows[1][1] and out[2]["n_stripped"] == 0
+    # visible kinds (homoglyph, C0) are preserved for quarantine
+    assert out[3]["cleaned"] == rows[2][1] and out[3]["n_stripped"] == 0
+    assert out[4]["cleaned"] == "untouched" and out[4]["n_stripped"] == 0
+    assert out[5]["cleaned"] is None and out[5]["n_stripped"] == 0
+    # idempotence: the strippable kinds are gone after one pass
+    clean = strip_invisible(df, "content", "c2").select(
+        F.col("doc_id"), unicode_kinds("c2").alias("k")
+    )
+    got = {r["doc_id"]: r["k"] for r in clean.collect()}
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "homoglyph_mix,c0_control"
+
+
 def test_vendored_dirs(spark):
     from anomaly_detector_spark.operators.codescan import dir_fingerprints, vendored_dirs
 

@@ -300,6 +300,53 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     assert not (by_doc[1] & by_doc[3])    # disjoint docs -> disjoint sets
 
 
+def test_containment_pairs_finds_embedded_doc(spark):
+    # a small doc wholesale-embedded in a much larger one: Jaccard is
+    # tiny (the symmetric measures miss it) but containment == 1.0
+    from anomaly_detector_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big_filler = " ".join(f"filler{i} word{i} token{i}" for i in range(40))
+    rows = [
+        (1, small),
+        (2, big_filler + " " + small + " trailing tail words here"),
+        (3, "a corpus document about entirely unrelated matters " * 5),
+        (4, "too short"),  # < window+k-1 tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0 and r["shared"] == r["n_a"] and r["n_a"] < r["n_b"]
+    assert all(p == (1, 2) for p in out)  # nothing else pairs
+    # the same pair is invisible to symmetric Jaccard at its usual bar
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert jaccard_pairs(df, cand, threshold=0.7).count() == 0
+
+    # plan-only mode agrees with the checkpointed default
+    out2 = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8, materialize=False).collect()
+    }
+    assert set(out2) == set(out) and out2[(1, 2)] == 1.0
+
+
+def test_containment_pairs_posting_cap_drops_boilerplate(spark):
+    # a license header shared by EVERY doc creates a mega posting list;
+    # with the cap below the corpus size those fingerprints are dropped
+    # and header-only overlap produces no pair
+    from anomaly_detector_spark.operators.dedup import containment_pairs
+
+    header = "licensed under the apache license version two point zero see notice"
+    rows = [(i, header + f" unique body {i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: every pair shares the header fingerprints
+    assert containment_pairs(df, threshold=0.3, max_posting=100).count() > 0
+    # capped at < corpus size: header postings dropped, no pair survives
+    assert containment_pairs(df, threshold=0.3, max_posting=7).count() == 0
+
+
 def test_winnow_fingerprints_empty_doc(spark):
     from anomaly_detector_spark.operators.text import winnow_fingerprints
 
