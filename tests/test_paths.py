@@ -297,6 +297,7 @@ def test_new_checks_empty_input(spark):
         run_boilerplate,
         run_encoding,
         run_fork_exposure,
+        run_unicode,
     )
     from anomaly_detector_spark.checks.uniqueness import run_commit_bloat
 
@@ -306,6 +307,7 @@ def test_new_checks_empty_input(spark):
         ("lang_ext", run_lang_ext, {}),
         ("case_collisions", run_case_collisions, {}),
         ("encoding", run_encoding, {}),
+        ("unicode", run_unicode, {}),
         ("boilerplate", run_boilerplate, {}),
         ("fork_exposure", run_fork_exposure, {"hash_fn": "sha256"}),
         ("commit_bloat", run_commit_bloat, {}),
