@@ -2536,6 +2536,33 @@ def q_files_path_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_files_sensitive_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Sensitive-filename kinds (checks/paths.py sensitive_path_kinds):
+    credential-bearing names (.env / id_rsa / *.pem / credentials.json /
+    .netrc / .aws/credentials) planted on doc_id residues, classified by
+    ONE codegen'd expression (map-only) — the identity-level complement
+    of the content secret scan."""
+    from anomaly_detector_spark.checks.paths import sensitive_path_kinds
+
+    files = files_view(spark, sf)
+    r = F.col("doc_id") % 31
+    p = F.col("path")
+    mutated = (
+        F.when(r == 4, F.concat(p, F.lit("/.env")))
+        .when(r == 9, F.concat(p, F.lit("/id_rsa")))
+        .when(r == 14, F.concat(p, F.lit(".pem")))
+        .when(r == 19, F.concat(p, F.lit("/credentials.json")))
+        .when(r == 24, F.concat(p, F.lit("/.netrc")))
+        .when(r == 29, F.lit(".aws/credentials"))
+        .otherwise(p)
+    )
+    return (
+        files.select("doc_id", mutated.alias("path"))
+        .select("doc_id", "path", sensitive_path_kinds("path").alias("kinds"))
+        .filter(F.col("kinds") != "")
+    )
+
+
 def q_files_case_collisions(spark: SparkSession, sf: str) -> DataFrame:
     """Case-insensitive path collisions within (repo, commit)
     (checks/paths.py case_collision_rows): upper-case variants planted
@@ -2611,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_encoding": q_docs_encoding,
         "docs_unicode_scan": q_docs_unicode_scan,
         "docs_containment": q_docs_containment,
+        "files_sensitive_paths": q_files_sensitive_paths,
         "files_vendored_dirs": q_files_vendored_dirs,
         "docs_skeleton_dups": q_docs_skeleton_dups,
         "files_fork_pairs": q_files_fork_pairs,
@@ -3059,6 +3087,35 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN list_max(list_transform(string_split(path, '/'),
                                                     s -> length(s))) > 255
                        THEN 'long_segment' END
+                ) AS kinds
+              FROM mut
+            )
+            SELECT doc_id, path, kinds FROM k WHERE kinds <> ''
+        """,
+        "files_sensitive_paths": f"""
+            WITH {FILES_CTE_SQL},
+            mut AS (
+              SELECT doc_id,
+                CASE doc_id % 31
+                  WHEN 4 THEN path || '/.env'
+                  WHEN 9 THEN path || '/id_rsa'
+                  WHEN 14 THEN path || '.pem'
+                  WHEN 19 THEN path || '/credentials.json'
+                  WHEN 24 THEN path || '/.netrc'
+                  WHEN 29 THEN '.aws/credentials'
+                  ELSE path END AS path
+              FROM files
+            ),
+            k AS (
+              SELECT doc_id, path,
+                concat_ws(',',
+                  CASE WHEN regexp_matches(path, '(^|/)\\.env(\\.[A-Za-z0-9._-]+)?$') THEN 'dotenv' END,
+                  CASE WHEN regexp_matches(path, '(^|/)id_(rsa|dsa|ecdsa|ed25519)$') THEN 'ssh_key' END,
+                  CASE WHEN regexp_matches(path, '(?i)\\.(pem|p12|pfx|jks|keystore)$') THEN 'key_material' END,
+                  CASE WHEN regexp_matches(path, '(?i)(^|/)(credentials(\\.json)?|service[_-]?accounts?\\.json|secrets?\\.(json|ya?ml|properties))$') THEN 'cred_store' END,
+                  CASE WHEN regexp_matches(path, '(^|/)\\.(netrc|npmrc|pypirc|git-credentials)$') THEN 'auth_rc' END,
+                  CASE WHEN regexp_matches(path, '(^|/)\\.(bash|zsh|mysql|psql)_history$') THEN 'shell_history' END,
+                  CASE WHEN regexp_matches(path, '(^|/)\\.(aws|azure|kube)/(credentials|config)$') THEN 'cloud_config' END
                 ) AS kinds
               FROM mut
             )

@@ -33,6 +33,12 @@ Three checks:
                          checks/uniqueness.py; ``content`` never rides
                          the shuffle (slim projection first).
 
+* ``sensitive_path`` — ROWRULE: paths whose FILENAME is a well-known
+                         credential carrier (.env, id_rsa, *.pem/p12,
+                         credentials.json, .netrc, shell history,
+                         cloud-CLI config) — the identity-level
+                         complement of the content secret scan.
+
 Violation hygiene matches codehygiene.py: ``observed`` carries rule
 KINDS and counts, never raw content.
 """
@@ -128,6 +134,70 @@ def _lang_ext_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
         F.lit(" expected="), expected,
     )
     return bad, observed, f"{lang_col} matches {path_col} extension"
+
+
+# (kind, Java/RE2-compatible regex) — paths whose NAME is the secret
+# signal: credential material travels under well-known filenames that
+# content scanning (codescan.py SECRET_PATTERNS) cannot see when the
+# payload is encrypted, binary, or merely SHAPED unlike any known token
+# (an id_rsa file is a leak by identity, whatever its bytes). The same
+# high-precision-prefix policy as SECRET_PATTERNS: well-known names
+# only, no heuristics — `secret.py` or `tokens.rs` never fire.
+SENSITIVE_PATH_PATTERNS: list[tuple[str, str]] = [
+    ("dotenv", r"(^|/)\.env(\.[A-Za-z0-9._-]+)?$"),
+    ("ssh_key", r"(^|/)id_(rsa|dsa|ecdsa|ed25519)$"),
+    ("key_material", r"(?i)\.(pem|p12|pfx|jks|keystore)$"),
+    (
+        "cred_store",
+        r"(?i)(^|/)(credentials(\.json)?|service[_-]?accounts?\.json"
+        r"|secrets?\.(json|ya?ml|properties))$",
+    ),
+    ("auth_rc", r"(^|/)\.(netrc|npmrc|pypirc|git-credentials)$"),
+    ("shell_history", r"(^|/)\.(bash|zsh|mysql|psql)_history$"),
+    ("cloud_config", r"(^|/)\.(aws|azure|kube)/(credentials|config)$"),
+]
+
+
+def sensitive_path_kinds(
+    col: str = "path", patterns: list[tuple[str, str]] | None = None
+) -> Column:
+    """Comma-joined names of the sensitive-filename kinds the path
+    matches (empty when clean) — the path_rule_kinds / secret_kinds
+    classifier shape: one codegen'd expression, map-only. NULL path is
+    clean here (path_format owns null_path)."""
+    pats = patterns if patterns is not None else SENSITIVE_PATH_PATTERNS
+    c = F.coalesce(F.col(col), F.lit(""))
+    return F.array_join(
+        F.filter(
+            F.array(*[F.when(c.rlike(rx), F.lit(kind)) for kind, rx in pats]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+
+
+def _sensitive_path_rule(spec: CheckSpec) -> tuple[Column, Column, str]:
+    col = spec.config.get("column", "path")
+    pats = spec.config.get("patterns", SENSITIVE_PATH_PATTERNS)
+    kinds = sensitive_path_kinds(col, pats)
+    bad = kinds != ""
+    observed = F.concat(F.lit("sensitive path kinds: "), kinds)
+    return bad, observed, f"{col} is not a known credential-bearing filename"
+
+
+def run_sensitive_path(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Sensitive-filename rowrule: FAIL rows whose PATH is a well-known
+    credential carrier (.env, id_rsa, *.pem/p12/jks, credentials.json,
+    .netrc/.npmrc, shell history, cloud-CLI config) — the identity-level
+    complement of the content secret scan: a leaked keyfile is a leak
+    whatever its bytes look like. Violations name KINDS (the observed
+    path already rides the violation row's identity columns); fuse-ready
+    like every rowrule. config: ``column`` ('path'), ``patterns``
+    (SENSITIVE_PATH_PATTERNS override)."""
+    return _run_rule(df, spec, _sensitive_path_rule)
+
+
+run_sensitive_path._rule_builder = _sensitive_path_rule  # type: ignore[attr-defined]
 
 
 def run_path_format(df: DataFrame, spec: CheckSpec) -> CheckResult:
@@ -269,5 +339,9 @@ def path_integrity_rules(
         CheckSpec(
             "case_collisions", run_case_collisions,
             {"column": "path", "scope": ["repo", "commit"]}, partition_col, min_rows,
+        ),
+        CheckSpec(
+            "sensitive_path", run_sensitive_path, {"column": "path"},
+            partition_col, min_rows,
         ),
     ]

@@ -68,7 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
         "additionally adds the fused row-rule checks; hygiene additionally "
         "adds the code-hygiene rules (secrets/license/generated/entropy — "
         "checks/codehygiene.py); paths additionally adds the path-integrity "
-        "family (path_format/lang_ext/case_collisions — checks/paths.py). "
+        "family (path_format/lang_ext/case_collisions/sensitive_path — "
+        "checks/paths.py). "
         "Each is a new suite_id -> revalidates",
     )
     p.add_argument(

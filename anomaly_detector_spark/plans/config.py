@@ -72,7 +72,12 @@ def _registry() -> dict[str, Callable]:
         run_vendored,
     )
     from ..checks.fd import run_fd, run_key_cardinality
-    from ..checks.paths import run_case_collisions, run_lang_ext, run_path_format
+    from ..checks.paths import (
+        run_case_collisions,
+        run_lang_ext,
+        run_path_format,
+        run_sensitive_path,
+    )
     from ..checks.kmv import run_novelty
     from ..checks.membership import run_seen_before
     from ..checks.metadata import (
@@ -160,6 +165,8 @@ def _registry() -> dict[str, Callable]:
         # rules + extension/lang agreement, both fuse-ready
         "path_format": run_path_format,
         "lang_ext": run_lang_ext,
+        # sensitive-filename rowrule (.env / id_rsa / *.pem / .netrc ...)
+        "sensitive_path": run_sensitive_path,
         # case-insensitive path collisions within (repo, commit) — one
         # slim window exchange on the high-cardinality composite key
         "case_collisions": run_case_collisions,

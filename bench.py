@@ -110,6 +110,7 @@ def main() -> int:
         "files_commit_bloat",  # unchanged-content commit replays (slim window)
         "docs_unicode_scan",   # Trojan-Source unicode kinds, map-only classifier
         "docs_containment",    # MOSS partial-copy pairs (posting-capped join)
+        "files_sensitive_paths",  # credential-bearing filenames, map-only
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

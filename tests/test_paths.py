@@ -13,6 +13,7 @@ from anomaly_detector_spark.checks.paths import (
     run_case_collisions,
     run_lang_ext,
     run_path_format,
+    run_sensitive_path,
 )
 
 FILES_COLS = "repo string, path string, commit string, lang string, content string"
@@ -47,6 +48,59 @@ def test_path_rule_kinds_classification(spark):
     }
     for i, (p, want) in enumerate(cases):
         assert got[i] == want, (p, got[i], want)
+
+
+def test_sensitive_path_kinds_classification(spark):
+    from anomaly_detector_spark.checks.paths import sensitive_path_kinds
+
+    cases = [
+        ("src/ok/file.py", ""),
+        (".env", "dotenv"),
+        ("deploy/.env.production", "dotenv"),
+        ("src/environment.py", ""),            # substring never fires
+        (".ssh/id_rsa", "ssh_key"),
+        ("keys/id_ed25519", "ssh_key"),
+        ("certs/server.PEM", "key_material"),  # (?i) extension
+        ("app/keystore.jks", "key_material"),
+        ("conf/credentials.json", "cred_store"),
+        ("gcp/service_account.json", "cred_store"),
+        ("conf/secrets.yaml", "cred_store"),
+        ("home/.netrc", "auth_rc"),
+        (".npmrc", "auth_rc"),
+        ("backup/.bash_history", "shell_history"),
+        (".aws/credentials", "cred_store,cloud_config"),  # kinds co-fire
+        (".kube/config", "cloud_config"),
+        ("docs/secretary.md", ""),             # 'secret' prefix alone is clean
+        ("rsa_notes/id_rsa.md", ""),           # suffix after the keyname is clean
+        (None, ""),                            # NULL path is path_format's kind
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)], "i long, path string"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", sensitive_path_kinds("path").alias("k")).collect()
+    }
+    for i, (p, want) in enumerate(cases):
+        assert got[i] == want, (p, got[i], want)
+
+
+def test_sensitive_path_rule_verdicts(spark):
+    from anomaly_detector_spark.checks.paths import run_sensitive_path
+
+    rows = [
+        ("r1", "src/a.py", "c1", "python", "x"),
+        ("r1", ".env", "c2", "python", "SECRET=hunter2"),
+        ("r2", "lib/b.go", "c3", "go", "x"),
+    ]
+    df = mkfiles(spark, rows)
+    spec = CheckSpec("sensitive_path", run_sensitive_path, {}, "lang", 1)
+    res = run_sensitive_path(df, spec)
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["path"] == ".env"
+    assert "dotenv" in v[0]["observed"] and "hunter2" not in v[0]["observed"]
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"python": "FAIL", "go": "PASS"}
 
 
 def test_path_format_check_verdicts_and_violations(spark):
@@ -306,6 +360,7 @@ def test_new_checks_empty_input(spark):
         ("path_format", run_path_format, {}),
         ("lang_ext", run_lang_ext, {}),
         ("case_collisions", run_case_collisions, {}),
+        ("sensitive_path", run_sensitive_path, {}),
         ("encoding", run_encoding, {}),
         ("unicode", run_unicode, {}),
         ("boilerplate", run_boilerplate, {}),
