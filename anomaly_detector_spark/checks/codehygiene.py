@@ -43,8 +43,10 @@ Semantics of each check:
                     strippable subset.
 
 Group-level (NOT rowrules): ``vendored`` (cross-repo duplicate
-content), ``license_consistency`` (conflicting tags per repo), and
-``boilerplate`` (corpus-frequent line mass, operators/lines.py).
+content), ``license_consistency`` (conflicting tags per repo),
+``boilerplate`` (corpus-frequent line mass, operators/lines.py), and
+``containment`` (partial-copy exposure — fraction of rows embedded in
+another document, operators/dedup.py containment_pairs).
 """
 
 from __future__ import annotations
@@ -286,6 +288,81 @@ def run_vendored(df: DataFrame, spec: CheckSpec) -> CheckResult:
     )
     from .base import empty_violations
 
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
+
+
+def run_containment(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Partial-copy exposure check: FAIL partitions where more than
+    ``max_contained_frac`` of rows are CONTAINED in some other document
+    (operators/dedup.py containment_pairs — winnowing-fingerprint
+    containment >= ``threshold``). The group-level twin of the
+    containment operator, the same way ``vendored`` wraps
+    vendored_content: a partition whose files are largely embedded
+    copies of other files is concatenation/vendoring fallout that key
+    uniqueness, whole-doc dedup, and line boilerplate all miss.
+
+    Row identity is hashed to a uniform 64-bit id (xxhash64 of the
+    id_cols) so the pair join never keys on strings; the CONTAINED side
+    of a pair is the smaller fingerprint set (ties: both sides — mutual
+    full near-dups are each contained in the other). Costs the operator
+    itself (posting-capped inverted-index join — never all-pairs) plus
+    two O(partitions) aggregates; content rides only the narrow
+    fingerprint map, never a shuffle. Verdicts + metrics only — pair
+    evidence via the operator.
+
+    config: ``column`` ('content'), ``id_cols`` (('repo','path',
+    'commit')), ``shingle_k`` (3), ``window`` (4), ``threshold`` (0.8),
+    ``max_posting`` (5000), ``max_contained_frac`` (0.2).
+    """
+    from ..operators.dedup import containment_pairs
+    from .base import empty_violations, null_safe_join, verdict_frame
+
+    part = spec.partition_col
+    c = spec.config
+    col = c.get("column", "content")
+    ids = list(c.get("id_cols", ("repo", "path", "commit")))
+    slim = df.filter(F.col(col).isNotNull()).select(
+        F.xxhash64(*ids).alias("_id"),
+        F.col(part).alias("_part"),
+        F.col(col),
+    )
+    pairs = containment_pairs(
+        slim,
+        col=col,
+        id_col="_id",
+        shingle_k=int(c.get("shingle_k", 3)),
+        window=int(c.get("window", 4)),
+        threshold=float(c.get("threshold", 0.8)),
+        max_posting=int(c.get("max_posting", 5_000)),
+        materialize=bool(c.get("materialize", True)),
+    )
+    contained = (
+        pairs.filter(F.col("n_a") <= F.col("n_b")).select(F.col("id_a").alias("_id"))
+        .unionByName(
+            pairs.filter(F.col("n_b") <= F.col("n_a")).select(F.col("id_b").alias("_id"))
+        )
+        .distinct()
+    )
+    totals = slim.groupBy("_part").agg(F.count(F.lit(1)).alias("n_rows"))
+    hit = (
+        slim.join(contained, on="_id", how="left_semi")
+        .groupBy("_part")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+    per_part = null_safe_join(totals, hit, ["_part"], "left").select(
+        F.col("_part").alias(part),
+        "n_rows",
+        F.coalesce("n_contained", F.lit(0)).alias("n_contained"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        part,
+        fail_when=F.col("n_contained")
+        > F.col("n_rows") * F.lit(float(c.get("max_contained_frac", 0.2))),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_contained"],
+    )
     return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
 
 

@@ -61,6 +61,7 @@ def _registry() -> dict[str, Callable]:
     )
     from ..checks.codehygiene import (
         run_boilerplate,
+        run_containment,
         run_encoding,
         run_fork_exposure,
         run_entropy_secrets,
@@ -154,6 +155,8 @@ def _registry() -> dict[str, Callable]:
         # vendored-content check: aggregation-only (one scan, reused
         # exchange), verdicts+metrics; evidence via vendored_examples
         "vendored": run_vendored,
+        # partial-copy exposure: group twin of containment_pairs
+        "containment": run_containment,
         # group-level license conflict (declare partition_col='repo')
         "license_consistency": run_license_consistency,
         # line-level boilerplate mass (corpus-frequent lines per doc);

@@ -449,6 +449,38 @@ def test_encoding_kinds_and_rule(spark):
     assert verd == {"python": "FAIL", "go": "PASS"}
 
 
+def test_containment_check_verdicts(spark):
+    from anomaly_detector_spark.checks.codehygiene import run_containment
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i} tok{i} noun{i}" for i in range(30))
+    rows = [
+        # python: 2 of 3 docs are embedded copies -> over max_contained_frac
+        ("r", "small.py", "c1", "python", small),
+        ("r", "big.py", "c2", "python", filler + " " + small),
+        ("r", "tiny.py", "c3", "python", "unrelated " + " ".join(f"q{i}" for i in range(12))),
+        # go: nothing embedded
+        ("go1", "a.go", "c4", "go", "completely " + " ".join(f"g{i}" for i in range(20))),
+        ("go2", "b.go", "c5", "go", "another " + " ".join(f"h{i}" for i in range(20))),
+        ("go3", "c.go", "c6", "go", None),  # NULL content excluded from n_rows
+    ]
+    spec = CheckSpec(
+        "containment", run_containment, {"max_contained_frac": 0.25}, "lang", 1
+    )
+    res = run_containment(mkfiles(spark, rows), spec)
+    verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert verd == {"python": "FAIL", "go": "PASS"}
+    m = {r["lang"]: r for r in res.metrics.collect()}
+    # only the SMALLER side of the pair counts as contained
+    assert m["python"]["n_contained"] == 1 and m["python"]["n_rows"] == 3
+    assert m["go"]["n_contained"] == 0 and m["go"]["n_rows"] == 2
+
+    # empty input: no verdicts, no crash (verify-probe parity)
+    empty = mkfiles(spark, []).filter("1=0")
+    res0 = run_containment(empty, spec)
+    assert res0.verdicts.count() == 0 and res0.violations.count() == 0
+
+
 def test_unicode_kinds_and_rule(spark):
     from anomaly_detector_spark.checks.codehygiene import run_unicode
     from anomaly_detector_spark.operators.codescan import unicode_kinds
