@@ -756,6 +756,13 @@ def containment_pairs(
         on="fingerprint",
         how="left_anti",
     )
+    # kept feeds BOTH sides of the pair self-join and Spark duplicates
+    # the anti-join subtree per side (self-joins never share a plan
+    # fragment) — checkpoint it so the posting filter runs once
+    # (measured: the duplicated subtree was 2 of the plan's 6
+    # post-checkpoint passes over the fingerprint frame).
+    if materialize:
+        kept = kept.localCheckpoint()
     a = kept.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = kept.select(F.col(id_col).alias("id_b"), "fingerprint")
     shared = (
