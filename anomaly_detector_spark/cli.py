@@ -66,8 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["default", "extended", "constraint", "hygiene", "paths"],
         help="extended adds the categorical count-drift check; constraint "
         "additionally adds the fused row-rule checks; hygiene additionally "
-        "adds the code-hygiene rules (secrets/license/generated/entropy — "
-        "checks/codehygiene.py); paths additionally adds the path-integrity "
+        "adds the code-hygiene rules (secrets/license/generated/entropy/"
+        "encoding/unicode — checks/codehygiene.py); paths additionally "
+        "adds the path-integrity "
         "family (path_format/lang_ext/case_collisions/sensitive_path — "
         "checks/paths.py). "
         "Each is a new suite_id -> revalidates",
