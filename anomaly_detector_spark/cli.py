@@ -63,14 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--suite", default="default",
-        choices=["default", "extended", "constraint", "hygiene", "paths"],
+        choices=["default", "extended", "constraint", "hygiene", "paths", "full"],
         help="extended adds the categorical count-drift check; constraint "
         "additionally adds the fused row-rule checks; hygiene additionally "
         "adds the code-hygiene rules (secrets/license/generated/entropy/"
         "encoding/unicode — checks/codehygiene.py); paths additionally "
         "adds the path-integrity "
         "family (path_format/lang_ext/case_collisions/sensitive_path — "
-        "checks/paths.py). "
+        "checks/paths.py); full composes constraint + hygiene + paths "
+        "(the rowrule fold makes it expressions, not extra passes). "
         "Each is a new suite_id -> revalidates",
     )
     p.add_argument(
@@ -236,12 +237,28 @@ def main(argv: list[str] | None = None) -> int:
             base = _cs(partition_col=partition_col, min_rows=min_rows)
             return base + path_integrity_rules(partition_col, min_rows)
 
+        def full_suite(partition_col: str, min_rows: int):
+            # every rowrule family at once: the fold guarantees they all
+            # ride the constraint suite's existing scans, so "full" costs
+            # expressions, not passes (case_collisions adds its one slim
+            # window exchange)
+            from .checks.codehygiene import code_hygiene_rules
+            from .checks.paths import path_integrity_rules
+            from .plans.suite import constraint_suite as _cs
+
+            return (
+                _cs(partition_col=partition_col, min_rows=min_rows)
+                + code_hygiene_rules(partition_col, min_rows)
+                + path_integrity_rules(partition_col, min_rows)
+            )
+
         make_suite = {
             "default": default_suite,
             "extended": extended_suite,
             "constraint": constraint_suite,
             "hygiene": hygiene_suite,
             "paths": paths_suite,
+            "full": full_suite,
         }[args.suite]
         suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     if args.sample_frac is not None:

@@ -287,6 +287,23 @@ def test_cli_paths_suite(spark, dirs, capsys):
     assert out["verdicts"].get("PASS", 0) > 0
 
 
+def test_cli_full_suite(spark, dirs, capsys):
+    # full = constraint + hygiene + paths in one pass; its suite_id is
+    # distinct, so everything revalidates under run-id f1
+    rc = main([
+        "--input", dirs["input"], "--manifest", dirs["manifest"],
+        "--suite", "full", "--run-id", "f1", "--min-rows", "1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pending_partitions"] > 0
+    # 9 constraint + 6 hygiene + 4 paths checks emit per-partition
+    # verdicts; with every family present the total verdict count beats
+    # the paths run's (13 checks) on the same input
+    assert sum(out["verdicts"].values()) > 0
+    assert out["verdicts"].get("PASS", 0) > 0
+
+
 def test_cli_fork_audit(spark, dirs, tmp_path, capsys):
     audit = str(tmp_path / "audit")
     rc = main([
