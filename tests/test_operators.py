@@ -331,6 +331,27 @@ def test_containment_pairs_finds_embedded_doc(spark):
     assert set(out2) == set(out) and out2[(1, 2)] == 1.0
 
 
+def test_containment_pairs_partitioning_invariance(spark):
+    # pair set and scores must not depend on how the input is split
+    from anomaly_detector_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"doc {i} filler " + " ".join(f"w{i}_{j}" for j in range(10))
+             + (" " + base if i % 3 == 0 else "")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(frame):
+        return sorted(
+            (r["id_a"], r["id_b"], r["shared"], r["containment"])
+            for r in containment_pairs(frame, threshold=0.15).collect()
+        )
+
+    a = pairs(df)
+    b = pairs(df.repartition(7, "doc_id"))
+    c = pairs(df.coalesce(1))
+    assert a == b == c and len(a) > 0
+
+
 def test_containment_pairs_posting_cap_drops_boilerplate(spark):
     # a license header shared by EVERY doc creates a mega posting list;
     # with the cap below the corpus size those fingerprints are dropped
