@@ -25,12 +25,17 @@ files ``(repo, path, commit, lang, content)``:
 * run-over-run violation diffing + CDC-style snapshot diff (plans.diff)
 * footer-tier -> scan-suite escalation   (plans.tiered)
 * code-hygiene rules: secrets / license / generated / entropy /
-  encoding damage                        (checks.codehygiene)
+  encoding damage / unicode security (Trojan-Source bidi, zero-width,
+  tag payloads, homoglyphs; strip + tag-decode twins)
+                                         (checks.codehygiene,
+                                          operators.codescan)
 * path integrity: structural rules, case collisions, lang/ext
-  agreement + normalization enforcement  (checks.paths)
+  agreement, sensitive filenames (.env / id_rsa / *.pem — leak by
+  name) + normalization enforcement      (checks.paths)
 * the corpus dedup ladder: content (vendored), line (boilerplate +
-  strip), skeleton (formatting variants), directory (copied subtrees),
-  repo (fork/mirror pairs)               (operators.codescan,
+  strip), skeleton (formatting variants), partial copies (MOSS
+  winnowing containment), directory (copied subtrees), repo
+  (fork/mirror pairs)                    (operators.codescan,
   operators.lines, operators.dedup)
 * embedding sanity pre-flight (NULL/dim/NaN/Inf/zero-norm)
                                          (operators.similarity)
