@@ -787,6 +787,141 @@ def containment_pairs(
     return out.filter(F.col("containment") >= threshold)
 
 
+def incremental_containment_pairs(
+    spark,
+    new_docs: DataFrame,
+    store_dir: str,
+    run_id: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 4,
+    threshold: float = 0.8,
+    max_posting: int = 5_000,
+    commit: bool = True,
+) -> DataFrame:
+    """Cross-run partial-copy pairs: new docs vs themselves AND the
+    corpus so far — the winnowing twin of ``incremental_lsh_candidates``
+    (same store protocol, same join geometry, same parity claim).
+
+    The persisted artifact is the winnowed fingerprint assignment
+    (doc_id, fingerprint, n_fp, run_id) — roughly tokens/``window`` rows
+    per document, appended per ingest run; n_fp is denormalized onto
+    every row so the OLD side's containment denominator comes off the
+    store without a corpus-wide aggregate. Each increment costs O(new
+    docs) fingerprinting plus ONE equi-join of the new rows against the
+    store; re-running the full corpus join per ingest (the batch
+    alternative) is linear in corpus size and simply not runnable at
+    continuous-ingest scale — the band store's argument verbatim.
+
+    Returns (id_a, id_b, shared, n_a, n_b, containment, pair_kind) where
+    at least one side is new: ``new_new`` (both ingested now, id_a <
+    id_b) and ``new_old`` (id_a = least, id_b = greatest). Old-old pairs
+    were reported when THEIR run ingested them. The union over all runs
+    equals one full-batch ``containment_pairs`` over the whole corpus
+    (pinned by test) provided ``max_posting`` doesn't bite — the posting
+    census runs over the UNION of store + new rows, so a fingerprint can
+    cross the cap in a later run than it would in full batch.
+
+    Commit protocol mirrors incremental_lsh_candidates: rows are
+    appended (with run_id) BEFORE the returned plan is consumed; the old
+    side filters ``run_id != this run`` so the append is invisible to
+    the computation that follows, and a crash-retry with the same run_id
+    is safe (fingerprint rows are pure functions of content — the
+    dropDuplicates on read collapses retried appends). Doc ids are
+    immutable; re-ingesting an id with CHANGED content leaves both
+    fingerprint sets live — exact_dedup upstream first.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(new_docs, col, id_col, shingle_k=shingle_k, window=window)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    fps_new = (
+        fps.join(sizes, on=id_col)
+        .select(F.col(id_col).alias("_id"), "fingerprint", "n_fp")
+        .localCheckpoint()  # consumed by census, both joins, and the append
+    )
+
+    if commit:
+        (
+            fps_new.select(
+                F.col("_id").alias("doc_id"),
+                "fingerprint",
+                "n_fp",
+                F.lit(run_id).alias("run_id"),
+            )
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    try:
+        old = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("run_id") != F.lit(run_id))
+            .select(F.col("doc_id").alias("_id"), "fingerprint", "n_fp")
+            .dropDuplicates(["_id", "fingerprint"])
+        )
+    except Exception:  # first run: no store yet (and commit=False)
+        old = fps_new.filter(F.lit(False))
+
+    return incremental_pairs_from_fingerprints(
+        fps_new, old, threshold=threshold, max_posting=max_posting
+    )
+
+
+def incremental_pairs_from_fingerprints(
+    fps_new: DataFrame,
+    fps_old: DataFrame,
+    threshold: float = 0.8,
+    max_posting: int = 5_000,
+) -> DataFrame:
+    """Pure-plan core of incremental_containment_pairs: pairs touching
+    the new side. Both inputs are (_id, fingerprint, n_fp) frames.
+    Exposed separately so the store-free form is directly testable."""
+    all_rows = fps_new.unionByName(fps_old)
+    oversized = (
+        all_rows.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_posting)
+        .select("fingerprint")
+    )
+    kept_new = fps_new.join(F.broadcast(oversized), ["fingerprint"], "left_anti")
+    kept_old = fps_old.join(F.broadcast(oversized), ["fingerprint"], "left_anti")
+
+    def score(pairs):
+        return pairs.withColumn(
+            "containment", F.round(F.col("shared") / F.least("n_a", "n_b"), 6)
+        ).filter(F.col("containment") >= threshold)
+
+    a, b = kept_new.alias("a"), kept_new.alias("b")
+    new_new = score(
+        a.join(b, on="fingerprint")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("a.n_fp").alias("n_a"),  # constant per pair; min = the value
+            F.min("b.n_fp").alias("n_b"),
+        )
+    ).withColumn("pair_kind", F.lit("new_new"))
+    n, o = kept_new.alias("n"), kept_old.alias("o")
+    lo = F.col("n._id") < F.col("o._id")
+    new_old = score(
+        n.join(o, on="fingerprint")
+        .filter(F.col("n._id") != F.col("o._id"))  # re-ingested id meets its own rows
+        .groupBy(
+            F.least(F.col("n._id"), F.col("o._id")).alias("id_a"),
+            F.greatest(F.col("n._id"), F.col("o._id")).alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min(F.when(lo, F.col("n.n_fp")).otherwise(F.col("o.n_fp"))).alias("n_a"),
+            F.min(F.when(lo, F.col("o.n_fp")).otherwise(F.col("n.n_fp"))).alias("n_b"),
+        )
+    ).withColumn("pair_kind", F.lit("new_old"))
+    return new_new.unionByName(new_old)
+
+
 def doc_segments(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", seg_tokens: int = 16
 ) -> DataFrame:

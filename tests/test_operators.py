@@ -650,6 +650,57 @@ def test_incremental_lsh_matches_full_batch(spark, tmp_path):
     assert p1 | p2 | p3 == full3
 
 
+def test_incremental_containment_matches_full_batch(spark, tmp_path):
+    """Two ingest runs against the fingerprint store == one full-batch
+    containment_pairs (the incremental-LSH parity claim, winnow form)."""
+    from anomaly_detector_spark.operators.dedup import (
+        containment_pairs,
+        incremental_containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fill1 = " ".join(f"f{i} tok{i}" for i in range(25))
+    fill2 = " ".join(f"g{i} word{i}" for i in range(25))
+    run1 = [(1, small), (2, fill1)]
+    # run 2: doc 3 embeds run-1's doc 1 (cross-run pair), doc 4 unrelated
+    run2 = [(3, fill2 + " " + small), (4, "nothing shared here at all " * 4)]
+    df1 = spark.createDataFrame(run1, "doc_id long, text string")
+    df2 = spark.createDataFrame(run2, "doc_id long, text string")
+    store = str(tmp_path / "fps")
+    TH = 0.8
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, r.shared, r.n_a, r.n_b, r.containment)
+                for r in df.collect()}
+
+    p1 = pairset(incremental_containment_pairs(spark, df1, store, "r1", threshold=TH))
+    p2 = pairset(incremental_containment_pairs(spark, df2, store, "r2", threshold=TH))
+    full = pairset(containment_pairs(df1.unionByName(df2), threshold=TH))
+    assert p1 | p2 == full
+    assert p1 & p2 == set()
+    # the cross-run embedded pair surfaces in run 2 as new_old
+    kinds = {
+        (r.id_a, r.id_b): r.pair_kind
+        for r in incremental_containment_pairs(
+            spark, df2, store, "r2b", threshold=TH, commit=False
+        ).collect()
+    }
+    assert kinds.get((1, 3)) == "new_old"
+    # crash-retry with the same run_id changes nothing downstream
+    p2_retry = pairset(
+        incremental_containment_pairs(spark, df2, store, "r2", threshold=TH)
+    )
+    assert p2_retry == p2
+    df3 = spark.createDataFrame(
+        [(5, "prefix words " + small + " suffix")], "doc_id long, text string"
+    )
+    p3 = pairset(incremental_containment_pairs(spark, df3, store, "r3", threshold=TH))
+    full3 = pairset(
+        containment_pairs(df1.unionByName(df2).unionByName(df3), threshold=TH)
+    )
+    assert p1 | p2 | p3 == full3
+
+
 def test_embedding_drift_planted_shift(spark):
     import numpy as np
 
