@@ -113,6 +113,25 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
 
         out = reduce(lambda a, b: a.unionByName(b), parts).select(*df.columns)
         return _rewrite(spark, out.unionByName(latest.select(*df.columns)), store_dir)
+    if family in ("bands", "winnow_fps"):
+        # content-derived assignment rows (incremental LSH band store /
+        # incremental containment fingerprint store): retried appends
+        # duplicate rows byte-for-byte, so compaction is one surviving
+        # row per assignment key. run_id is kept as the MAX per row —
+        # NOT a synthetic id — because the incremental read path filters
+        # `run_id != current` to hide a run's own append from its own
+        # computation; rewriting run_ids would make a crash-retry AFTER
+        # compaction see its earlier rows as "old" and double-report
+        # pairs under both kinds. max_by on the payload column is
+        # deterministic: the payload is a pure function of content, so
+        # every duplicate carries the same value.
+        key = ["doc_id", "band_idx"] if family == "bands" else ["doc_id", "fingerprint"]
+        payload = [c for c in df.columns if c not in (*key, "run_id")]
+        out = df.groupBy(*key).agg(
+            F.max("run_id").alias("run_id"),
+            *[F.max_by(c, "run_id").alias(c) for c in payload],
+        )
+        return _rewrite(spark, out.select(*df.columns), store_dir)
     if family == "linefreq":
         # additive counts: readers SUM per line_hash, so the compacted
         # form is one summed row per line under a synthetic run id —
@@ -125,5 +144,5 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
         return _rewrite(spark, out.select(*df.columns), store_dir)
     raise ValueError(
         f"unknown store family {family!r}: use hll | tdigest | topk | "
-        "membership | kmv | linefreq | quarantine"
+        "membership | kmv | linefreq | bands | winnow_fps | quarantine"
     )

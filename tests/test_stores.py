@@ -120,3 +120,60 @@ def test_compact_quarantine_coalesces_files_rows_verbatim(spark, tmp_path):
     after = [r for r in os.listdir(qdir) if r.endswith(".parquet")]
     assert len(after) == 1
     assert sorted(map(tuple, spark.read.parquet(qdir).collect())) == truth
+
+
+def test_compact_assignment_stores_preserve_incremental_readers(spark, tmp_path):
+    """bands / winnow_fps compaction: retried-append duplicates collapse
+    to one row per assignment key, run_id survives as the max per row
+    (NOT a synthetic id — the incremental protocol's own-run filter
+    depends on it), and a subsequent ingest computes the SAME pairs."""
+    from anomaly_detector_spark.operators.dedup import (
+        containment_pairs,
+        incremental_containment_pairs,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+    from anomaly_detector_spark.plans.stores import compact_store
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df1 = spark.createDataFrame(
+        [(1, base), (2, small)], "doc_id long, text string"
+    )
+    df2 = spark.createDataFrame(
+        [(3, base.replace("lazy", "sleepy")), (4, "filler " * 20 + small)],
+        "doc_id long, text string",
+    )
+
+    # --- bands ---
+    bands = str(tmp_path / "bands")
+    incremental_lsh_candidates(spark, df1, bands, "r1")
+    incremental_lsh_candidates(spark, df1, bands, "r1")  # crash-retry duplicates
+    pre = spark.read.parquet(bands).count()
+    n = compact_store(spark, bands, "bands")
+    assert n < pre  # duplicates collapsed
+    assert spark.read.parquet(bands).filter(F.col("run_id") != "r1").count() == 0
+    p2 = {(r.id_a, r.id_b) for r in
+          incremental_lsh_candidates(spark, df2, bands, "r2").collect()}
+    full = {(r.id_a, r.id_b) for r in
+            minhash_lsh_candidates(df1.unionByName(df2)).collect()}
+    p1 = {(r.id_a, r.id_b) for r in
+          incremental_lsh_candidates(spark, df1, str(tmp_path / "b0"), "x").collect()}
+    assert p1 | p2 == full
+
+    # --- winnow_fps ---
+    fps = str(tmp_path / "fps")
+    incremental_containment_pairs(spark, df1, fps, "r1", threshold=0.5)
+    incremental_containment_pairs(spark, df1, fps, "r1", threshold=0.5)  # retry
+    pre = spark.read.parquet(fps).count()
+    n = compact_store(spark, fps, "winnow_fps")
+    assert n < pre
+    assert spark.read.parquet(fps).filter(F.col("run_id") != "r1").count() == 0
+    q2 = {(r.id_a, r.id_b, r.containment) for r in
+          incremental_containment_pairs(spark, df2, fps, "r2", threshold=0.5).collect()}
+    q1 = {(r.id_a, r.id_b, r.containment) for r in
+          incremental_containment_pairs(
+              spark, df1, str(tmp_path / "f0"), "x", threshold=0.5).collect()}
+    fullc = {(r.id_a, r.id_b, r.containment) for r in
+             containment_pairs(df1.unionByName(df2), threshold=0.5).collect()}
+    assert q1 | q2 == fullc
