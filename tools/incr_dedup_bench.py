@@ -7,7 +7,12 @@ and equi-joins it against the persisted band rows (cost ~flat per
 cycle). Prints one JSON line with per-cycle wall times and the pair
 totals; candidate-pair parity between the two strategies is asserted.
 
-Usage: python tools/incr_dedup_bench.py [docs_per_cycle] [cycles]
+Usage: python tools/incr_dedup_bench.py [docs_per_cycle] [cycles] [mode]
+
+``mode`` (default 'bands'): 'bands' = MinHash band store vs full-batch
+LSH; 'containment' = winnow fingerprint store vs full-batch
+containment_pairs (operators/dedup.py incremental_containment_pairs) —
+the same flat-vs-linear claim for the partial-copy family.
 """
 
 from __future__ import annotations
@@ -52,12 +57,38 @@ def synth_docs(spark, n: int, offset: int):
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    mode = sys.argv[3] if len(sys.argv) > 3 else "bands"
 
     from anomaly_detector_spark.operators.dedup import (
+        containment_pairs,
+        incremental_containment_pairs,
         incremental_lsh_candidates,
         minhash_lsh_candidates,
     )
     from anomaly_detector_spark.session import get_spark
+
+    if mode == "containment":
+        # same loop, partial-copy family: pair identity includes the
+        # containment score so parity is score-exact, not just id-exact
+        TH = 0.5
+
+        def incr(spark, batch, store, rid):
+            return incremental_containment_pairs(spark, batch, store, rid, threshold=TH)
+
+        def full_batch(corpus):
+            return containment_pairs(corpus, threshold=TH)
+
+        def key(r):
+            return (r.id_a, r.id_b, r.containment)
+    else:
+        def incr(spark, batch, store, rid):
+            return incremental_lsh_candidates(spark, batch, store, rid)
+
+        def full_batch(corpus):
+            return minhash_lsh_candidates(corpus)
+
+        def key(r):
+            return (r.id_a, r.id_b)
 
     spark = get_spark(app_name="incr_dedup_bench", cores=32)
     store = tempfile.mkdtemp(prefix="bands_")
@@ -65,28 +96,29 @@ def main() -> int:
 
     batches = [synth_docs(spark, n, k * n).localCheckpoint() for k in range(cycles)]
     # warmup: JIT + python workers
-    minhash_lsh_candidates(batches[0].limit(2_000)).count()
+    full_batch(batches[0].limit(2_000)).count()
 
     incr_times, full_times = [], []
     incr_pairs = set()
     corpus = None
     for k in range(cycles):
         t0 = time.perf_counter()
-        got = incremental_lsh_candidates(spark, batches[k], store, f"r{k}")
-        incr_pairs |= {(r.id_a, r.id_b) for r in got.collect()}
+        got = incr(spark, batches[k], store, f"r{k}")
+        incr_pairs |= {key(r) for r in got.collect()}
         incr_times.append(round(time.perf_counter() - t0, 2))
 
         corpus = batches[k] if corpus is None else corpus.unionByName(batches[k])
         t0 = time.perf_counter()
-        full = minhash_lsh_candidates(corpus)
+        full = full_batch(corpus)
         n_full = full.count()
         full_times.append(round(time.perf_counter() - t0, 2))
 
-    full_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(corpus).collect()}
+    full_pairs = {key(r) for r in full_batch(corpus).collect()}
     assert incr_pairs == full_pairs, (
         f"parity broken: {len(incr_pairs)} incremental vs {len(full_pairs)} full"
     )
     print(json.dumps({
+        "mode": mode,
         "docs_per_cycle": n,
         "cycles": cycles,
         "incremental_sec_per_cycle": incr_times,
