@@ -1783,6 +1783,19 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_media_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # perceptual-hash (dHash) near-dup media pairs: 40 planted one-byte
+    # near-copies among 1000 synthetic payloads; pigeonhole block join
+    # (8 blocks > max_hamming 6), exact bit_count(xor) verify. The
+    # oracle re-derives the dHash from the sha256 hex chars and
+    # brute-forces all pairs — brute force is the ORACLE's luxury, the
+    # Spark side never goes all-pairs.
+    from anomaly_detector_spark.operators.multimodal import phash_near_dups, synth_media
+
+    media = synth_media(spark, 1000, plant_every=25)
+    return phash_near_dups(media, max_hamming=6, blocks=8)
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2730,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
+        "media_phash_dups": q_media_phash_dups,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_sample_mix": q_docs_sample_mix,
         "docs_token_shards": q_docs_token_shards,
@@ -3781,6 +3795,49 @@ def oracle_sql() -> dict[str, str]:
                          / length(hexstr), 6) AS f3,
                    0.0 AS f4, 0.0 AS f5, 0.0 AS f6, 0.0 AS f7
             FROM m
+        """,
+        "media_phash_dups": """
+            -- dHash re-derived from the sha256 hex chars (payload bytes
+            -- = ascii codes): bit i = byte[i%64] > byte[(i+1)%64],
+            -- packed little-endian, HUGEINT sum folded to signed 64.
+            -- Planted rows (media_id % 25 = 24) are the previous row's
+            -- hex string with one char overwritten at media_id % 64.
+            WITH m AS (
+              SELECT range AS media_id,
+                     sha256('payload' || CAST(range AS VARCHAR)) AS base,
+                     sha256('payload' || CAST(range - 1 AS VARCHAR)) AS prev,
+                     CAST(range % 64 AS INT) AS pos
+              FROM range(1000)
+            ),
+            p AS (
+              SELECT media_id,
+                     CASE WHEN media_id % 25 = 24 AND media_id > 0
+                          THEN substr(prev, 1, pos) || 'z'
+                               || substr(prev, pos + 2, 64 - pos - 1)
+                          ELSE base END AS hexstr
+              FROM m
+            ),
+            h AS (
+              SELECT media_id,
+                     CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                                THEN s - (CAST(1 AS HUGEINT) << 64)
+                                ELSE s END) AS BIGINT) AS ph
+              FROM (
+                SELECT media_id,
+                       list_aggregate(list_transform(range(0, 64), i ->
+                         CASE WHEN ascii(substr(hexstr, (i % 64) + 1, 1)) >
+                                   ascii(substr(hexstr, ((i + 1) % 64) + 1, 1))
+                              THEN CAST(1 AS HUGEINT) << i
+                              ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+                FROM p
+              )
+            )
+            SELECT CAST(a.media_id AS BIGINT) AS media_id_a,
+                   CAST(b.media_id AS BIGINT) AS media_id_b,
+                   a.ph AS phash_a, b.ph AS phash_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 6
         """,
         "emb_topk_cosine": """
             WITH q AS (

@@ -49,22 +49,43 @@ FEATURE_SCHEMA = (
 )
 
 
-def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+def synth_media(spark, n_rows: int, seed: int = 42, plant_every: int | None = None) -> DataFrame:
     """Deterministic fake media table: payload = seeded pseudo-bytes.
 
     Every derivation is plain arithmetic + sha256 (no xxhash64) so the
     table — and anything computed from it — is reproducible in any ANSI
     SQL engine for oracle checks.
+
+    ``plant_every``: every k-th row (id % k == k-1) becomes a NEAR-COPY
+    of row id-1 — the previous payload with ONE byte overwritten (at
+    position id % 64) — the planted ground truth for perceptual-hash
+    near-dup detection. A one-byte edit perturbs at most the two dHash
+    comparisons that touch it, so planted pairs land within hamming 2
+    while unrelated sha-derived payloads sit near hamming 32.
     """
+    base = F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256)
+    if plant_every is not None:
+        prev = F.sha2(
+            F.concat(F.lit("payload"), (F.col("id") - 1).cast("string")), 256
+        )
+        pos = F.pmod(F.col("id"), F.lit(64)).cast("int")  # 0-based edit position
+        edited = F.concat(
+            F.substring(prev, 1, pos),
+            F.lit("z"),  # not a hex char: guaranteed to differ
+            F.substring(prev, pos + 2, F.lit(64) - pos - 1),
+        )
+        base = F.when(
+            (F.pmod(F.col("id"), F.lit(plant_every)) == plant_every - 1)
+            & (F.col("id") > 0),
+            edited,
+        ).otherwise(base)
     df = spark.range(n_rows).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256)
-        .cast("binary")
-        .alias("payload"),
+        base.cast("binary").alias("payload"),
         F.struct(
             F.lit(640).alias("width"),
             F.lit(480).alias("height"),
@@ -135,4 +156,117 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_idx"),
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+# --- perceptual-hash near-dup (dHash) -------------------------------------
+#
+# The public dHash algorithm: resize the decoded image to a (w+1) x h
+# grayscale grid and emit one bit per adjacent-pixel comparison
+# (bit i = pixel[i] > pixel[i+1]) — a 64-bit signature whose hamming
+# distance survives re-encoding, resizing and small edits. The decode +
+# resize step is STUBBED here like extract_features (no codec libraries
+# in this environment): the comparison sequence runs over the payload's
+# first 64 bytes with wraparound, which preserves everything the Spark
+# side must get right — Arrow batch shape, signed-64 packing, and the
+# pigeonhole block join downstream.
+
+DHASH_BITS = 64
+
+
+def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
+    """64-bit dHash per media row (Arrow-batched mapInPandas).
+
+    bit i (i in 0..63) = payload[i % n] > payload[(i+1) % n]; packed
+    little-endian into one SIGNED long (two's complement — the same
+    value any engine gets from the same bits). NULL payload -> NULL
+    hash. The kernel is a closure (cloudpickled by value — no
+    --py-files footgun)."""
+
+    out_schema = ", ".join(
+        f"{name} {typ}" for name, typ in df.dtypes
+    ) + f", {out_col} long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dhash(payload) -> int | None:
+            if payload is None:
+                return None
+            b = bytes(payload)
+            n = len(b)
+            if n == 0:
+                return 0
+            h = 0
+            for i in range(DHASH_BITS):
+                if b[i % n] > b[(i + 1) % n]:
+                    h |= 1 << i
+            if h >= 1 << 63:  # two's complement into a signed long
+                h -= 1 << 64
+            return h
+
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = pd.array(
+                [dhash(p) for p in pdf["payload"]], dtype="Int64"
+            )
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def phash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate media pairs by dHash hamming distance.
+
+    Same pigeonhole geometry as operators/dedup.py simhash_near_dups:
+    split the 64-bit signature into ``blocks`` chunks — any pair within
+    ``max_hamming`` (< blocks) differing bits shares at least one exact
+    chunk — bucket-join per chunk, then the exact bit_count(xor) filter.
+    Cost is O(sum bucket^2) on 8-byte keys, never all-pairs; the
+    payload column is pruned before the exchange (only id + sig ride
+    the shuffle)."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole requires max_hamming < blocks")
+    width = DHASH_BITS // blocks
+    sigs = with_dhash(df.select(id_col, "payload")).select(
+        F.col(id_col).alias("_id"), F.col("phash").alias("_sig")
+    )
+    blocked = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col("_sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(
+        "_id",
+        "_sig",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, on=["block_idx", "block_val"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("media_id_a"),
+            F.col("b._id").alias("media_id_b"),
+            F.col("a._sig").alias("phash_a"),
+            F.col("b._sig").alias("phash_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_id_a", "media_id_b"])
     )

@@ -924,3 +924,41 @@ def test_skeleton_membership_composition(spark):
         ).collect()
     }
     assert probed == {2: True, 3: False}
+
+
+def test_phash_near_dups_finds_planted_pairs_and_nothing_else(spark):
+    # 20 planted one-byte near-copies among 500 payloads: dHash pairs at
+    # hamming <= 2 (a one-byte edit touches exactly two comparisons);
+    # unrelated sha-derived payloads sit near hamming 32 — the pigeonhole
+    # block join must surface exactly the planted set.
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_near_dups,
+        synth_media,
+        with_dhash,
+    )
+
+    media = synth_media(spark, 500, plant_every=25)
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_near_dups(media, max_hamming=6, blocks=8).collect()
+    }
+    expected = {(k - 1, k) for k in range(24, 500, 25)}
+    assert set(got) == expected
+    assert all(h <= 2 for h in got.values())
+
+    # signed-64 packing: the signature column is a plain long, and a
+    # payload identical to another yields hamming 0 via xor
+    sigs = {r["media_id"]: r["phash"] for r in with_dhash(media).collect()}
+    assert all(isinstance(v, int) for v in sigs.values())
+    # plant_every=None default unchanged: no near-dup pairs at all
+    clean = phash_near_dups(synth_media(spark, 200), max_hamming=6, blocks=8)
+    assert clean.count() == 0
+
+
+def test_phash_pigeonhole_requires_enough_blocks(spark):
+    import pytest as _pytest
+
+    from anomaly_detector_spark.operators.multimodal import phash_near_dups, synth_media
+
+    with _pytest.raises(ValueError):
+        phash_near_dups(synth_media(spark, 10), max_hamming=8, blocks=8)

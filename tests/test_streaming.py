@@ -794,3 +794,70 @@ def test_read_input_stream_parquet_matches_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_quantile_stream_accumulates_and_matches_replay(spark, tmp_path):
+    # Continuous p50/p99: partition "a" delivers uniform 0..999 split
+    # across TWO triggers, "b" a shifted block in trigger 1 only. After
+    # each trigger the emitted digest estimates must EQUAL the driver-
+    # side replay over the same micro-batch split (replay_quantile_stream
+    # — the determinism oracle: intra-batch order and Spark partitioning
+    # cannot show), and the final estimates must sit near the exact
+    # percentiles (t-digest accuracy, tightest at the tails).
+    from anomaly_detector_spark.streaming.quantiles import (
+        quantile_stream,
+        replay_quantile_stream,
+    )
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    qs = [0.5, 0.99]
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, "k string, value double")
+
+    b1_a = [float(i) for i in range(500)]
+    b1_b = [1000.0 + i for i in range(100)]
+    b2_a = [float(i) for i in range(500, 1000)]
+
+    def run_once():
+        stream = spark.readStream.schema("k string, value double").parquet(inp)
+        out = quantile_stream(stream, partition_col="k", col="value", qs=qs, mode="value")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    rows_df([("a", v) for v in b1_a] + [("b", v) for v in b1_b]).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()
+    rows_df([("a", v) for v in b2_a]).write.mode("append").parquet(inp)
+    run_once()
+
+    got = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in got:  # n_rows is cumulative: latest emission = max n_rows
+        key = (r["partition_key"], r["q"])
+        if key not in latest or r["n_rows"] > latest[key]["n_rows"]:
+            latest[key] = r
+
+    # trigger-1 rows for "a" are also present (append mode emits per trigger)
+    a_mid = [r for r in got if r["partition_key"] == "a" and r["n_rows"] == 500]
+    assert len(a_mid) == len(qs)
+
+    _, _, exp_a = replay_quantile_stream([b1_a, b2_a], qs)
+    _, _, exp_b = replay_quantile_stream([b1_b], qs)
+    for q in qs:
+        assert latest[("a", q)]["n_rows"] == 1000
+        assert latest[("a", q)]["est"] == exp_a[q]
+        assert latest[("b", q)]["est"] == exp_b[q]
+    # accuracy vs exact percentiles of uniform 0..999
+    assert abs(latest[("a", 0.5)]["est"] - 499.5) < 15.0
+    assert abs(latest[("a", 0.99)]["est"] - 989.0) < 5.0
+    # bounded state: digest stays compressed well under row count
+    n_cent = max(r["n_centroids"] for r in got if r["partition_key"] == "a")
+    assert n_cent < 300
