@@ -218,6 +218,7 @@ def phash_near_dups(
     max_hamming: int = 6,
     blocks: int = 8,
     id_col: str = "media_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate media pairs by dHash hamming distance.
 
@@ -227,13 +228,21 @@ def phash_near_dups(
     chunk — bucket-join per chunk, then the exact bit_count(xor) filter.
     Cost is O(sum bucket^2) on 8-byte keys, never all-pairs; the
     payload column is pruned before the exchange (only id + sig ride
-    the shuffle)."""
+    the shuffle).
+
+    ``materialize``: eagerly localCheckpoint the 16-byte (id, sig)
+    frame before the self-join — without it both join sides re-run the
+    Python decode kernel (the plan shows TWO MapInPandas nodes), which
+    at corpus scale doubles the expensive half of the job. Same rule as
+    dedup.py's banded/containment stores."""
     if max_hamming >= blocks:
         raise ValueError("pigeonhole requires max_hamming < blocks")
     width = DHASH_BITS // blocks
     sigs = with_dhash(df.select(id_col, "payload")).select(
         F.col(id_col).alias("_id"), F.col("phash").alias("_sig")
     )
+    if materialize:
+        sigs = sigs.localCheckpoint()
     blocked = sigs.select(
         "_id",
         "_sig",

@@ -962,3 +962,18 @@ def test_phash_pigeonhole_requires_enough_blocks(spark):
 
     with _pytest.raises(ValueError):
         phash_near_dups(synth_media(spark, 10), max_hamming=8, blocks=8)
+
+
+def test_phash_materialize_runs_decode_once_and_agrees(spark):
+    # materialize=True checkpoints the (id, sig) frame: the pair plan
+    # must contain ZERO MapInPandas nodes (decode ran once, eagerly) —
+    # without it the self-join re-runs the Python kernel per side —
+    # and both modes return identical pairs.
+    from anomaly_detector_spark.operators.multimodal import phash_near_dups, synth_media
+
+    media = synth_media(spark, 300, plant_every=25)
+    mat = phash_near_dups(media, max_hamming=6, blocks=8)
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    lazy = phash_near_dups(media, max_hamming=6, blocks=8, materialize=False)
+    assert sorted(map(tuple, mat.collect())) == sorted(map(tuple, lazy.collect()))
