@@ -861,3 +861,68 @@ def test_quantile_stream_accumulates_and_matches_replay(spark, tmp_path):
     # bounded state: digest stays compressed well under row count
     n_cent = max(r["n_centroids"] for r in got if r["partition_key"] == "a")
     assert n_cent < 300
+
+
+def test_topk_stream_matches_replay_and_bounds(spark, tmp_path):
+    # Heavy hitters over two triggers: partition "a" carries 30 distinct
+    # items through a k=8 store (truncation -> nonzero bound), "b" stays
+    # under k (exact mode). Final emission must EQUAL the driver-side
+    # replay over the same micro-batch split, every reported interval
+    # must bracket the true count (est <= true <= upper), and the
+    # never-truncated partition must report est == true == upper.
+    from collections import Counter
+
+    from anomaly_detector_spark.streaming.topk import replay_topk_stream, topk_stream
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+
+    b1_a = [f"i{j:02d}" for j in range(30) for _ in range(30 - j)]
+    b2_a = [f"i{j:02d}" for j in range(10) for _ in range(5)]
+    b1_b, b2_b = ["x", "y", "x"], ["y"]
+
+    def rows_df(pairs):
+        return spark.createDataFrame(pairs, "k string, v string")
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v string").parquet(inp)
+        out = topk_stream(stream, partition_col="k", col="v", k=8)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    rows_df([("a", v) for v in b1_a] + [("b", v) for v in b1_b]).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()
+    rows_df([("a", v) for v in b2_a] + [("b", v) for v in b2_b]).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()
+
+    got = spark.read.parquet(sink).collect()
+    final_n = {pk: max(r["n_rows"] for r in got if r["partition_key"] == pk) for pk in ("a", "b")}
+    final = {
+        pk: sorted(
+            (
+                (r["rank"], r["item"], r["est"], r["upper"])
+                for r in got
+                if r["partition_key"] == pk and r["n_rows"] == final_n[pk]
+            )
+        )
+        for pk in ("a", "b")
+    }
+    assert final["a"] == sorted(replay_topk_stream([b1_a, b2_a], k=8))
+    assert final["b"] == sorted(replay_topk_stream([b1_b, b2_b], k=8))
+
+    true_a = Counter(b1_a + b2_a)
+    for _, item, est, upper in final["a"]:
+        assert est <= true_a[item] <= upper
+    true_b = Counter(b1_b + b2_b)
+    assert final["b"] == [(1, "x", 2, 2), (2, "y", 2, 2)]
+    for _, item, est, upper in final["b"]:
+        assert est == true_b[item] == upper
