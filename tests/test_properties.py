@@ -113,3 +113,63 @@ def test_extract_loads_series_matches_reference_replay(values, end_count, lookba
         values, start_thresh, end_thresh, end_count, lookback, trim
     )]
     assert got == reference(values)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=12), max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_topk_stream_intervals_always_bracket_truth(batches, k):
+    # The SpaceSaving soundness argument, adversarially: for ANY
+    # micro-batch split and ANY k, every item the replayed stream
+    # reports satisfies est <= true <= upper, est ordering is
+    # non-increasing, and with no truncation anywhere the intervals
+    # collapse to the exact counts.
+    from collections import Counter
+
+    from anomaly_detector_spark.streaming.topk import replay_topk_stream
+
+    items = [[f"i{v}" for v in b] for b in batches]
+    true = Counter(v for b in items for v in b)
+    rep = replay_topk_stream(items, k=k)
+    ests = [e for _, _, e, _ in rep]
+    assert ests == sorted(ests, reverse=True)
+    for _rank, it, est, upper in rep:
+        assert est <= true[it] <= upper
+    if len(true) <= k:  # never truncated: exact mode
+        assert {it: est for _, it, est, _ in rep} == {
+            it: c for it, c in true.items() if it in {i for _, i, _, _ in rep}
+        }
+        assert all(est == upper for _, _, est, upper in rep)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_quantile_stream_replay_estimates_within_range(batches):
+    # Any split, any values: the replayed stream's p0/p50/p100 estimates
+    # stay within [min, max] of everything delivered, and p0/p100 hit
+    # the exact extremes (t-digest keeps boundary centroids singleton-
+    # weighted at the ends via interpolation clamping).
+    from anomaly_detector_spark.streaming.quantiles import replay_quantile_stream
+
+    _, _, est = replay_quantile_stream(batches, qs=[0.0, 0.5, 1.0])
+    all_vals = [v for b in batches for v in b]
+    # estimates are rounded to 6dp, so allow that much slack at the edges
+    lo, hi = min(all_vals) - 1e-6, max(all_vals) + 1e-6
+    assert lo <= est[0.5] <= hi
+    assert lo <= est[0.0] and est[1.0] <= hi
