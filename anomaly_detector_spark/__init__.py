@@ -40,6 +40,12 @@ files ``(repo, path, commit, lang, content)``:
 * embedding sanity pre-flight (NULL/dim/NaN/Inf/zero-norm)
                                          (operators.similarity)
 * markdown validation report from manifest metadata (plans.report)
+* media perceptual-hash near-dup (dHash + pigeonhole block join)
+                                         (operators.multimodal)
+* continuous quantiles / heavy hitters over micro-batches (t-digest
+  and truncated-count state, replay-oracle pinned)
+                                         (streaming.quantiles,
+                                          streaming.topk)
 
 plus large-scale training-data-pipeline operators (operators.dedup,
 operators.similarity, operators.text, operators.multimodal, operators.windows)
