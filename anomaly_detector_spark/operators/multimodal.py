@@ -11,12 +11,23 @@ partitioning) is real and tested.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Ship this module BY VALUE inside the kernels (same no-footgun
+# guarantee as operators/loads.py): executors without the package on
+# PYTHONPATH (spark-submit without --py-files) still run them.
+try:  # pragma: no cover - trivial registration
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:
+    pass
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -174,13 +185,35 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 DHASH_BITS = 64
 
 
-def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
-    """64-bit dHash per media row (Arrow-batched mapInPandas).
+def dhash64(payload: bytes | None) -> int | None:
+    """Scalar dHash: bit i (i in 0..63) = payload[i % n] > payload[(i+1) % n],
+    packed little-endian into one SIGNED long (two's complement — the
+    same value any engine gets from the same bits). NULL -> NULL, empty
+    -> 0.
 
-    bit i (i in 0..63) = payload[i % n] > payload[(i+1) % n]; packed
-    little-endian into one SIGNED long (two's complement — the same
-    value any engine gets from the same bits). NULL payload -> NULL
-    hash. The kernel is a closure (cloudpickled by value — no
+    Edit-distance property (what makes it a NEAR-dup hash): for
+    payloads of n >= 64 bytes, a one-byte edit touches exactly the two
+    comparisons adjacent to it, so hamming <= 2; shorter payloads wrap,
+    so the bound relaxes to 2*ceil(64/n) (pinned by a hypothesis
+    property)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n == 0:
+        return 0
+    h = 0
+    for i in range(DHASH_BITS):
+        if b[i % n] > b[(i + 1) % n]:
+            h |= 1 << i
+    if h >= 1 << 63:  # two's complement into a signed long
+        h -= 1 << 64
+    return h
+
+
+def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
+    """64-bit dHash per media row (Arrow-batched mapInPandas over
+    :func:`dhash64`; this module is registered pickle-by-value — no
     --py-files footgun)."""
 
     out_schema = ", ".join(
@@ -188,20 +221,7 @@ def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
     ) + f", {out_col} long"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def dhash(payload) -> int | None:
-            if payload is None:
-                return None
-            b = bytes(payload)
-            n = len(b)
-            if n == 0:
-                return 0
-            h = 0
-            for i in range(DHASH_BITS):
-                if b[i % n] > b[(i + 1) % n]:
-                    h |= 1 << i
-            if h >= 1 << 63:  # two's complement into a signed long
-                h -= 1 << 64
-            return h
+        dhash = dhash64
 
         for pdf in batches:
             out = pdf.copy()

@@ -173,3 +173,31 @@ def test_quantile_stream_replay_estimates_within_range(batches):
     lo, hi = min(all_vals) - 1e-6, max(all_vals) + 1e-6
     assert lo <= est[0.5] <= hi
     assert lo <= est[0.0] and est[1.0] <= hi
+
+
+@given(
+    st.binary(min_size=1, max_size=200),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=300, deadline=None)
+def test_dhash_one_byte_edit_bounded_hamming(payload, pos_seed, new_byte):
+    # The property that makes dHash a NEAR-dup hash: a one-byte edit
+    # flips at most the two comparisons adjacent to the edited byte —
+    # hamming <= 2 for n >= 64, relaxing to 2*ceil(64/n) under
+    # wraparound for shorter payloads. Also pins signed-64 range and
+    # determinism.
+    import math
+
+    from anomaly_detector_spark.operators.multimodal import dhash64
+
+    n = len(payload)
+    pos = pos_seed % n
+    edited = payload[:pos] + bytes([new_byte]) + payload[pos + 1 :]
+    a, b = dhash64(payload), dhash64(edited)
+    assert a == dhash64(payload)  # deterministic
+    assert -(1 << 63) <= a < (1 << 63)
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2 * math.ceil(64 / n)
+    if payload == edited:
+        assert ham == 0
