@@ -73,6 +73,7 @@ def _registry() -> dict[str, Callable]:
         run_vendored,
     )
     from ..checks.fd import run_fd, run_key_cardinality
+    from ..checks.media import run_media_dups
     from ..checks.paths import (
         run_case_collisions,
         run_lang_ext,
@@ -157,6 +158,9 @@ def _registry() -> dict[str, Callable]:
         "vendored": run_vendored,
         # partial-copy exposure: group twin of containment_pairs
         "containment": run_containment,
+        # media perceptual near-dup exposure (declare on a media table:
+        # partition_col='kind'); containment's multimodal twin
+        "media_dups": run_media_dups,
         # group-level license conflict (declare partition_col='repo')
         "license_consistency": run_license_consistency,
         # line-level boilerplate mass (corpus-frequent lines per doc);

@@ -659,3 +659,37 @@ def test_commit_bloat(spark):
     assert v == [("src/a.py", "c2"), ("src/a.py", "c3")]  # c1 survives (min commit)
     verd = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
     assert verd == {"python": "FAIL", "go": "PASS"}
+
+
+def test_media_dups_check_verdicts_and_metrics(spark):
+    # The multimodal family as a first-class suite member: image rows
+    # carry 5 byte-identical pairs (10/30 rows dupped -> FAIL at
+    # max_dup_frac=0.1), audio is clean (PASS; its NULL-payload row is
+    # excluded from totals), video is under min_rows (SKIPPED).
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.media import run_media_dups
+
+    rows = []
+    for i in range(30):  # first 10 rows = 5 identical pairs
+        seed = f"img{i // 2}" if i < 10 else f"imgu{i}"
+        rows.append((i, "image", seed))
+    rows += [(100 + i, "audio", f"aud{i}") for i in range(30)]
+    rows += [(200 + i, "video", f"vid{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, seed string").select(
+        "media_id",
+        "kind",
+        F.sha2(F.col("seed"), 256).cast("binary").alias("payload"),
+    )
+    null_row = spark.createDataFrame(
+        [(999, "audio")], "media_id long, kind string"
+    ).select("media_id", "kind", F.lit(None).cast("binary").alias("payload"))
+    df = df.unionByName(null_row)
+
+    spec = CheckSpec("media_dups", run_media_dups, {"max_dup_frac": 0.1}, "kind", 25)
+    res = spec.run(df)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v == {"image": "FAIL", "audio": "PASS", "video": "SKIPPED"}
+    m = {r["kind"]: (r["n_rows"], r["n_dup"]) for r in res.metrics.collect()}
+    assert m["image"] == (30, 10)
+    assert m["audio"] == (30, 0)  # NULL payload excluded from totals
+    assert m["video"][0] == 10
