@@ -1796,6 +1796,29 @@ def q_media_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
     return phash_near_dups(media, max_hamming=6, blocks=8)
 
 
+def _media_dups_spec():
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.media import run_media_dups
+
+    return CheckSpec("media_dups", run_media_dups, {"max_dup_frac": 0.01}, "kind", 25)
+
+
+def q_media_dup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    # the media_dups check end-to-end: verdict + metrics per kind over
+    # the planted near-copy synth; the oracle re-derives the dHash
+    # pairs brute-force, the dup-rate gate, and the content-addressed
+    # check id (a driver-derived literal, the hyperplane precedent).
+    from anomaly_detector_spark.operators.multimodal import synth_media
+
+    spec = _media_dups_spec()
+    res = spec.run(synth_media(spark, 1000, plant_every=25))
+    v = res.verdicts.select("partition_key", "check_id", "verdict")
+    m = res.metrics.select(
+        F.col("kind").alias("partition_key"), "n_rows", "n_dup"
+    )
+    return v.join(m, on="partition_key")
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2744,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
         "media_phash_dups": q_media_phash_dups,
+        "media_dup_verdicts": q_media_dup_verdicts,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_sample_mix": q_docs_sample_mix,
         "docs_token_shards": q_docs_token_shards,
@@ -6770,6 +6794,66 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     fp = _fingerprint_oracle()
     if fp is not None:
         out["docs_fingerprint"] = fp
+    # media_dups check verdicts: brute-force dHash pairs (the
+    # media_phash_dups CTE), dup-rate gate, and the content-addressed
+    # check id as a driver-derived literal (the hyperplane precedent —
+    # the oracle certifies the ID the manifest would record).
+    _md_spec = _media_dups_spec()
+    out["media_dup_verdicts"] = f"""
+        WITH m AS (
+          SELECT range AS media_id,
+                 ['image','audio','video'][CAST(range % 3 AS INT) + 1] AS kind,
+                 sha256('payload' || CAST(range AS VARCHAR)) AS base,
+                 sha256('payload' || CAST(range - 1 AS VARCHAR)) AS prev,
+                 CAST(range % 64 AS INT) AS pos
+          FROM range(1000)
+        ),
+        p AS (
+          SELECT media_id, kind,
+                 CASE WHEN media_id % 25 = 24 AND media_id > 0
+                      THEN substr(prev, 1, pos) || 'z'
+                           || substr(prev, pos + 2, 64 - pos - 1)
+                      ELSE base END AS hexstr
+          FROM m
+        ),
+        h AS (
+          SELECT media_id, kind,
+                 list_aggregate(list_transform(range(0, 64), i ->
+                   CASE WHEN ascii(substr(hexstr, (i % 64) + 1, 1)) >
+                             ascii(substr(hexstr, ((i + 1) % 64) + 1, 1))
+                        THEN CAST(1 AS HUGEINT) << i
+                        ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+          FROM p
+        ),
+        dupped AS (
+          SELECT DISTINCT media_id FROM (
+            SELECT a.media_id FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(CAST((CASE WHEN a.s >= (CAST(1 AS HUGEINT) << 63)
+                       THEN a.s - (CAST(1 AS HUGEINT) << 64) ELSE a.s END) AS BIGINT),
+                                CAST((CASE WHEN b.s >= (CAST(1 AS HUGEINT) << 63)
+                       THEN b.s - (CAST(1 AS HUGEINT) << 64) ELSE b.s END) AS BIGINT))) <= 6
+            UNION ALL
+            SELECT b.media_id FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(CAST((CASE WHEN a.s >= (CAST(1 AS HUGEINT) << 63)
+                       THEN a.s - (CAST(1 AS HUGEINT) << 64) ELSE a.s END) AS BIGINT),
+                                CAST((CASE WHEN b.s >= (CAST(1 AS HUGEINT) << 63)
+                       THEN b.s - (CAST(1 AS HUGEINT) << 64) ELSE b.s END) AS BIGINT))) <= 6
+          )
+        ),
+        agg AS (
+          SELECT kind AS partition_key,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) FILTER (WHERE media_id IN (SELECT media_id FROM dupped)) AS BIGINT) AS n_dup
+          FROM h GROUP BY 1
+        )
+        SELECT partition_key,
+               '{_md_spec.id}' AS check_id,
+               CASE WHEN n_rows < {_md_spec.min_rows} THEN 'SKIPPED'
+                    WHEN n_dup > n_rows * {float(_md_spec.config["max_dup_frac"])!r} THEN 'FAIL'
+                    ELSE 'PASS' END AS verdict,
+               n_rows, n_dup
+        FROM agg
+    """
     return out
 
 
