@@ -43,7 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="parquet dir for malformed csv/json/xml lines (raw text + run_id); "
         "omitted: corrupt rows are counted and excluded, not persisted",
     )
-    p.add_argument("--manifest", required=True, help="manifest table location (parquet dir)")
+    p.add_argument(
+        "--manifest", default=None,
+        help="manifest table location (parquet dir); required for every "
+        "mode except --monitor-out",
+    )
     p.add_argument("--violations", default=None, help="violations sink (parquet dir); omit to only count")
     p.add_argument(
         "--quarantine-out", default=None,
@@ -196,6 +200,20 @@ def build_parser() -> argparse.ArgumentParser:
         "appearance (skipped rows are warned) — prefer whole-partition "
         "landing files when setting this",
     )
+    p.add_argument(
+        "--monitor-out", default=None,
+        help="continuous distribution monitoring (no validation, no "
+        "manifest): stream --input like --watch and append per-trigger "
+        "metric rows here — running per-partition p50/p99 of "
+        "length(--monitor-col) (streaming/quantiles.py) under "
+        "<dir>/quantiles and running heavy hitters of --monitor-topk-col "
+        "(streaming/topk.py) under <dir>/topk. Each invocation drains "
+        "newly landed files and exits (availableNow); the state rides "
+        "--checkpoint, so estimates accumulate across invocations.",
+    )
+    p.add_argument("--monitor-col", default="content", help="quantile-monitored column (length mode)")
+    p.add_argument("--monitor-topk-col", default="repo", help="heavy-hitter-monitored column")
+    p.add_argument("--monitor-k", type=int, default=16, help="heavy-hitter store size per partition")
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p
 
@@ -212,6 +230,57 @@ def main(argv: list[str] | None = None) -> int:
         from .session import get_spark
 
         spark = get_spark(app_name="anomaly_detector_spark", cores=args.cores)
+
+    if args.monitor_out:
+        # monitoring-only mode: no suite, no manifest — two bounded-state
+        # metric streams over the same drop directory --watch consumes
+        if args.format in ("iceberg", "table"):
+            raise SystemExit("--monitor-out supports directory formats (parquet/orc/csv/json)")
+        if not args.checkpoint:
+            raise SystemExit("--monitor-out requires --checkpoint")
+        from .sources.registry import read_input_stream
+        from .streaming.quantiles import quantile_stream
+        from .streaming.topk import topk_stream
+
+        def start(frame, name):
+            return (
+                frame.writeStream.format("parquet")
+                .option("path", f"{args.monitor_out}/{name}")
+                .option("checkpointLocation", f"{args.checkpoint}/{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        stream = read_input_stream(
+            spark, args.input, args.format, schema=args.input_schema
+        )
+        q1 = start(
+            quantile_stream(
+                stream, partition_col=args.partition_col, col=args.monitor_col
+            ),
+            "quantiles",
+        )
+        q2 = start(
+            topk_stream(
+                stream,
+                partition_col=args.partition_col,
+                col=args.monitor_topk_col,
+                k=args.monitor_k,
+            ),
+            "topk",
+        )
+        q1.awaitTermination()
+        q2.awaitTermination()
+        summary = {
+            "monitor": True,
+            "quantile_rows": spark.read.parquet(f"{args.monitor_out}/quantiles").count(),
+            "topk_rows": spark.read.parquet(f"{args.monitor_out}/topk").count(),
+        }
+        print(json.dumps(summary))
+        return 0
+
+    if not args.manifest:
+        raise SystemExit("--manifest is required (all modes except --monitor-out)")
 
     from .plans.manifest import run_with_manifest
     from .plans.suite import constraint_suite, default_suite, extended_suite

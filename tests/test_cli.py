@@ -318,3 +318,45 @@ def test_cli_fork_audit(spark, dirs, tmp_path, capsys):
     assert spark.read.parquet(audit + "/fork_pairs").columns == [
         "repo_a", "repo_b", "shared_dirs", "n_dirs_a", "n_dirs_b", "jaccard"
     ]
+
+
+def test_cli_monitor_mode_accumulates_across_invocations(spark, tmp_path, capsys):
+    # --monitor-out: no suite, no manifest — per-trigger p50/p99 and
+    # heavy-hitter rows land under the sink; a second invocation sharing
+    # the checkpoint drains ONLY the newly landed file and its emission
+    # continues from the persisted state (cumulative n_rows grows).
+    from pyspark.sql import functions as F
+
+    files = files_view(spark, SF).drop("doc_id")
+    inp = str(tmp_path / "drop")
+    files.filter(F.col("lang") == "en").write.mode("append").parquet(inp)
+
+    mon, ckpt = str(tmp_path / "mon"), str(tmp_path / "ckpt")
+    argv = ["--input", inp, "--monitor-out", mon, "--checkpoint", ckpt]
+    assert main(argv) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["monitor"] is True and out1["quantile_rows"] > 0 and out1["topk_rows"] > 0
+
+    q1 = spark.read.parquet(f"{mon}/quantiles")
+    n1 = q1.agg({"n_rows": "max"}).collect()[0][0]
+    assert {r["q"] for r in q1.collect()} == {0.5, 0.99}
+
+    # land more rows (a second lang), re-invoke with the same checkpoint
+    files.filter(F.col("lang") == "de").write.mode("append").parquet(inp)
+    assert main(argv) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    q2 = spark.read.parquet(f"{mon}/quantiles")
+    langs = {r["partition_key"] for r in q2.collect()}
+    assert "en" in langs and "de" in langs
+    # en's state did NOT reprocess trigger-1 rows: its cumulative
+    # count is unchanged (only de was in the new file)
+    py_max = max(r["n_rows"] for r in q2.collect() if r["partition_key"] == "en")
+    assert py_max == n1
+    tk = spark.read.parquet(f"{mon}/topk")
+    assert tk.filter(F.col("est") > F.col("upper")).count() == 0
+
+
+def test_cli_manifest_required_outside_monitor(spark, dirs):
+    with pytest.raises(SystemExit):
+        main(["--input", dirs["input"], "--run-id", "x"])
