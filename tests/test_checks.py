@@ -693,3 +693,16 @@ def test_media_dups_check_verdicts_and_metrics(spark):
     assert m["image"] == (30, 10)
     assert m["audio"] == (30, 0)  # NULL payload excluded from totals
     assert m["video"][0] == 10
+
+
+def test_media_dups_empty_input(spark):
+    # verify-probe parity: an empty media table yields zero verdict rows
+    # and no crash (the pair join and both aggregates tolerate emptiness)
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.media import run_media_dups
+    from anomaly_detector_spark.operators.multimodal import phash_near_dups, synth_media
+
+    empty = synth_media(spark, 10).filter("1 = 0")
+    res = CheckSpec("media_dups", run_media_dups, {}, "kind", 25).run(empty)
+    assert res.verdicts.count() == 0 and res.metrics.count() == 0
+    assert phash_near_dups(empty).count() == 0
