@@ -52,6 +52,42 @@ STATE_SCHEMA = "means array<double>, weights array<double>, n_rows long"
 OUT_SCHEMA = "partition_key string, n_rows long, n_centroids long, q double, est double"
 
 
+def history_digests(
+    spark, quantile_sketches_dir: str, suite_sid: str | None = None
+) -> dict[str, tuple[list[float], list[float], int]]:
+    """Collect a persisted t-digest store into the warm-start dict a
+    quantile stream ships in its closure: {partition_key: (means,
+    weights, n_rows)} — the stream then CONTINUES the committed
+    history's digests instead of starting from zero, the quantile twin
+    of novelty's history_draws. Driver-side by design: the store is
+    O(partitions x delta) doubles (KB-MB, the drift-baseline-dict
+    footprint rule). Multi-run rows dedupe to the latest run per
+    (suite_id, partition_key), exactly global_quantiles' rule, so
+    at-least-once retry rows never double-seed."""
+    from pyspark.sql import functions as F  # noqa: F811 (closure-local)
+
+    df = spark.read.parquet(quantile_sketches_dir)
+    if suite_sid is not None:
+        df = df.filter(F.col("suite_id") == suite_sid)
+    rows = (
+        df.groupBy("suite_id", "partition_key")
+        .agg(
+            F.max_by("means", "run_id").alias("means"),
+            F.max_by("weights", "run_id").alias("weights"),
+            F.max_by("n_rows", "run_id").alias("n_rows"),
+        )
+        .collect()
+    )
+    return {
+        r["partition_key"]: (
+            [float(x) for x in r["means"]],
+            [float(x) for x in r["weights"]],
+            int(r["n_rows"]),
+        )
+        for r in rows
+    }
+
+
 def quantile_stream(
     stream_df: DataFrame,
     partition_col: str = "lang",
@@ -60,6 +96,7 @@ def quantile_stream(
     delta: float = 200.0,
     mode: str = "length",
     idle_ttl_ms: int | None = None,
+    history: dict[str, tuple[list[float], list[float], int]] | None = None,
 ) -> DataFrame:
     """Per-partition running quantile estimates over micro-batches.
 
@@ -75,12 +112,21 @@ def quantile_stream(
     novelty_stream — a partition silent for this long is evicted at the
     next trigger (ProcessingTimeTimeout rides the checkpoint). Default
     None keeps state forever (<= ~delta centroids per partition).
+
+    ``history``: warm-start dict from :func:`history_digests` — a
+    partition's FIRST batch merges into the committed history's digest
+    instead of an empty one (match the store's value axis: the manifest
+    writes length(content) digests, this stream's default ``length``
+    mode). A partition absent from the dict starts from zero, the
+    stream-side warm-up analog. Note the TTL eviction restart is also
+    from zero — history seeds first contact only, it is not re-read.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     qlist = [float(q) for q in (qs if qs is not None else [0.5, 0.99])]
     dlt = float(delta)
     ttl = idle_ttl_ms
+    hist0 = {k: (list(m), list(w), int(n)) for k, (m, w, n) in (history or {}).items()}
 
     v = F.length(F.col(col)).cast("double") if mode == "length" else F.col(col).cast("double")
     slim = stream_df.select(
@@ -96,7 +142,7 @@ def quantile_stream(
             means, weights, n_rows = state.get
             means, weights = list(means), list(weights)
         else:
-            means, weights, n_rows = [], [], 0
+            means, weights, n_rows = hist0.get(key[0], ([], [], 0))
         vals: list[float] = []
         for pdf in pdfs:
             vals.extend(float(x) for x in pdf["_v"])
@@ -134,13 +180,17 @@ def quantile_stream(
 
 
 def replay_quantile_stream(
-    batches: list[list[float]], qs: list[float], delta: float = 200.0
+    batches: list[list[float]],
+    qs: list[float],
+    delta: float = 200.0,
+    init: tuple[list[float], list[float], int] | None = None,
 ) -> tuple[list[float], list[float], dict[float, float]]:
     """Driver-side replay of the stream's state updates over an explicit
     micro-batch split — the determinism oracle for quantile_stream: the
-    stream's final (means, weights) and estimates must EQUAL this."""
-    means: list[float] = []
-    weights: list[float] = []
+    stream's final (means, weights) and estimates must EQUAL this.
+    ``init``: a warm-start digest (the history_digests entry)."""
+    means: list[float] = list(init[0]) if init else []
+    weights: list[float] = list(init[1]) if init else []
     for vals in batches:
         vs = sorted(float(x) for x in vals)
         m, w = td_compress(means + vs, weights + [1.0] * len(vs), delta=delta)

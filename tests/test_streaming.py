@@ -926,3 +926,67 @@ def test_topk_stream_matches_replay_and_bounds(spark, tmp_path):
     assert final["b"] == [(1, "x", 2, 2), (2, "y", 2, 2)]
     for _, item, est, upper in final["b"]:
         assert est == true_b[item] == upper
+
+
+def test_quantile_stream_warm_starts_from_persisted_store(spark, tmp_path):
+    # The quantile twin of novelty's history seeding: a batch run
+    # commits its t-digest store; the stream's FIRST trigger continues
+    # that digest (est == replay with the store row as init; n_rows is
+    # history + batch), while a storeless partition starts from zero.
+    from anomaly_detector_spark.plans.manifest import run_with_manifest
+    from anomaly_detector_spark.streaming.quantiles import (
+        history_digests,
+        quantile_stream,
+        replay_quantile_stream,
+    )
+
+    def files(lo, hi, lang, length_of):
+        return spark.range(lo, hi).select(
+            F.lit(lang).alias("lang"),
+            F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+            F.repeat(F.lit("x"), length_of(F.col("id")).cast("int")).alias("content"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+
+    qd = str(tmp_path / "q")
+    run_with_manifest(
+        files(0, 100, "py", lambda c: c + 1),  # lengths 1..100
+        str(tmp_path / "m"),
+        quantile_sketches_dir=qd,
+    )
+    history = history_digests(spark, qd)
+    assert set(history) == {"py"} and history["py"][2] == 100
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    schema = "lang string, repo string, path string, commit string, content string, ts timestamp"
+    batch = files(0, 50, "py", lambda c: c + 201).unionByName(  # lengths 201..250
+        files(0, 20, "rs", lambda c: c + 1)  # storeless partition
+    )
+    batch.write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(schema).parquet(inp)
+    out = quantile_stream(stream, partition_col="lang", col="content", history=history)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(sink).collect()
+    got = {(r["partition_key"], r["q"]): r for r in rows}
+    py_lens = [float(i + 201) for i in range(50)]
+    _, _, exp_py = replay_quantile_stream([py_lens], [0.5, 0.99], init=history["py"])
+    _, _, exp_rs = replay_quantile_stream(
+        [[float(i + 1) for i in range(20)]], [0.5, 0.99]
+    )
+    assert got[("py", 0.5)]["n_rows"] == 150  # history + batch
+    for qq in (0.5, 0.99):
+        assert got[("py", qq)]["est"] == exp_py[qq]
+        assert got[("rs", qq)]["est"] == exp_rs[qq]
+    # warm-started median reflects BOTH regimes: between the history
+    # median (~50) and the batch median (~225)
+    assert 50 < got[("py", 0.5)]["est"] < 225
