@@ -73,6 +73,37 @@ def _merge_batch(
     return dict(kept), bound
 
 
+def history_hitters(
+    spark, topk_sketches_dir: str, suite_sid: str | None = None
+) -> dict[str, tuple[list[str], list[int], list[int], int]]:
+    """Collect a persisted top-k store into the warm-start dict a topk
+    stream ships in its closure: {partition_key: (items, ests, errs,
+    bound)} — the heavy-hitter twin of quantiles.history_digests.
+    Latest-run dedupe per (suite_id, partition_key), global_topk's
+    rule. Stored counts are EXACT for that run's input, so seeded errs
+    are 0 and the seeded ``bound`` (the run's rank-k+1 count) soundly
+    caps anything the stored sketch dropped — the stream's intervals
+    then bracket history + stream totals. Driver-side by design:
+    O(partitions x k) rows."""
+    from pyspark.sql import functions as F  # noqa: F811 (closure-local)
+
+    df = spark.read.parquet(topk_sketches_dir)
+    if suite_sid is not None:
+        df = df.filter(F.col("suite_id") == suite_sid)
+    latest = df.groupBy("suite_id", "partition_key").agg(F.max("run_id").alias("run_id"))
+    from ..checks.base import null_safe_join
+
+    surviving = null_safe_join(df, latest, ["suite_id", "partition_key", "run_id"])
+    out: dict[str, tuple[list[str], list[int], list[int], int]] = {}
+    for r in surviving.select("partition_key", "item", "n", "bound").collect():
+        items, ests, errs, _b = out.setdefault(r["partition_key"], ([], [], [], 0))
+        items.append(r["item"])
+        ests.append(int(r["n"]))
+        errs.append(0)
+        out[r["partition_key"]] = (items, ests, errs, int(r["bound"]))
+    return out
+
+
 def topk_stream(
     stream_df: DataFrame,
     partition_col: str = "lang",
@@ -80,6 +111,7 @@ def topk_stream(
     k: int = 16,
     emit: int | None = None,
     idle_ttl_ms: int | None = None,
+    history: dict[str, tuple[list[str], list[int], list[int], int]] | None = None,
 ) -> DataFrame:
     """Per-partition running heavy hitters over micro-batches.
 
@@ -91,12 +123,24 @@ def topk_stream(
     ``idle_ttl_ms``: same state-hygiene layer as drift/novelty/quantile
     streams (ProcessingTimeTimeout rides the checkpoint); default None
     keeps state forever (<= k items + 2 longs per partition).
+
+    ``history``: warm-start dict from :func:`history_hitters` — a
+    partition's first contact seeds the committed store's truncated
+    counts (exact, err 0) and its bound, so emitted intervals bracket
+    history + stream totals. ``n_rows`` stays STREAM-side accounting
+    only (the store carries no per-partition row count); a partition
+    absent from the dict — or restarting after TTL eviction — starts
+    from zero.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     kk = int(k)
     out_n = int(emit) if emit is not None else kk
     ttl = idle_ttl_ms
+    hist0 = {
+        key: ({i: (int(e), int(r)) for i, e, r in zip(items, ests, errs)}, int(b))
+        for key, (items, ests, errs, b) in (history or {}).items()
+    }
 
     slim = stream_df.select(
         F.coalesce(F.col(partition_col).cast("string"), F.lit("<null>")).alias(
@@ -114,7 +158,8 @@ def topk_stream(
             d = {i: (int(e), int(r)) for i, e, r in zip(items, ests, errs)}
             bound, n_rows = int(bound), int(n_rows)
         else:
-            d, bound, n_rows = {}, 0, 0
+            d0, bound = hist0.get(key[0], ({}, 0))
+            d, n_rows = dict(d0), 0
         batch: Counter = Counter()
         for pdf in pdfs:
             batch.update(str(x) for x in pdf["_item"])
@@ -157,13 +202,21 @@ def topk_stream(
 
 
 def replay_topk_stream(
-    batches: list[list[str]], k: int, emit: int | None = None
+    batches: list[list[str]],
+    k: int,
+    emit: int | None = None,
+    init: tuple[list[str], list[int], list[int], int] | None = None,
 ) -> list[tuple[int, str, int, int]]:
     """Driver-side replay of the stream's state updates over an explicit
     micro-batch split — the determinism oracle for topk_stream: the
-    final emission must EQUAL this (rank, item, est, upper) list."""
-    d: dict[str, tuple[int, int]] = {}
-    bound = 0
+    final emission must EQUAL this (rank, item, est, upper) list.
+    ``init``: a warm-start entry (the history_hitters tuple)."""
+    if init is not None:
+        items, ests, errs, b = init
+        d = {i: (int(e), int(r)) for i, e, r in zip(items, ests, errs)}
+        bound = int(b)
+    else:
+        d, bound = {}, 0
     for vals in batches:
         d, bound = _merge_batch(d, bound, Counter(str(v) for v in vals), int(k))
     ranked = sorted(d.items(), key=lambda kv: (-kv[1][0], kv[0]))

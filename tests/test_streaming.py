@@ -990,3 +990,65 @@ def test_quantile_stream_warm_starts_from_persisted_store(spark, tmp_path):
     # warm-started median reflects BOTH regimes: between the history
     # median (~50) and the batch median (~225)
     assert 50 < got[("py", 0.5)]["est"] < 225
+
+
+def test_topk_stream_warm_starts_from_persisted_store(spark, tmp_path):
+    # The heavy-hitter twin of the quantile warm start: the stream's
+    # first contact seeds the committed store's truncated counts + its
+    # bound. A stored item accumulates exactly (err stays 0); an item
+    # the STORE dropped re-enters with err = the store's bound, so the
+    # emitted interval still brackets history + stream truth.
+    from collections import Counter
+
+    from anomaly_detector_spark.checks.profile import topk_sketches
+    from anomaly_detector_spark.streaming.topk import (
+        history_hitters,
+        replay_topk_stream,
+        topk_stream,
+    )
+
+    hist_counts = Counter({f"h{j:02d}": 25 - j for j in range(20)})  # 25..6
+    rows = [("py", r) for r, c in hist_counts.items() for _ in range(c)]
+    hist_df = spark.createDataFrame(rows, "lang string, repo string")
+    store = str(tmp_path / "topk")
+    topk_sketches(hist_df, "lang", "repo", k=8, run_id="r1").withColumn(
+        "suite_id", F.lit("s1")
+    ).write.parquet(store)
+
+    history = history_hitters(spark, store)
+    assert set(history) == {"py"}
+    items, ests, errs, bound = history["py"]
+    assert len(items) == 8 and bound == 17 and set(errs) == {0}  # rank-9 count
+
+    stream_rows = [("py", "h15")] * 30 + [("py", "h00")] * 5 + [("py", "z")] * 3
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    spark.createDataFrame(stream_rows, "lang string, repo string").write.parquet(inp)
+    stream = spark.readStream.schema("lang string, repo string").parquet(inp)
+    out = topk_stream(stream, partition_col="lang", col="repo", k=8, history=history)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["rank"], r["item"], r["est"], r["upper"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == sorted(
+        replay_topk_stream([[r for _, r in stream_rows]], k=8, init=history["py"])
+    )
+    true = hist_counts + Counter(r for _, r in stream_rows)
+    by_item = {item: (est, upper) for _, item, est, upper in got}
+    for item, (est, upper) in by_item.items():
+        assert est <= true[item] <= upper
+    # the store-dropped re-entrant carries the seeded bound as err
+    assert by_item["h15"] == (30, 47)  # est 30, upper 30 + bound 17
+    # a stored item accumulates exactly
+    assert by_item["h00"] == (30, 30)  # 25 history + 5 stream, err 0
+    # n_rows is stream-side accounting only
+    n = {r["n_rows"] for r in spark.read.parquet(sink).collect()}
+    assert n == {len(stream_rows)}
