@@ -1777,22 +1777,37 @@ def q_docs_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
+    # REAL decode: payloads are actual encoded BMP/PPM images
+    # (pure-Python codecs, operators/multimodal.py decode_image); the
+    # features are the 8-bucket grayscale histogram of the DECODED
+    # pixels. The oracle re-derives the pixels from the sha256 hex
+    # formula — a decoder bug (stride, bottom-up rows, luma) would
+    # hash-mismatch immediately.
+    from anomaly_detector_spark.operators.multimodal import (
+        extract_image_features,
+        synth_media_images,
+    )
 
-    media = synth_media(spark, 1000)
-    return extract_features(media)
+    media = synth_media_images(spark, 1000)
+    return extract_image_features(media)
 
 
 def q_media_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
-    # perceptual-hash (dHash) near-dup media pairs: 40 planted one-byte
-    # near-copies among 1000 synthetic payloads; pigeonhole block join
-    # (8 blocks > max_hamming 6), exact bit_count(xor) verify. The
-    # oracle re-derives the dHash from the sha256 hex chars and
-    # brute-forces all pairs — brute force is the ORACLE's luxury, the
-    # Spark side never goes all-pairs.
-    from anomaly_detector_spark.operators.multimodal import phash_near_dups, synth_media
+    # perceptual-hash (dHash) near-dup media pairs over REALLY DECODED
+    # pixels: 40 planted one-PIXEL near-copies among 1000 real BMP/PPM
+    # payloads — each planted copy is re-encoded in the OTHER container
+    # than its source, so byte-level comparison sees nothing and only
+    # the decoded-pixel hash finds the pair (cross-codec near-dup).
+    # Pigeonhole block join (8 blocks > max_hamming 6), exact
+    # bit_count(xor) verify. The oracle re-derives pixels + dHash from
+    # the sha256 pixel formula and brute-forces all pairs — brute force
+    # is the ORACLE's luxury, the Spark side never goes all-pairs.
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_near_dups,
+        synth_media_images,
+    )
 
-    media = synth_media(spark, 1000, plant_every=25)
+    media = synth_media_images(spark, 1000, plant_every=25)
     return phash_near_dups(media, max_hamming=6, blocks=8)
 
 
@@ -1804,14 +1819,15 @@ def _media_dups_spec():
 
 
 def q_media_dup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
-    # the media_dups check end-to-end: verdict + metrics per kind over
-    # the planted near-copy synth; the oracle re-derives the dHash
-    # pairs brute-force, the dup-rate gate, and the content-addressed
-    # check id (a driver-derived literal, the hyperplane precedent).
-    from anomaly_detector_spark.operators.multimodal import synth_media
+    # the media_dups check end-to-end over real decoded images: verdict
+    # + metrics per container kind (bmp/ppm); the oracle re-derives the
+    # decoded-pixel dHash pairs brute-force, the dup-rate gate, and the
+    # content-addressed check id (a driver-derived literal, the
+    # hyperplane precedent).
+    from anomaly_detector_spark.operators.multimodal import synth_media_images
 
     spec = _media_dups_spec()
-    res = spec.run(synth_media(spark, 1000, plant_every=25))
+    res = spec.run(synth_media_images(spark, 1000, plant_every=25))
     v = res.verdicts.select("partition_key", "check_id", "verdict")
     m = res.metrics.select(
         F.col("kind").alias("partition_key"), "n_rows", "n_dup"
@@ -2851,6 +2867,57 @@ _LOADS_PREFIX = """
 """
 
 
+def _media_px_cte(n: int = 1000, plant_every: int | None = None) -> str:
+    """DuckDB CTE re-deriving synth_media_images' DECODED pixels from
+    the sha256 pixel formula (byte idx%32 of sha256('px'+id+'/'+idx//32),
+    via hex-char strpos arithmetic — the kmv-oracle trick). The engine
+    side really encodes BMP/PPM and really decodes; the oracle skips the
+    container and derives the ground-truth pixels directly, so any
+    decoder defect (stride, bottom-up rows, luma) breaks the hash match."""
+
+    def bv(src: str) -> str:
+        hx = (
+            "sha256('px' || CAST(" + src + " AS VARCHAR) || '/' || "
+            "CAST(i.range // 32 AS VARCHAR))"
+        )
+        return (
+            f"((strpos('0123456789abcdef', substr({hx}, (i.range % 32) * 2 + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({hx}, (i.range % 32) * 2 + 2, 1)) - 1))"
+        )
+
+    if plant_every is None:
+        v = bv("m.range")
+    else:
+        planted = f"(m.range % {plant_every} = {plant_every - 1} AND m.range > 0)"
+        v = f"""CASE WHEN {planted} AND i.range = m.range % 72
+                     THEN ({bv("m.range - 1")} + 128) % 256
+                     WHEN {planted} THEN {bv("m.range - 1")}
+                     ELSE {bv("m.range")} END"""
+    return f"""px AS (
+          SELECT m.range AS media_id, i.range AS idx, {v} AS v
+          FROM range({n}) m CROSS JOIN range(72) i
+        )"""
+
+
+# dHash over a 72-element 1-indexed pixel list gv (9x8 row-major):
+# bit (y*8+x) = gv[y*9+x+1] > gv[y*9+x+2], HUGEINT sum folded to signed 64.
+_MEDIA_PHASH_CTE = """h AS (
+          SELECT media_id,
+                 CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                            THEN s - (CAST(1 AS HUGEINT) << 64)
+                            ELSE s END) AS BIGINT) AS ph
+          FROM (
+            SELECT media_id,
+                   list_aggregate(list_transform(range(0, 64), i ->
+                     CASE WHEN gv[(i // 8) * 9 + (i % 8) + 1] >
+                               gv[(i // 8) * 9 + (i % 8) + 2]
+                          THEN CAST(1 AS HUGEINT) << i
+                          ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+            FROM (SELECT media_id, list(v ORDER BY idx) AS gv FROM px GROUP BY media_id)
+          )
+        )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "files_commit_bloat": f"""
@@ -3803,65 +3870,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, score
             FROM p WHERE score >= 0.5
         """,
-        "media_features": """
-            -- synth_media is pure arithmetic + sha256 (no xxhash64), so
-            -- the whole mapInPandas byte-histogram decode is re-derivable:
-            -- payload = ascii bytes of the 64-char sha256 hex string, so
-            -- bucket 1 (bytes 48-57) = digit count, bucket 3 (97-102) =
-            -- a-f count; counts/64 have <= 6 decimal digits exactly.
-            WITH m AS (
-              SELECT range AS media_id,
-                     ['image','audio','video'][CAST(range % 3 AS INT) + 1] AS kind,
-                     sha256('payload' || CAST(range AS VARCHAR)) AS hexstr
-              FROM range(1000)
-            )
-            SELECT CAST(media_id AS BIGINT) AS media_id, kind,
-                   CAST(length(hexstr) AS BIGINT) AS n_bytes,
-                   0.0 AS f0,
-                   round(CAST(length(regexp_replace(hexstr, '[^0-9]', '', 'g')) AS DOUBLE)
-                         / length(hexstr), 6) AS f1,
-                   0.0 AS f2,
-                   round(CAST(length(regexp_replace(hexstr, '[^a-f]', '', 'g')) AS DOUBLE)
-                         / length(hexstr), 6) AS f3,
-                   0.0 AS f4, 0.0 AS f5, 0.0 AS f6, 0.0 AS f7
-            FROM m
+        "media_features": f"""
+            -- REAL-decode twin: the engine encodes actual BMP/PPM
+            -- payloads, decodes them back (pure-Python codecs) and
+            -- histograms the DECODED grayscale pixels; the oracle
+            -- derives the ground-truth pixels straight from the sha256
+            -- pixel formula. counts/72 round exactly at 6dp on both
+            -- sides (both compute round(c/72, 6)).
+            WITH {_media_px_cte(1000)}
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+                   CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+                   CAST(72 AS BIGINT) AS n_pixels,
+                   {", ".join(
+                       f"round(count(*) FILTER (WHERE v // 32 = {i}) / 72.0, 6) AS f{i}"
+                       for i in range(8)
+                   )}
+            FROM px GROUP BY media_id
         """,
-        "media_phash_dups": """
-            -- dHash re-derived from the sha256 hex chars (payload bytes
-            -- = ascii codes): bit i = byte[i%64] > byte[(i+1)%64],
-            -- packed little-endian, HUGEINT sum folded to signed 64.
-            -- Planted rows (media_id % 25 = 24) are the previous row's
-            -- hex string with one char overwritten at media_id % 64.
-            WITH m AS (
-              SELECT range AS media_id,
-                     sha256('payload' || CAST(range AS VARCHAR)) AS base,
-                     sha256('payload' || CAST(range - 1 AS VARCHAR)) AS prev,
-                     CAST(range % 64 AS INT) AS pos
-              FROM range(1000)
-            ),
-            p AS (
-              SELECT media_id,
-                     CASE WHEN media_id % 25 = 24 AND media_id > 0
-                          THEN substr(prev, 1, pos) || 'z'
-                               || substr(prev, pos + 2, 64 - pos - 1)
-                          ELSE base END AS hexstr
-              FROM m
-            ),
-            h AS (
-              SELECT media_id,
-                     CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
-                                THEN s - (CAST(1 AS HUGEINT) << 64)
-                                ELSE s END) AS BIGINT) AS ph
-              FROM (
-                SELECT media_id,
-                       list_aggregate(list_transform(range(0, 64), i ->
-                         CASE WHEN ascii(substr(hexstr, (i % 64) + 1, 1)) >
-                                   ascii(substr(hexstr, ((i + 1) % 64) + 1, 1))
-                              THEN CAST(1 AS HUGEINT) << i
-                              ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
-                FROM p
-              )
-            )
+        "media_phash_dups": f"""
+            -- decoded-pixel dHash brute-forced all-pairs (the oracle's
+            -- luxury): pixels from the sha256 formula, 9x8 adjacent
+            -- comparisons packed little-endian into signed 64. Planted
+            -- rows (media_id % 25 = 24) carry row id-1's pixels with
+            -- one pixel bumped +128 — re-encoded in the OTHER
+            -- container, so only the decoded hash finds them.
+            WITH {_media_px_cte(1000, plant_every=25)},
+            {_MEDIA_PHASH_CTE}
             SELECT CAST(a.media_id AS BIGINT) AS media_id_a,
                    CAST(b.media_id AS BIGINT) AS media_id_b,
                    a.ph AS phash_a, b.ph AS phash_b,
@@ -6806,51 +6841,28 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     # the oracle certifies the ID the manifest would record).
     _md_spec = _media_dups_spec()
     out["media_dup_verdicts"] = f"""
-        WITH m AS (
-          SELECT range AS media_id,
-                 ['image','audio','video'][CAST(range % 3 AS INT) + 1] AS kind,
-                 sha256('payload' || CAST(range AS VARCHAR)) AS base,
-                 sha256('payload' || CAST(range - 1 AS VARCHAR)) AS prev,
-                 CAST(range % 64 AS INT) AS pos
-          FROM range(1000)
-        ),
-        p AS (
-          SELECT media_id, kind,
-                 CASE WHEN media_id % 25 = 24 AND media_id > 0
-                      THEN substr(prev, 1, pos) || 'z'
-                           || substr(prev, pos + 2, 64 - pos - 1)
-                      ELSE base END AS hexstr
-          FROM m
-        ),
-        h AS (
-          SELECT media_id, kind,
-                 list_aggregate(list_transform(range(0, 64), i ->
-                   CASE WHEN ascii(substr(hexstr, (i % 64) + 1, 1)) >
-                             ascii(substr(hexstr, ((i + 1) % 64) + 1, 1))
-                        THEN CAST(1 AS HUGEINT) << i
-                        ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
-          FROM p
+        WITH {_media_px_cte(1000, plant_every=25)},
+        {_MEDIA_PHASH_CTE},
+        hk AS (
+          SELECT media_id,
+                 CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+                 ph
+          FROM h
         ),
         dupped AS (
           SELECT DISTINCT media_id FROM (
-            SELECT a.media_id FROM h a JOIN h b ON a.media_id < b.media_id
-            WHERE bit_count(xor(CAST((CASE WHEN a.s >= (CAST(1 AS HUGEINT) << 63)
-                       THEN a.s - (CAST(1 AS HUGEINT) << 64) ELSE a.s END) AS BIGINT),
-                                CAST((CASE WHEN b.s >= (CAST(1 AS HUGEINT) << 63)
-                       THEN b.s - (CAST(1 AS HUGEINT) << 64) ELSE b.s END) AS BIGINT))) <= 6
+            SELECT a.media_id FROM hk a JOIN hk b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 6
             UNION ALL
-            SELECT b.media_id FROM h a JOIN h b ON a.media_id < b.media_id
-            WHERE bit_count(xor(CAST((CASE WHEN a.s >= (CAST(1 AS HUGEINT) << 63)
-                       THEN a.s - (CAST(1 AS HUGEINT) << 64) ELSE a.s END) AS BIGINT),
-                                CAST((CASE WHEN b.s >= (CAST(1 AS HUGEINT) << 63)
-                       THEN b.s - (CAST(1 AS HUGEINT) << 64) ELSE b.s END) AS BIGINT))) <= 6
+            SELECT b.media_id FROM hk a JOIN hk b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 6
           )
         ),
         agg AS (
           SELECT kind AS partition_key,
                  CAST(count(*) AS BIGINT) AS n_rows,
                  CAST(count(*) FILTER (WHERE media_id IN (SELECT media_id FROM dupped)) AS BIGINT) AS n_dup
-          FROM h GROUP BY 1
+          FROM hk GROUP BY 1
         )
         SELECT partition_key,
                '{_md_spec.id}' AS check_id,

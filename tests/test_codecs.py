@@ -1,0 +1,121 @@
+"""Real in-sandbox image codecs (operators/multimodal.py): BMP/PPM
+encode-decode round trips, the decoded-pixel dHash path, and the
+synth_media_images fixture family.
+
+Closes the round-3 "decode is simulated" gap: these tests pin that
+extract_image_features / dhash64 run on GENUINELY decoded pixels — a
+decoder defect in stride, bottom-up row order, padding, or luma breaks
+the exact round-trip assertions here (and the DuckDB oracles, which
+derive ground-truth pixels from the sha256 formula without parsing the
+container).
+"""
+
+import hashlib
+import random
+
+import pytest
+
+from anomaly_detector_spark.operators.multimodal import (
+    decode_image,
+    dhash64,
+    dhash64_pixels,
+    encode_bmp,
+    encode_ppm,
+    extract_image_features,
+    synth_media_images,
+)
+
+
+def _sha_pixels(mid: int, npx: int = 72) -> list[int]:
+    out: list[int] = []
+    for blk in range((npx + 31) // 32):
+        out += hashlib.sha256(f"px{mid}/{blk}".encode()).digest()
+    return out[:npx]
+
+
+@pytest.mark.parametrize("enc", [encode_bmp, encode_ppm])
+@pytest.mark.parametrize("dims", [(9, 8), (18, 16), (5, 3), (1, 1), (2, 7)])
+def test_encode_decode_round_trip_exact(enc, dims):
+    # R=G=B encoding + integer BT.601 luma (weights sum to 1000) make the
+    # round trip EXACT — including BMP's bottom-up rows and 4-byte padding
+    # (width 5 and 1 exercise nonzero pad; 2x7 an odd stride).
+    w, h = dims
+    rng = random.Random(w * 100 + h)
+    px = [rng.randrange(256) for _ in range(w * h)]
+    assert decode_image(enc(w, h, px)) == (w, h, px)
+
+
+def test_decode_rejects_unknown_container():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_dhash_cross_codec_identical_and_edit_bounded():
+    px = _sha_pixels(3)
+    h_bmp = dhash64(encode_bmp(9, 8, px))
+    h_ppm = dhash64(encode_ppm(9, 8, px))
+    # same pixels, different container -> identical perceptual hash
+    assert h_bmp == h_ppm
+    # one-pixel edit touches at most the 2 adjacent comparisons
+    for j in (0, 30, 71):
+        edited = list(px)
+        edited[j] = (edited[j] + 128) % 256
+        ham = bin((h_bmp ^ dhash64(encode_ppm(9, 8, edited))) & ((1 << 64) - 1)).count("1")
+        assert ham <= 2
+
+
+def test_dhash_resize_area_average_equivalence():
+    # a 2x-replicated 18x16 image area-averages back to the 9x8 original
+    px = _sha_pixels(11)
+    big = [0] * (18 * 16)
+    for y in range(16):
+        for x in range(18):
+            big[y * 18 + x] = px[(y // 2) * 9 + x // 2]
+    assert dhash64_pixels(18, 16, big) == dhash64_pixels(9, 8, px)
+    assert dhash64(encode_bmp(18, 16, big)) == dhash64(encode_ppm(9, 8, px))
+
+
+def test_dhash_byte_fallback_unchanged_for_hex_payloads():
+    # sha256-hex payloads can't start with BM/P6/P5 -> byte path; value
+    # pinned so the legacy fixtures (and their oracles) stay stable
+    payload = hashlib.sha256(b"payload0").hexdigest().encode()
+    assert dhash64(payload) == 6527676635744518809
+    assert dhash64(None) is None
+    assert dhash64(b"") == 0
+
+
+def test_synth_media_images_decodes_to_formula_pixels(spark):
+    rows = synth_media_images(spark, 12).collect()
+    assert len(rows) == 12
+    for r in rows:
+        expected_kind = "bmp" if r["media_id"] % 2 == 0 else "ppm"
+        assert r["kind"] == expected_kind
+        w, h, gray = decode_image(bytes(r["payload"]))
+        assert (w, h) == (9, 8)
+        assert gray == _sha_pixels(r["media_id"])
+
+
+def test_synth_media_images_planted_cross_codec_near_dup(spark):
+    rows = {r["media_id"]: bytes(r["payload"]) for r in synth_media_images(spark, 50, plant_every=25).collect()}
+    # planted row 24 carries row 23's pixels (one bumped), but is encoded
+    # in ITS OWN container (24 -> bmp, source 23 -> ppm): bytes differ
+    # entirely, decoded dHash lands within hamming 2
+    assert rows[24][:2] == b"BM" and rows[23][:2] == b"P6"
+    ham = bin((dhash64(rows[24]) ^ dhash64(rows[23])) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2
+    # an unrelated pair sits far away
+    far = bin((dhash64(rows[10]) ^ dhash64(rows[37])) & ((1 << 64) - 1)).count("1")
+    assert far > 6
+
+
+def test_extract_image_features_runs_on_decoded_pixels(spark):
+    feats = {r["media_id"]: r for r in extract_image_features(synth_media_images(spark, 20)).collect()}
+    assert len(feats) == 20
+    for mid, r in feats.items():
+        gray = _sha_pixels(mid)
+        buckets = [0] * 8
+        for v in gray:
+            buckets[v >> 5] += 1
+        assert (r["width"], r["height"], r["n_pixels"]) == (9, 8, 72)
+        for i in range(8):
+            assert r[f"f{i}"] == round(buckets[i] / 72, 6)
