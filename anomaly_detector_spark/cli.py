@@ -271,10 +271,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         q1.awaitTermination()
         q2.awaitTermination()
+
+        def sink_rows(name: str) -> int:
+            # a stream that drained zero rows (empty drop directory on a
+            # first scheduled run, or all monitored values NULL) never
+            # creates the parquet sink path — report 0, don't stack-trace
+            from pyspark.errors import AnalysisException
+
+            try:
+                return spark.read.parquet(f"{args.monitor_out}/{name}").count()
+            except AnalysisException:
+                return 0
+
         summary = {
             "monitor": True,
-            "quantile_rows": spark.read.parquet(f"{args.monitor_out}/quantiles").count(),
-            "topk_rows": spark.read.parquet(f"{args.monitor_out}/topk").count(),
+            "quantile_rows": sink_rows("quantiles"),
+            "topk_rows": sink_rows("topk"),
         }
         print(json.dumps(summary))
         return 0

@@ -53,6 +53,18 @@ def history_draws(spark, kmv_dir: str, suite_sid: str | None = None):
     from ..checks.kmv import read_store
 
     rows, k, mode = read_store(spark, kmv_dir, suite_sid)
+    # same refusal as topk/quantiles warm-starts: two suites sharing a
+    # partition_key would union draws from different key domains
+    if suite_sid is None:
+        from pyspark.sql import functions as F  # noqa: F811 (closure-local)
+
+        store = spark.read.parquet(kmv_dir)
+        sids = [r[0] for r in store.select("suite_id").distinct().limit(2).collect()]
+        if len(sids) > 1:
+            raise ValueError(
+                f"history_draws: store holds multiple suite_ids ({sids[0]!r}, "
+                f"{sids[1]!r}, ...); pass suite_sid to select one"
+            )
     per: dict[str, list[float]] = {}
     for r in rows.select("partition_key", "u").distinct().collect():
         per.setdefault(r["partition_key"], []).append(r["u"])

@@ -69,6 +69,9 @@ def history_digests(
     df = spark.read.parquet(quantile_sketches_dir)
     if suite_sid is not None:
         df = df.filter(F.col("suite_id") == suite_sid)
+    from .topk import _require_single_suite
+
+    _require_single_suite(df, "history_digests")
     rows = (
         df.groupBy("suite_id", "partition_key")
         .agg(

@@ -73,6 +73,23 @@ def _merge_batch(
     return dict(kept), bound
 
 
+def _require_single_suite(df, where: str) -> None:
+    """Warm-start stores are keyed {partition_key: state}: rows from two
+    different suite_ids sharing a partition_key would silently interleave
+    (items merged, bound overwritten by whichever row came last) and the
+    documented 'intervals bracket history + stream totals' claim would no
+    longer hold. Refuse instead: the caller must pass ``suite_sid`` to
+    pick which suite seeds the stream. O(1) driver cost — two short rows."""
+    from pyspark.sql import functions as F  # noqa: F811 (closure-local)
+
+    sids = [r[0] for r in df.select("suite_id").distinct().limit(2).collect()]
+    if len(sids) > 1:
+        raise ValueError(
+            f"{where}: store holds multiple suite_ids ({sids[0]!r}, {sids[1]!r}, ...); "
+            "pass suite_sid to select which suite seeds the warm start"
+        )
+
+
 def history_hitters(
     spark, topk_sketches_dir: str, suite_sid: str | None = None
 ) -> dict[str, tuple[list[str], list[int], list[int], int]]:
@@ -90,6 +107,7 @@ def history_hitters(
     df = spark.read.parquet(topk_sketches_dir)
     if suite_sid is not None:
         df = df.filter(F.col("suite_id") == suite_sid)
+    _require_single_suite(df, "history_hitters")
     latest = df.groupBy("suite_id", "partition_key").agg(F.max("run_id").alias("run_id"))
     from ..checks.base import null_safe_join
 

@@ -360,3 +360,25 @@ def test_cli_monitor_mode_accumulates_across_invocations(spark, tmp_path, capsys
 def test_cli_manifest_required_outside_monitor(spark, dirs):
     with pytest.raises(SystemExit):
         main(["--input", dirs["input"], "--run-id", "x"])
+
+
+def test_cli_monitor_mode_zero_row_drain_reports_zero(spark, tmp_path, capsys):
+    # A first scheduled run whose streams drain ZERO rows (all monitored
+    # values NULL -> both kernels emit nothing) never creates the
+    # parquet sink paths; the summary must report 0/0, not stack-trace
+    # on the missing path (ADVICE r3).
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "drop")
+    files_view(spark, SF).drop("doc_id").limit(50).withColumn(
+        "content", F.lit(None).cast("string")
+    ).withColumn("repo", F.lit(None).cast("string")).write.parquet(inp)
+
+    argv = [
+        "--input", inp,
+        "--monitor-out", str(tmp_path / "mon"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"monitor": True, "quantile_rows": 0, "topk_rows": 0}

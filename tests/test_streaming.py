@@ -1052,3 +1052,60 @@ def test_topk_stream_warm_starts_from_persisted_store(spark, tmp_path):
     # n_rows is stream-side accounting only
     n = {r["n_rows"] for r in spark.read.parquet(sink).collect()}
     assert n == {len(stream_rows)}
+
+
+def test_warm_start_refuses_ambiguous_multi_suite_store(spark, tmp_path):
+    # A store holding TWO suite_ids that share a partition_key must not
+    # silently interleave state into one warm-start dict (items merged,
+    # bound/digest overwritten by whichever row lands last): all three
+    # history_* loaders refuse unless suite_sid picks one suite.
+    import pytest as _pytest
+
+    from anomaly_detector_spark.checks.profile import topk_sketches
+    from anomaly_detector_spark.streaming.novelty import history_draws
+    from anomaly_detector_spark.streaming.quantiles import history_digests
+    from anomaly_detector_spark.streaming.topk import history_hitters
+
+    base_df = spark.createDataFrame(
+        [("py", f"r{i}") for i in range(20) for _ in range(i + 1)],
+        "lang string, repo string",
+    )
+    sk = topk_sketches(base_df, "lang", "repo", k=4, run_id="r1")
+    store = str(tmp_path / "topk2")
+    sk.withColumn("suite_id", F.lit("s1")).unionByName(
+        sk.withColumn("suite_id", F.lit("s2"))
+    ).write.parquet(store)
+    with _pytest.raises(ValueError, match="multiple suite_ids"):
+        history_hitters(spark, store)
+    one = history_hitters(spark, store, suite_sid="s1")
+    assert set(one) == {"py"} and len(one["py"][0]) == 4
+
+    qstore = str(tmp_path / "q2")
+    qrows = [
+        (sid, "py", "r1", [10.0, 20.0], [5.0, 5.0], 10)
+        for sid in ("s1", "s2")
+    ]
+    spark.createDataFrame(
+        qrows,
+        "suite_id string, partition_key string, run_id string, "
+        "means array<double>, weights array<double>, n_rows long",
+    ).write.parquet(qstore)
+    with _pytest.raises(ValueError, match="multiple suite_ids"):
+        history_digests(spark, qstore)
+    assert set(history_digests(spark, qstore, suite_sid="s2")) == {"py"}
+
+    kstore = str(tmp_path / "kmv2")
+    krows = [
+        (sid, "py", u / 10.0, "r1", 4, "xxhash64")
+        for sid in ("s1", "s2")
+        for u in range(1, 5)
+    ]
+    spark.createDataFrame(
+        krows,
+        "suite_id string, partition_key string, u double, run_id string, "
+        "k int, mode string",
+    ).write.parquet(kstore)
+    with _pytest.raises(ValueError, match="multiple suite_ids"):
+        history_draws(spark, kstore)
+    hist, k, mode = history_draws(spark, kstore, suite_sid="s1")
+    assert set(hist) == {"py"} and k == 4
