@@ -76,15 +76,27 @@ def committed_partitions(manifest: DataFrame, sid: str, n_checks: int) -> DataFr
     )
 
 
-def pending_input(df: DataFrame, done: DataFrame, partition_col: str) -> DataFrame:
+def pending_input(
+    df: DataFrame, done: DataFrame, partition_col: str, broadcast: bool = True
+) -> DataFrame:
     """Prune already-committed partitions via broadcast anti-join.
 
     The done-set is partition keys only (tiny at any scale: cardinality
-    of the partition column, not of the data), so this is always a
+    of the partition column, not of the data), so this is normally a
     map-side broadcast — zero shuffle on the big table, and with a
     partitioned/Iceberg source the filter turns into partition pruning.
+    ``broadcast=False`` drops the hint for pathological done-set
+    cardinality (run_with_manifest flips it past 5M keys): building a
+    forced broadcast relation collects the keys into driver memory, so
+    past that point AQE picks the strategy instead of the hint.
     """
     keys = done.select(F.col("partition_key").cast("string"))
+    if not broadcast:
+        return df.join(
+            keys,
+            df[partition_col].cast("string").eqNullSafe(keys["partition_key"]),
+            "left_anti",
+        )
     # eqNullSafe: a NULL partition key must also be resumable — with plain
     # equality NULL never matches its committed row, so the NULL partition
     # would be re-validated (and re-committed) on every run.
@@ -713,8 +725,20 @@ def run_with_manifest(
     # see its own partitions as already committed and silently recompute
     # to EMPTY. The resume decision must be a snapshot taken at run
     # start, not a live view of the manifest.
-    done = spark.createDataFrame(done.collect(), done.schema)
-    pending = pending_input(df, done, partition_col)
+    #
+    # Mechanism: eager localCheckpoint, NOT collect+createDataFrame — the
+    # snapshot materializes in executor block storage, so the done-set
+    # never transits driver memory and the resume path stays bounded at
+    # 10^7+ committed partitions (r3 verdict guardrail). Lineage is
+    # truncated, which is exactly the freeze we need; the trade (an
+    # executor loss during the run fails the job instead of recomputing)
+    # is a crash, never a silent-empty recompute.
+    done = done.localCheckpoint(eager=True)
+    # the snapshot is materialized, so this count is an executor-side
+    # block scan; past 5M keys the forced-broadcast hint (which would
+    # rebuild the done-set inside driver memory) is dropped and AQE
+    # picks the anti-join strategy
+    pending = pending_input(df, done, partition_col, broadcast=done.count() <= 5_000_000)
     if cache_pending:
         pending = pending.cache()
 

@@ -43,13 +43,18 @@ OUT_SCHEMA = (
 )
 
 
-def history_draws(spark, kmv_dir: str, suite_sid: str | None = None):
+def history_draws(
+    spark, kmv_dir: str, suite_sid: str | None = None, max_partitions: int = 1_000_000
+):
     """Collect a persisted KMV store into the frozen-baseline dict a
     novelty stream ships in its closure: {partition_key: sorted bottom-k
     draws}, plus (k, mode). Driver-side by design — the store is
     O(partitions x k) doubles (KB), the same footprint drift_stream's
     baseline dict accepts — and multi-run rows are re-merged to bottom-k
-    here (the raw union would underestimate history, checks/kmv.py)."""
+    here (the raw union would underestimate history, checks/kmv.py).
+    ``max_partitions`` bounds the driver footprint (~8 B x k per key ->
+    ~2 GB at k=256 and the 1M default); over budget raises rather than
+    OOMs."""
     from ..checks.kmv import read_store
 
     rows, k, mode = read_store(spark, kmv_dir, suite_sid)
@@ -65,6 +70,11 @@ def history_draws(spark, kmv_dir: str, suite_sid: str | None = None):
                 f"history_draws: store holds multiple suite_ids ({sids[0]!r}, "
                 f"{sids[1]!r}, ...); pass suite_sid to select one"
             )
+    from .topk import _require_partition_budget
+
+    _require_partition_budget(
+        rows.select("partition_key").distinct().count(), max_partitions, "history_draws"
+    )
     per: dict[str, list[float]] = {}
     for r in rows.select("partition_key", "u").distinct().collect():
         per.setdefault(r["partition_key"], []).append(r["u"])

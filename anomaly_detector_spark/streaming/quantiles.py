@@ -53,7 +53,10 @@ OUT_SCHEMA = "partition_key string, n_rows long, n_centroids long, q double, est
 
 
 def history_digests(
-    spark, quantile_sketches_dir: str, suite_sid: str | None = None
+    spark,
+    quantile_sketches_dir: str,
+    suite_sid: str | None = None,
+    max_partitions: int = 250_000,
 ) -> dict[str, tuple[list[float], list[float], int]]:
     """Collect a persisted t-digest store into the warm-start dict a
     quantile stream ships in its closure: {partition_key: (means,
@@ -63,24 +66,26 @@ def history_digests(
     O(partitions x delta) doubles (KB-MB, the drift-baseline-dict
     footprint rule). Multi-run rows dedupe to the latest run per
     (suite_id, partition_key), exactly global_quantiles' rule, so
-    at-least-once retry rows never double-seed."""
+    at-least-once retry rows never double-seed. ``max_partitions``
+    bounds the driver footprint (~3.2 KB per key at delta=200 -> ~800 MB
+    at the 250k default); over budget raises rather than OOMs."""
     from pyspark.sql import functions as F  # noqa: F811 (closure-local)
 
     df = spark.read.parquet(quantile_sketches_dir)
     if suite_sid is not None:
         df = df.filter(F.col("suite_id") == suite_sid)
-    from .topk import _require_single_suite
+    from .topk import _require_partition_budget, _require_single_suite
 
     _require_single_suite(df, "history_digests")
-    rows = (
-        df.groupBy("suite_id", "partition_key")
-        .agg(
-            F.max_by("means", "run_id").alias("means"),
-            F.max_by("weights", "run_id").alias("weights"),
-            F.max_by("n_rows", "run_id").alias("n_rows"),
-        )
-        .collect()
+    grouped = df.groupBy("suite_id", "partition_key").agg(
+        F.max_by("means", "run_id").alias("means"),
+        F.max_by("weights", "run_id").alias("weights"),
+        F.max_by("n_rows", "run_id").alias("n_rows"),
     )
+    _require_partition_budget(
+        grouped.select("partition_key").count(), max_partitions, "history_digests"
+    )
+    rows = grouped.collect()
     return {
         r["partition_key"]: (
             [float(x) for x in r["means"]],

@@ -90,8 +90,25 @@ def _require_single_suite(df, where: str) -> None:
         )
 
 
+def _require_partition_budget(n_parts: int, max_partitions: int, where: str) -> None:
+    """Warm-start dicts are driver-resident by design (they ship in the
+    stream kernel's closure); the cap keeps that deliberate collect from
+    becoming an accidental driver OOM at extreme store cardinality.
+    Raise loudly with the two outs: filter (suite_sid) or raise the cap."""
+    if n_parts > max_partitions:
+        raise ValueError(
+            f"{where}: store holds {n_parts} partition keys, over the "
+            f"max_partitions={max_partitions} driver-memory budget for a "
+            "warm-start dict; filter the store (suite_sid) or pass a higher "
+            "max_partitions if the driver has the headroom"
+        )
+
+
 def history_hitters(
-    spark, topk_sketches_dir: str, suite_sid: str | None = None
+    spark,
+    topk_sketches_dir: str,
+    suite_sid: str | None = None,
+    max_partitions: int = 1_000_000,
 ) -> dict[str, tuple[list[str], list[int], list[int], int]]:
     """Collect a persisted top-k store into the warm-start dict a topk
     stream ships in its closure: {partition_key: (items, ests, errs,
@@ -100,7 +117,9 @@ def history_hitters(
     rule. Stored counts are EXACT for that run's input, so seeded errs
     are 0 and the seeded ``bound`` (the run's rank-k+1 count) soundly
     caps anything the stored sketch dropped — the stream's intervals
-    then bracket history + stream totals. Driver-side by design:
+    then bracket history + stream totals. ``max_partitions`` bounds the
+    driver footprint (~150 B x k per key at k=16 -> ~2.4 GB at the 1M
+    default); over budget raises rather than OOMs. Driver-side by design:
     O(partitions x k) rows."""
     from pyspark.sql import functions as F  # noqa: F811 (closure-local)
 
@@ -109,6 +128,7 @@ def history_hitters(
         df = df.filter(F.col("suite_id") == suite_sid)
     _require_single_suite(df, "history_hitters")
     latest = df.groupBy("suite_id", "partition_key").agg(F.max("run_id").alias("run_id"))
+    _require_partition_budget(latest.count(), max_partitions, "history_hitters")
     from ..checks.base import null_safe_join
 
     surviving = null_safe_join(df, latest, ["suite_id", "partition_key", "run_id"])

@@ -659,3 +659,82 @@ def test_scorecard_over_real_history(spark, manifest_dir):
         assert row["max_streak"] == (3 if fails_r1 else 0)
         if fails_r1:
             assert per_run_verdicts[(cid, row["worst_partition"])] == "FAIL"
+
+
+def test_resume_scales_to_1e5_committed_partitions(spark, manifest_dir):
+    # r3 verdict guardrail: the done-set snapshot must not transit driver
+    # memory (it's an eager localCheckpoint now) and the resume anti-join
+    # must prune 10^5 committed partitions without a forced broadcast
+    # collapse. Synthesize a committed manifest for 100k partitions, then
+    # run an input holding those plus 2 genuinely-new partitions: only
+    # the new ones validate and commit.
+    suite = default_suite(partition_col="lang")
+    sid = suite_id(suite)
+    checks = [F.lit(s.id) for s in suite]
+    committed = (
+        spark.range(100_000)
+        .select(
+            F.lit("seed").alias("run_id"),
+            F.lit(sid).alias("suite_id"),
+            F.concat(F.lit("pk"), F.col("id").cast("string")).alias("partition_key"),
+            F.explode(F.array(*checks)).alias("check_id"),
+            F.lit("PASS").alias("verdict"),
+            F.create_map().cast("map<string,double>").alias("metrics"),
+            F.lit(50).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("n_violations"),
+            F.lit("committed").alias("status"),
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+    committed.write.parquet(manifest_dir)
+
+    # input: 40 rows in each of 3 committed partitions + 2 new partitions
+    def part(lang, lo):
+        return spark.range(lo, lo + 40).select(
+            F.lit(lang).alias("lang"),
+            F.concat(F.lit("r"), (F.col("id") % 5).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("content"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+
+    df = part("pk0", 0)
+    for lang, lo in [("pk1", 100), ("pk99999", 200), ("new_a", 300), ("new_b", 400)]:
+        df = df.unionByName(part(lang, lo))
+
+    run = run_with_manifest(df, manifest_dir, suite=suite)
+    assert run.pending_partitions == 2  # only new_a / new_b were pending
+    m = read_manifest(spark, manifest_dir)
+    fresh = m.filter(F.col("run_id") == run.run_id)
+    assert set(r["partition_key"] for r in fresh.select("partition_key").distinct().collect()) == {
+        "new_a",
+        "new_b",
+    }
+    assert m.count() == 100_000 * 4 + 2 * 4
+
+
+def test_warm_start_partition_budget_cap(spark, tmp_path):
+    # the three history_* loaders hold driver-resident dicts; at 1e5
+    # store partitions the load works, and an explicit max_partitions
+    # under the store's cardinality refuses instead of collecting.
+    from anomaly_detector_spark.streaming.topk import history_hitters
+
+    store = str(tmp_path / "topk_1e5")
+    (
+        spark.range(100_000)
+        .select(
+            F.lit("s1").alias("suite_id"),
+            F.concat(F.lit("pk"), F.col("id").cast("string")).alias("partition_key"),
+            F.lit("r1").alias("run_id"),
+            F.lit("item0").alias("item"),
+            F.lit(7).cast("long").alias("n"),
+            F.lit(2).cast("long").alias("bound"),
+        )
+        .write.parquet(store)
+    )
+    history = history_hitters(spark, store)
+    assert len(history) == 100_000
+    assert history["pk42"] == (["item0"], [7], [0], 2)
+    with pytest.raises(ValueError, match="driver-memory budget"):
+        history_hitters(spark, store, max_partitions=50_000)
