@@ -62,7 +62,18 @@ def test_iceberg_manifest_roundtrip(spark, tmp_path):
         files = files_view(spark, SF).drop("doc_id").limit(100)
         files.writeTo("it.db.files").create()
     except Exception as ex:
-        pytest.skip(f"iceberg runtime not on classpath: {str(ex)[:120]}")
+        # Skip ONLY for jar absence: any other failure here is a broken
+        # Iceberg code path and must FAIL, not hide behind the skip
+        # (r3 verdict task 9). If the runtime jar ever lands in the
+        # sandbox, the guard stops matching and the round-trip runs.
+        msg = str(ex)
+        jar_absent = (
+            "ClassNotFoundException" in msg
+            or "Cannot find catalog plugin class" in msg
+            or "NoClassDefFoundError" in msg
+        )
+        assert jar_absent, f"iceberg path failed for a non-classpath reason: {msg[:300]}"
+        pytest.skip(f"iceberg runtime not on classpath: {msg[:120]}")
     back = spark.read.format("iceberg").load("it.db.files")
     assert back.count() == 100
     from anomaly_detector_spark.plans.manifest import run_with_manifest
