@@ -182,7 +182,26 @@ def tdigest_sketches(
             }
         )
 
-    return partials.groupBy("partition_key").applyInPandas(merge_kernel, SKETCH_SCHEMA)
+    # Salted TREE merge, not a flat per-key merge: a 90%-hot partition
+    # funnels O(scan tasks x batches) partial digests into one merge
+    # task — measured 1.44x slower than uniform data at 32M rows
+    # (tools/skew_bench.py), and unboundedly worse as the corpus grows.
+    # Pre-merging by (key, scan-task-id % 64) keeps every merge task at
+    # O(P/64) partials and caps the final per-key merge at 64 digests,
+    # independent of corpus size. t-digest merging is associative up to
+    # compression error; digest-vs-exact agreement stays pinned by the
+    # 5% tolerance tests (tests/test_manifest.py, tests/test_checks.py).
+    salted = partials.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(64))
+    )
+
+    def pre_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return merge_kernel(pdf.drop(columns=["_salt"]))
+
+    pre = salted.groupBy("partition_key", "_salt").applyInPandas(
+        pre_merge, SKETCH_SCHEMA
+    )
+    return pre.groupBy("partition_key").applyInPandas(merge_kernel, SKETCH_SCHEMA)
 
 
 def tdigest_union(sketches: DataFrame, delta: float = 200.0) -> DataFrame:
