@@ -111,6 +111,10 @@ def novelty_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     base = {pk: sorted(us) for pk, us in history.items()}
+    # broadcast, not closure capture — same rule as topk_stream: the
+    # frozen-baseline dict is read every batch and would otherwise be
+    # re-deserialized per task per micro-batch
+    base_bc = stream_df.sparkSession.sparkContext.broadcast(base) if base else None
     kk = int(k)
     ttl = idle_ttl_ms
 
@@ -135,7 +139,7 @@ def novelty_stream(
         if ttl is not None:
             state.setTimeoutDuration(ttl)
 
-        hist = base.get(key[0], [])
+        hist = (base_bc.value if base_bc is not None else {}).get(key[0], [])
         est_b = _est(kept)
         if not hist:
             est_new, new_frac = est_b, 1.0

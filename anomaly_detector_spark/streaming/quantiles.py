@@ -135,6 +135,11 @@ def quantile_stream(
     dlt = float(delta)
     ttl = idle_ttl_ms
     hist0 = {k: (list(m), list(w), int(n)) for k, (m, w, n) in (history or {}).items()}
+    # broadcast, not closure capture — same rule as topk_stream: a large
+    # warm-start dict in the closure is re-deserialized per task per batch
+    hist_bc = (
+        stream_df.sparkSession.sparkContext.broadcast(hist0) if hist0 else None
+    )
 
     v = F.length(F.col(col)).cast("double") if mode == "length" else F.col(col).cast("double")
     slim = stream_df.select(
@@ -150,7 +155,8 @@ def quantile_stream(
             means, weights, n_rows = state.get
             means, weights = list(means), list(weights)
         else:
-            means, weights, n_rows = hist0.get(key[0], ([], [], 0))
+            h = hist_bc.value if hist_bc is not None else {}
+            means, weights, n_rows = h.get(key[0], ([], [], 0))
         vals: list[float] = []
         for pdf in pdfs:
             vals.extend(float(x) for x in pdf["_v"])

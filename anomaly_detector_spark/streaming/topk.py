@@ -179,6 +179,13 @@ def topk_stream(
         key: ({i: (int(e), int(r)) for i, e, r in zip(items, ests, errs)}, int(b))
         for key, (items, ests, errs, b) in (history or {}).items()
     }
+    # ship the warm-start dict as a BROADCAST, not closure state: captured
+    # directly, every task re-deserializes the whole dict each micro-batch
+    # (measured: a 100k-key dict tripled the seeded first trigger,
+    # tools/streaming_scale_bench.py); broadcast fetches once per executor
+    hist_bc = (
+        stream_df.sparkSession.sparkContext.broadcast(hist0) if hist0 else None
+    )
 
     slim = stream_df.select(
         F.coalesce(F.col(partition_col).cast("string"), F.lit("<null>")).alias(
@@ -196,7 +203,8 @@ def topk_stream(
             d = {i: (int(e), int(r)) for i, e, r in zip(items, ests, errs)}
             bound, n_rows = int(bound), int(n_rows)
         else:
-            d0, bound = hist0.get(key[0], ({}, 0))
+            h = hist_bc.value if hist_bc is not None else {}
+            d0, bound = h.get(key[0], ({}, 0))
             d, n_rows = dict(d0), 0
         batch: Counter = Counter()
         for pdf in pdfs:
