@@ -146,3 +146,12 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
         f"unknown store family {family!r}: use hll | tdigest | topk | "
         "membership | kmv | linefreq | bands | winnow_fps | quarantine"
     )
+
+
+# Compaction cadence (measured, tools/incr_dedup_bench.py 25-cycle
+# containment run; BASELINE.md round-4): the incremental read path's
+# per-cycle cost creeps with store FILE COUNT (each append adds one
+# file set), not bytes — +25% by 25 uncompacted cycles at 32 files per
+# append. compact_store costs ~1-2s at that scale and resets the curve.
+# Recommended cadence: every ~5 increments, or whenever the store's
+# file count exceeds ~10x the writer's parallelism.
