@@ -324,7 +324,7 @@ def main() -> int:
         # measured by tools/scaling_bench.py (32M rows, median of 5,
         # verdict equality asserted across levels); latest round-3 run —
         # full tables + method in BASELINE.md "Round-3 scaling".
-        "scaling_note": "tools/scaling_bench.py r3 close: local[2] 226,300 -> local[8] 797,745 files/s, efficiency 0.881 (>=0.8 target; mid-round run 0.827); 8->32 0.372 (single-box memory-bandwidth ceiling, see BASELINE.md)",
+        "scaling_note": "tools/scaling_bench.py r4: local[2] 175,978 -> local[8] 635,995 files/s on 32M rows, efficiency 0.904 (>=0.8 target; r3 close 0.881), identical verdicts+violations at both levels; 8->32 flattening remains the single-box memory-bandwidth ceiling, see BASELINE.md",
     }
     print(json.dumps(out))
     return 0
