@@ -15,6 +15,7 @@ and disallowed langs.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1835,6 +1836,27 @@ def q_media_dup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     return v.join(m, on="partition_key")
 
 
+def q_files_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # robust (MAD / modified-z) outlier profile per lang over content
+    # length — the robust sibling of the reference's z/IQR flagging
+    # (checks/robust.py; exact percentile so DuckDB quantile_cont
+    # reproduces the medians bit-for-bit on integer lengths)
+    from anomaly_detector_spark.checks.robust import mad_profile
+
+    files = files_view(spark, sf).drop("doc_id")
+    return mad_profile(files, "lang", "content")
+
+
+def q_events_benford(spark: SparkSession, sf: str) -> DataFrame:
+    # Benford first-significant-digit drift of `value` per event type:
+    # observed digit fractions + chi-square vs log10(1 + 1/d) — pure JVM
+    # arithmetic on a derived digit column, one aggregate
+    from anomaly_detector_spark.checks.robust import benford_profile
+
+    ev = load_table(spark, sf, "events")
+    return benford_profile(ev, "event_type", "value")
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2686,6 +2708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r01-r03) come first; previously-green entries follow.
     """
     return {
+        # --- new in round 4 ---
+        "files_mad_outliers": q_files_mad_outliers,
+        "events_benford": q_events_benford,
         # --- never driver-oracled before round 4 (all green under tools/check_oracle.py) ---
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
@@ -5158,6 +5183,71 @@ def _corpus_pipeline_oracle(k: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _raw_oracle_sql()
+    # files_mad_outliers: exact medians (quantile_cont == Spark exact
+    # percentile: both linear-interpolate) over INTEGER lengths, so med /
+    # mad land on k or k+0.5 exactly and the 3.5-modified-z comparison is
+    # ulp-safe in both engines.
+    out["files_mad_outliers"] = f"""
+        WITH {FILES_CTE_SQL},
+        v AS (
+          SELECT lang AS partition_key, CAST(length(content) AS DOUBLE) AS v
+          FROM files WHERE content IS NOT NULL
+        ),
+        med AS (SELECT partition_key, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+        dev AS (
+          SELECT v.partition_key, abs(v.v - med.med) AS absdev
+          FROM v JOIN med USING (partition_key)
+        ),
+        mad AS (
+          SELECT d.partition_key, quantile_cont(d.absdev, 0.5) AS mad
+          FROM dev d GROUP BY 1
+        ),
+        agg AS (
+          SELECT d.partition_key,
+                 count(*) AS n_rows,
+                 sum(CASE WHEN (CASE WHEN m.mad > 0
+                                     THEN d.absdev / (1.4826 * m.mad) > 3.5
+                                     ELSE d.absdev > 0 END)
+                          THEN 1 ELSE 0 END) AS n_outliers
+          FROM dev d JOIN mad m USING (partition_key)
+          GROUP BY 1
+        )
+        SELECT a.partition_key,
+               CAST(a.n_rows AS BIGINT) AS n_rows,
+               round(me.med, 4) AS med,
+               round(m.mad, 4) AS mad,
+               CAST(a.n_outliers AS BIGINT) AS n_outliers,
+               round(CAST(a.n_outliers AS DOUBLE) / a.n_rows, 6) AS outlier_rate
+        FROM agg a JOIN mad m USING (partition_key) JOIN med me USING (partition_key)
+    """
+    # events_benford: first significant digit of |value| via the same
+    # floor(x / 10^floor(log10 x)) arithmetic; chi2 against the Benford
+    # probabilities as double literals (identical constants both sides).
+    _bp = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    _chi2 = " + ".join(
+        f"pow(c{d} - n_rows * {_bp[d - 1]!r}, 2) / (n_rows * {_bp[d - 1]!r})"
+        for d in range(1, 10)
+    )
+    out["events_benford"] = f"""
+        WITH v AS (
+          SELECT event_type AS partition_key, abs(CAST(value AS DOUBLE)) AS x
+          FROM events WHERE value IS NOT NULL
+        ),
+        dg AS (
+          SELECT partition_key,
+                 CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS d
+          FROM v WHERE x > 0
+        ),
+        agg AS (
+          SELECT partition_key, count(*) AS n_rows,
+                 {", ".join(f"sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS c{d}" for d in range(1, 10))}
+          FROM dg WHERE d BETWEEN 1 AND 9 GROUP BY 1
+        )
+        SELECT partition_key, CAST(n_rows AS BIGINT) AS n_rows,
+               {", ".join(f"round(CAST(c{d} AS DOUBLE) / n_rows, 6) AS d{d}" for d in range(1, 10))},
+               round({_chi2}, 4) AS chi2
+        FROM agg
+    """
     out["files_small_audit"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_files,
                CAST(sum(size) AS BIGINT) AS total_bytes,
