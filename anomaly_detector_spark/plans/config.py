@@ -90,11 +90,17 @@ def _registry() -> dict[str, Callable]:
     from ..checks.sequence import run_flatline, run_gaps, run_monotonic
     from ..checks.quantiles import run_quantile_drift
     from ..checks.reconcile import run_reconcile
+    from ..checks.robust import run_benford, run_mad_outliers
     from ..checks.stats import run_stats
     from ..checks.uniqueness import run_commit_bloat, run_uniqueness
 
     return {
         "stats": run_stats,
+        # robust (MAD modified-z) outlier exposure — the resistant
+        # sibling of quantile_drift's location/scale view
+        "mad_outliers": run_mad_outliers,
+        # first-significant-digit drift vs Benford's law (chi-square)
+        "benford": run_benford,
         "metadata_stats": run_metadata_stats,
         # layout-health gate: config carries the file inventory PATH and
         # the clustered dims; footer-only, schedules cluster_write

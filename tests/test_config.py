@@ -206,3 +206,30 @@ def test_small_files_declarable_from_config(spark, tmp_path):
     res = specs[0].run(spark.range(1))
     v = res.verdicts.collect()
     assert len(v) == 1 and v[0]["verdict"] == "FAIL"
+
+
+def test_round4_robust_checks_declarable_from_config(spark):
+    # mad_outliers + benford ride the JSON suite document path like every
+    # other family: build -> serialize -> rebuild -> run
+    doc = {
+        "partition_col": "lang",
+        "min_rows": 25,
+        "checks": [
+            {"check": "mad_outliers", "max_outlier_rate": 0.5},
+            {"check": "benford", "name": "benford_len", "column": "size", "max_chi2": 1e9},
+        ],
+    }
+    specs = suite_from_config(doc)
+    rebuilt = suite_from_config(suite_to_config(specs))
+    assert [s.id for s in rebuilt] == [s.id for s in specs]
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_spark.sources.registry import files_view
+
+    files = files_view(spark, "/root/testdata/sf0.001").drop("doc_id").withColumn(
+        "size", F.length("content").cast("double")
+    )
+    for spec in rebuilt:
+        res = spec.run(files)
+        verdicts = {r["verdict"] for r in res.verdicts.collect()}
+        assert verdicts <= {"PASS", "FAIL", "SKIPPED"} and verdicts
