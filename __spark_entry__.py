@@ -1191,6 +1191,51 @@ def q_metric_history_flags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_metric_ewma_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """checks/history.py ewma_metric_flags over the SAME six-run
+    synthetic history as metric_history_flags: EWMA control chart
+    (alpha 0.3, 3-sigma asymptotic limits) per metric series — the
+    geometric-memory twin of the flat z/IQR flagger, closed-form
+    weighted sum, no iterative state."""
+    from anomaly_detector_spark.checks.history import ewma_metric_flags
+
+    files = files_view(spark, sf)
+    buckets = files.groupBy(
+        "lang", (F.col("doc_id") % 6).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.length("content")).alias("sum_len"),
+    )
+    runs_of_bucket = F.when(F.col("b") == 0, F.array(F.lit(0), F.lit(5))).otherwise(
+        F.array(F.col("b").cast("int"))
+    )
+    per_run = (
+        buckets.select("lang", "cnt", "sum_len", F.explode(runs_of_bucket).alias("r"))
+        .groupBy("lang", "r")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_len").alias("sum_len"))
+    )
+    hist = per_run.select(
+        F.col("r"),
+        F.col("lang").alias("partition_key"),
+        F.lit("stats").alias("check_id"),
+        F.expr(
+            "stack(2, 'n_rows', CAST(cnt AS DOUBLE), "
+            "'avg_len', CAST(sum_len AS DOUBLE) / cnt) as (metric, value)"
+        ),
+    )
+    out = ewma_metric_flags(hist, order_cols=["r"])
+    return out.select(
+        "partition_key",
+        "metric",
+        F.round("value", 4).alias("value"),
+        F.col("n_history").cast("long").alias("n_history"),
+        "ewma",
+        "ucl",
+        "lcl",
+        "is_anomalous",
+    )
+
+
 def q_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
     """checks/contract.py over a deliberately drifted files frame (lang
     renamed, content dropped, commit re-typed, doc_id riding along):
@@ -2711,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "files_mad_outliers": q_files_mad_outliers,
         "events_benford": q_events_benford,
+        "metric_ewma_flags": q_metric_ewma_flags,
         # --- never driver-oracled before round 4 (all green under tools/check_oracle.py) ---
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
@@ -5441,6 +5487,58 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                          OR l.value < p.q1 - 1.5 * (p.q3 - p.q1)
                END AS is_anomalous
         FROM latest l LEFT JOIN prior p USING (partition_key, metric)
+    """
+    # metric_ewma_flags: the EWMA closed form (priors oldest->newest,
+    # z_1 = x_1 init: weight a(1-a)^(n-t), first row (1-a)^(n-1)) and the
+    # asymptotic 3-sigma limit sqrt(a/(2-a)); limits derive from the
+    # UNROUNDED ewma (the engine rounds for display after flagging).
+    out["metric_ewma_flags"] = f"""
+        WITH {FILES_CTE_SQL},
+        runs AS (SELECT r FROM (VALUES (0),(1),(2),(3),(4),(5)) t(r)),
+        per AS (
+          SELECT r, lang AS partition_key,
+                 CAST(count(*) AS DOUBLE) AS n_rows,
+                 CAST(sum(length(content)) AS DOUBLE) / count(*) AS avg_len
+          FROM files, runs
+          WHERE (r < 5 AND doc_id % 6 = r) OR (r = 5 AND doc_id % 6 IN (5, 0))
+          GROUP BY 1, 2
+        ),
+        hist AS (
+          SELECT r, partition_key, 'n_rows' AS metric, n_rows AS value FROM per
+          UNION ALL
+          SELECT r, partition_key, 'avg_len', avg_len FROM per
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY partition_key, metric ORDER BY r DESC) AS rn
+          FROM hist
+        ),
+        latest AS (SELECT partition_key, metric, value FROM ranked WHERE rn = 1),
+        pr AS (
+          SELECT partition_key, metric, value,
+                 row_number() OVER (PARTITION BY partition_key, metric ORDER BY r ASC) AS t,
+                 count(*) OVER (PARTITION BY partition_key, metric) AS n
+          FROM ranked WHERE rn > 1
+        ),
+        agg AS (
+          SELECT partition_key, metric, count(*) AS n_history,
+                 sum(value * CASE WHEN t = 1 THEN pow(0.7, n - 1)
+                                  ELSE 0.3 * pow(0.7, n - t) END) AS ewma,
+                 stddev_samp(value) AS sigma
+          FROM pr GROUP BY 1, 2
+        )
+        SELECT l.partition_key, l.metric, round(l.value, 4) AS value,
+               CAST(a.n_history AS BIGINT) AS n_history,
+               round(a.ewma, 4) AS ewma,
+               round(a.ewma + 3.0 * a.sigma * sqrt(0.3 / 1.7), 4) AS ucl,
+               round(a.ewma - 3.0 * a.sigma * sqrt(0.3 / 1.7), 4) AS lcl,
+               CASE WHEN a.n_history < 3 THEN NULL
+                    WHEN coalesce(a.sigma, 0) > 0
+                    THEN l.value > a.ewma + 3.0 * a.sigma * sqrt(0.3 / 1.7)
+                         OR l.value < a.ewma - 3.0 * a.sigma * sqrt(0.3 / 1.7)
+                    ELSE abs(l.value - a.ewma)
+                         > greatest(1e-9 * abs(l.value), 1e-12)
+               END AS is_anomalous
+        FROM latest l LEFT JOIN agg a USING (partition_key, metric)
     """
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()

@@ -146,6 +146,86 @@ def flag_metric_anomalies(
     )
 
 
+def ewma_metric_flags(
+    hist: DataFrame,
+    order_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    L: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """EWMA control chart per metric series: flag the LATEST value when
+    it falls outside ewma_prior +- L * sigma_prior * sqrt(a / (2 - a)).
+
+    The complementary memory model to :func:`flag_metric_anomalies`'
+    flat prior distribution: the EWMA weights recent runs geometrically
+    (weight a(1-a)^age), so a series that has LEGITIMATELY drifted to a
+    new level re-centers within ~1/a runs instead of flagging forever,
+    while a step change still exceeds the control limit immediately —
+    the classic Roberts/Hunter EWMA chart, run over the manifest's own
+    committed telemetry.
+
+    No iterative state: the EWMA of the priors has the closed form
+    ``a * sum_t (1-a)^(n-t) x_t + (1-a)^(n-1) x_1`` (priors ordered
+    oldest->newest, initialized at the first observation), which is one
+    weighted-sum aggregate per series — the same shuffle-by-series
+    plan shape as the z/IQR flagger, no window wider than the series.
+
+    One row per series: (partition_key, check_id, metric, value,
+    n_history, ewma, sigma_prior, ucl, lcl, is_anomalous).
+    ``is_anomalous`` is NULL under ``min_history`` (T1 warm-up on the
+    time axis); a zero-variance history flags any deviation."""
+    order_cols = order_cols or ["committed_at", "run_id"]
+    w_desc = Window.partitionBy(*SERIES_KEY).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = hist.withColumn("_rn", F.row_number().over(w_desc))
+    latest = ranked.where(F.col("_rn") == 1).select(*SERIES_KEY, "value")
+    priors = ranked.where(F.col("_rn") > 1)
+    # ascending age: t = 1 oldest .. n newest; _rn descends so t = n - _rn + 2
+    a = float(alpha)
+    n_w = Window.partitionBy(*SERIES_KEY)
+    pr = priors.withColumn("_n", F.count(F.lit(1)).over(n_w)).withColumn(
+        "_t", F.col("_n") - F.col("_rn") + 2
+    )
+    weight = F.when(
+        F.col("_t") == 1, F.pow(F.lit(1 - a), F.col("_n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("_n") - F.col("_t")))
+    agg = pr.groupBy(*SERIES_KEY).agg(
+        F.count("value").alias("n_history"),
+        F.sum(F.col("value") * weight).alias("ewma"),
+        F.stddev_samp("value").alias("sigma_prior"),
+    )
+    from .base import null_safe_join
+
+    j = null_safe_join(latest, agg, SERIES_KEY, "left")
+    spread = F.lit(L) * F.col("sigma_prior") * F.lit((a / (2 - a)) ** 0.5)
+    ucl, lcl = F.col("ewma") + spread, F.col("ewma") - spread
+    dev = F.abs(F.col("value") - F.col("ewma"))
+    # zero-variance history: any REAL deviation flags, but the closed-form
+    # weight sum carries ~1ulp of dust ((0.7)^3 + 0.3*(0.49+0.7+1) !=
+    # exactly 1 in floats), so "deviation" needs a relative epsilon or a
+    # constant series flags itself
+    eps = F.greatest(F.lit(1e-9) * F.abs(F.col("value")), F.lit(1e-12))
+    outside = F.when(
+        F.coalesce(F.col("sigma_prior"), F.lit(0.0)) > 0,
+        (F.col("value") > ucl) | (F.col("value") < lcl),
+    ).otherwise(dev > eps)
+    flagged = F.when(
+        F.coalesce(F.col("n_history"), F.lit(0)) < min_history,
+        F.lit(None).cast("boolean"),
+    ).otherwise(outside)
+    return (
+        j.withColumn("is_anomalous", flagged)
+        .withColumn("n_history", F.coalesce(F.col("n_history"), F.lit(0)))
+        # limits derive from the UNROUNDED ewma (computed before the
+        # display rounding below; the oracle mirrors this order)
+        .withColumn("ucl", F.round(ucl, 4))
+        .withColumn("lcl", F.round(lcl, 4))
+        .withColumn("ewma", F.round("ewma", 4))
+        .withColumn("sigma_prior", F.round("sigma_prior", 4))
+    )
+
+
 def manifest_metric_anomalies(
     manifest: DataFrame,
     suite_sid: str | None = None,

@@ -140,3 +140,66 @@ def test_seasonal_baseline_still_catches_real_anomaly(spark):
     two_weeks = _daily_hist(spark, week * 2)
     r = flag_metric_anomalies(two_weeks, season=F.dayofweek("committed_at")).collect()[0]
     assert r["is_anomalous"] is None and r["n_history"] == 1
+
+
+def test_ewma_flags_step_change_and_recentering(spark):
+    from anomaly_detector_spark.checks.history import ewma_metric_flags
+
+    hist = mkhist(
+        spark,
+        {
+            # step change on the newest run -> outside the control limit
+            ("python", "spike"): [10, 11, 9, 10, 30],
+            # legitimately shifted level after a long stable prefix: the
+            # flat-prior IQR fences still hug the old level and flag 200
+            # forever, but the EWMA has re-centered within ~1/alpha runs
+            ("python", "shifted"): [10, 11, 9, 10, 11, 9, 10, 11, 9, 10,
+                                    200, 201, 199, 200],
+            ("python", "stable"): [10, 10.5, 9.5, 10, 10.2],
+            ("go", "short"): [5, 50],
+        },
+    )
+    out = {
+        (r["partition_key"], r["metric"]): r.asDict()
+        for r in ewma_metric_flags(hist).collect()
+    }
+    assert out[("python", "spike")]["is_anomalous"] is True
+    assert out[("python", "stable")]["is_anomalous"] is False
+    assert out[("go", "short")]["is_anomalous"] is None  # warm-up guard
+    assert out[("python", "shifted")]["is_anomalous"] is False
+    # ...while the flat-prior flagger still calls the shifted series
+    # anomalous forever — the complementary-memory claim
+    zout = {
+        (r["partition_key"], r["metric"]): r["is_anomalous"]
+        for r in flag_metric_anomalies(hist).collect()
+    }
+    assert zout[("python", "shifted")] is True
+
+
+def test_ewma_closed_form_matches_iterative_replay(spark):
+    from anomaly_detector_spark.checks.history import ewma_metric_flags
+
+    values = [12.0, 15.0, 9.0, 14.0, 11.0, 13.0, 40.0]
+    hist = mkhist(spark, {("python", "m"): values})
+    r = ewma_metric_flags(hist).collect()[0]
+    a = 0.3
+    z = values[0]
+    for x in values[1:-1]:
+        z = a * x + (1 - a) * z
+    assert r["ewma"] == round(z, 4)
+    assert r["n_history"] == len(values) - 1
+
+
+def test_ewma_zero_variance_history_flags_any_deviation(spark):
+    from anomaly_detector_spark.checks.history import ewma_metric_flags
+
+    hist = mkhist(
+        spark,
+        {("python", "flat"): [7, 7, 7, 7, 7.5], ("go", "still"): [3, 3, 3, 3, 3]},
+    )
+    out = {
+        (r["partition_key"], r["metric"]): r["is_anomalous"]
+        for r in ewma_metric_flags(hist).collect()
+    }
+    assert out[("python", "flat")] is True
+    assert out[("go", "still")] is False
