@@ -125,7 +125,7 @@ BENFORD_P = [math.log10(1 + 1 / d) for d in range(1, 10)]
 
 
 def benford_profile(
-    df: DataFrame, partition_col: str, col: str
+    df: DataFrame, partition_col: str, col: str, use_length: bool = False
 ) -> DataFrame:
     """Per-partition Benford first-digit profile of a numeric column:
     (partition_key, n_rows, d1..d9 observed fractions, chi2) where chi2
@@ -134,8 +134,11 @@ def benford_profile(
 
     Zero/NULL values carry no first significant digit and are excluded.
     One derived-column aggregate: the first significant digit of |x| is
-    floor(|x| / 10^floor(log10(|x|))) — pure JVM arithmetic, no UDF."""
-    x = F.abs(F.col(col).cast("double"))
+    floor(|x| / 10^floor(log10(|x|))) — pure JVM arithmetic, no UDF.
+    ``use_length=True`` profiles length(col) instead (string columns:
+    content sizes are the classic wide-ranging positive measure)."""
+    base = F.length(F.col(col)) if use_length else F.col(col)
+    x = F.abs(base.cast("double"))
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
     slim = (
         df.filter(F.col(col).isNotNull())
@@ -173,9 +176,12 @@ def run_benford(df: DataFrame, spec: CheckSpec) -> CheckResult:
     critical value). Only meaningful for naturally wide-ranging positive
     columns (amounts, sizes, durations); the caller picks the column.
 
-    config: ``column`` (required), ``max_chi2`` (20.09)."""
+    config: ``column`` (required), ``use_length`` (False — True profiles
+    length(column), for string columns), ``max_chi2`` (20.09)."""
     c = spec.config
-    prof = benford_profile(df, spec.partition_col, c["column"])
+    prof = benford_profile(
+        df, spec.partition_col, c["column"], use_length=bool(c.get("use_length", False))
+    )
     verdicts = verdict_frame(
         prof.withColumnRenamed("partition_key", spec.partition_col),
         spec.id,

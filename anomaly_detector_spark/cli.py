@@ -67,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--suite", default="default",
-        choices=["default", "extended", "constraint", "hygiene", "paths", "full"],
+        choices=["default", "extended", "constraint", "hygiene", "paths", "full", "robust"],
         help="extended adds the categorical count-drift check; constraint "
         "additionally adds the fused row-rule checks; hygiene additionally "
         "adds the code-hygiene rules (secrets/license/generated/entropy/"
@@ -333,6 +333,33 @@ def main(argv: list[str] | None = None) -> int:
                 + path_integrity_rules(partition_col, min_rows)
             )
 
+        def robust_suite(partition_col: str, min_rows: int):
+            # extended suite plus the resistant-statistics pair: MAD
+            # modified-z outliers on content length and Benford
+            # first-digit drift on the same lengths (wide-ranging
+            # positive values). Two extra passes by necessity (MAD needs
+            # the median first), both map-side-combined.
+            from .checks.base import CheckSpec
+            from .checks.robust import run_benford, run_mad_outliers
+            from .plans.suite import extended_suite as _es
+
+            return _es(partition_col=partition_col, min_rows=min_rows) + [
+                CheckSpec(
+                    "mad_outliers",
+                    run_mad_outliers,
+                    {"max_outlier_rate": 0.01},
+                    partition_col,
+                    min_rows,
+                ),
+                CheckSpec(
+                    "benford_len",
+                    run_benford,
+                    {"column": "content", "use_length": True},
+                    partition_col,
+                    min_rows,
+                ),
+            ]
+
         make_suite = {
             "default": default_suite,
             "extended": extended_suite,
@@ -340,6 +367,7 @@ def main(argv: list[str] | None = None) -> int:
             "hygiene": hygiene_suite,
             "paths": paths_suite,
             "full": full_suite,
+            "robust": robust_suite,
         }[args.suite]
         suite = make_suite(partition_col=args.partition_col, min_rows=args.min_rows)
     if args.sample_frac is not None:

@@ -382,3 +382,18 @@ def test_cli_monitor_mode_zero_row_drain_reports_zero(spark, tmp_path, capsys):
     assert main(argv) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"monitor": True, "quantile_rows": 0, "topk_rows": 0}
+
+
+def test_cli_robust_suite_runs_end_to_end(spark, dirs, tmp_path, capsys):
+    # --suite robust: extended + MAD outliers + Benford(content length)
+    # through the full manifest path
+    rc = main([
+        "--input", dirs["input"], "--manifest", str(tmp_path / "mrobust"),
+        "--run-id", "rb1", "--suite", "robust",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    m = spark.read.parquet(str(tmp_path / "mrobust"))
+    checks = {r["check_id"] for r in m.select("check_id").distinct().collect()}
+    assert len(checks) == 7  # 5 extended + mad + benford
+    assert out["run_id"] == "rb1"
