@@ -40,6 +40,7 @@ def mad_profile(
     use_length: bool = True,
     threshold: float = 3.5,
     approx: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-partition robust-outlier profile: (partition_key, n_rows,
     med, mad, n_outliers, outlier_rate) where an outlier has modified
@@ -48,9 +49,13 @@ def mad_profile(
     different from the median — the robust reading of "no variation
     means any variation is news".
 
-    Two-pass by necessity (deviations need the median), each pass one
-    map-side-combined aggregate; the per-partition medians broadcast
-    back (O(partitions) rows)."""
+    Three value-column scans by necessity (median -> MAD -> outlier
+    count, each gating the next), the exact-MAD algorithmic minimum;
+    ``materialize`` (default True) eagerly localCheckpoints the tiny
+    O(partitions) median/MAD frames so the two downstream branches
+    broadcast the SAME computed rows instead of re-running the
+    percentile aggregates — without it the lazy plan scans the input a
+    4th time for the duplicated median aggregate."""
     v = (F.length(F.col(col)) if use_length else F.col(col)).cast("double")
     slim = df.select(
         F.col(partition_col).cast("string").alias("partition_key"), v.alias("_v")
@@ -62,12 +67,16 @@ def mad_profile(
         return F.expr(f"percentile({expr}, {q})")
 
     med = slim.groupBy("partition_key").agg(pct("_v", 0.5).alias("med"))
+    if materialize:
+        med = med.localCheckpoint(eager=True)
     dev = slim.join(F.broadcast(med), "partition_key").withColumn(
         "_absdev", F.abs(F.col("_v") - F.col("med"))
     )
     mad = dev.groupBy("partition_key").agg(
         pct("_absdev", 0.5).alias("mad"), F.first("med").alias("med")
     )
+    if materialize:
+        mad = mad.localCheckpoint(eager=True)
     scored = dev.join(
         F.broadcast(mad.select("partition_key", "mad")), "partition_key"
     ).withColumn(

@@ -111,6 +111,11 @@ def main() -> int:
         "docs_unicode_scan",   # Trojan-Source unicode kinds, map-only classifier
         "docs_containment",    # MOSS partial-copy pairs (posting-capped join)
         "files_sensitive_paths",  # credential-bearing filenames, map-only
+        # round-4 additions
+        "files_mad_outliers",  # MAD modified-z profile (2 aggs + broadcast median)
+        "events_benford",      # Benford first-digit chi-square, one aggregate
+        "metric_ewma_flags",   # EWMA control chart over synthetic run history
+        "media_phash_dups",    # REAL BMP/PPM decode -> pixel dHash block join
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
