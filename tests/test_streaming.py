@@ -1109,3 +1109,74 @@ def test_warm_start_refuses_ambiguous_multi_suite_store(spark, tmp_path):
         history_draws(spark, kstore)
     hist, k, mode = history_draws(spark, kstore, suite_sid="s1")
     assert set(hist) == {"py"} and k == 4
+
+
+def test_outlier_stream_flags_spikes_against_prior_history(spark, tmp_path):
+    # The reference's per-device loop as bounded state: trigger 1 is
+    # warm-up (scored against empty history -> nothing flags), trigger 2
+    # carries 5 planted spikes judged against trigger 1's digest,
+    # trigger 3 is clean. Stream emissions must EQUAL the driver-side
+    # replay over the same batch split (determinism oracle), and the
+    # planted count must be exact.
+    from anomaly_detector_spark.streaming.outliers import (
+        outlier_stream,
+        replay_outlier_stream,
+    )
+
+    b1 = [100 + (i % 21) - 10 for i in range(300)]  # 90..110
+    b2 = [100 + (i % 21) - 10 for i in range(295)] + [5000.0] * 5
+    b3 = [100 + (i % 21) - 10 for i in range(200)]
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+
+    def run_trigger(vals):
+        spark.createDataFrame(
+            [("py", float(v)) for v in vals], "lang string, v double"
+        ).write.mode("append").parquet(inp)
+        q = (
+            outlier_stream(
+                spark.readStream.schema("lang string, v double").parquet(inp),
+                partition_col="lang",
+                col="v",
+                mode="value",
+                min_history=100,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for vals in (b1, b2, b3):
+        run_trigger(vals)
+
+    got = sorted(
+        (
+            r["n_rows"],
+            r["n_batch"],
+            r["n_flagged"],
+            r["flag_rate"],
+            r["warmed_up"],
+        )
+        for r in spark.read.parquet(sink).collect()
+    )
+    expect = sorted(replay_outlier_stream([b1, b2, b3], min_history=100))
+    assert got == expect
+    by_rows = {r[0]: r for r in got}
+    assert by_rows[300][4] is False and by_rows[300][2] == 0  # warm-up
+    assert by_rows[600][2] == 5  # exactly the planted spikes
+    assert by_rows[800][2] == 0  # clean trigger stays clean
+    # the spikes were absorbed into history but the digest median/IQR
+    # stay robust: trigger 3's scoring stats sit near the bulk
+    t3 = [r for r in spark.read.parquet(sink).collect() if r["n_rows"] == 800][0]
+    assert 90 <= t3["med"] <= 110 and t3["iqr"] < 50
+
+
+def test_outlier_stream_zero_spread_history(spark, tmp_path):
+    # constant history: IQR 0 -> any real deviation flags, identical
+    # value does not (relative-epsilon rule)
+    from anomaly_detector_spark.streaming.outliers import replay_outlier_stream
+
+    out = replay_outlier_stream([[7.0] * 150, [7.0] * 10 + [7.5] * 2], min_history=100)
+    assert out[0][2] == 0 and out[1][2] == 2
