@@ -87,18 +87,28 @@ def outlier_stream(
     min_history: int = 100,
     delta: float = 200.0,
     idle_ttl_ms: int | None = None,
+    history: dict[str, tuple[list[float], list[float], int]] | None = None,
 ) -> DataFrame:
     """Per-key streaming robust outlier monitor (see module docstring).
 
     ``mode``: 'length' scores length(col); 'value' scores col cast to
     double. ``threshold`` is in robust-sigma units (IQR/1.349).
-    ``idle_ttl_ms``: the same state-hygiene TTL as the other streams."""
+    ``idle_ttl_ms``: the same state-hygiene TTL as the other streams.
+    ``history``: warm-start dict from quantiles.history_digests — a
+    key's FIRST batch is then scored against the COMMITTED digest
+    instead of sitting in warm-up, so a scheduled batch pipeline hands
+    its robust baseline straight to the live monitor. Shipped as a
+    broadcast (the closure-capture cost rule, streaming/topk.py)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     dlt = float(delta)
     thr = float(threshold)
     min_h = int(min_history)
     ttl = idle_ttl_ms
+    hist0 = {k: (list(m), list(w), int(n)) for k, (m, w, n) in (history or {}).items()}
+    hist_bc = (
+        stream_df.sparkSession.sparkContext.broadcast(hist0) if hist0 else None
+    )
 
     v = (
         F.length(F.col(col)).cast("double")
@@ -120,7 +130,9 @@ def outlier_stream(
             means, weights, n_rows = state.get
             means, weights = list(means), list(weights)
         else:
-            means, weights, n_rows = [], [], 0
+            h = hist_bc.value if hist_bc is not None else {}
+            means, weights, n_rows = h.get(key[0], ([], [], 0))
+            means, weights = list(means), list(weights)
         vals: list[float] = []
         for pdf in pdfs:
             vals.extend(float(x) for x in pdf["_v"])

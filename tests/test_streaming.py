@@ -1180,3 +1180,54 @@ def test_outlier_stream_zero_spread_history(spark, tmp_path):
 
     out = replay_outlier_stream([[7.0] * 150, [7.0] * 10 + [7.5] * 2], min_history=100)
     assert out[0][2] == 0 and out[1][2] == 2
+
+
+def test_outlier_stream_warm_starts_from_quantile_store(spark, tmp_path):
+    # a committed batch run's t-digest store seeds the monitor: the
+    # stream's FIRST trigger scores against that history (no warm-up),
+    # flagging the planted spikes immediately
+    from anomaly_detector_spark.plans.manifest import run_with_manifest
+    from anomaly_detector_spark.streaming.outliers import outlier_stream
+    from anomaly_detector_spark.streaming.quantiles import history_digests
+
+    hist_files = spark.range(300).select(
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+        F.repeat(F.lit("x"), ((F.col("id") % 21) + 90).cast("int")).alias("content"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    qd = str(tmp_path / "q")
+    run_with_manifest(hist_files, str(tmp_path / "m"), quantile_sketches_dir=qd)
+    history = history_digests(spark, qd)
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    batch = [100.0] * 50 + [9000.0] * 3
+    spark.createDataFrame(
+        [("py", v) for v in batch] + [("rs", 100.0)] * 40,
+        "lang string, v double",
+    ).write.parquet(inp)
+    q = (
+        outlier_stream(
+            spark.readStream.schema("lang string, v double").parquet(inp),
+            partition_col="lang",
+            col="v",
+            mode="value",
+            min_history=100,
+            history=history,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {r["partition_key"]: r for r in spark.read.parquet(sink).collect()}
+    # seeded key: first trigger already warmed (300 committed lengths),
+    # spikes flagged now; cumulative n_rows = history + batch
+    assert rows["py"]["warmed_up"] is True and rows["py"]["n_flagged"] == 3
+    assert rows["py"]["n_rows"] == 300 + len(batch)
+    # storeless key still warm-up
+    assert rows["rs"]["warmed_up"] is False and rows["rs"]["n_flagged"] == 0
