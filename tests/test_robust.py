@@ -103,3 +103,15 @@ def test_run_benford_verdicts(spark):
     v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
     assert v == {"ok": "PASS", "bad": "FAIL", "tiny": "SKIPPED"}
     assert abs(sum(BENFORD_P) - 1.0) < 1e-12
+
+
+def test_mad_profile_approx_backend_agrees(spark):
+    # the 10^12-row path: percentile_approx sketches instead of exact
+    # percentile buffers — same plan shape, estimates within tolerance
+    base = [100 + (i % 21) - 10 for i in range(500)]
+    df = _lengths_df(spark, {"py": base + [9000] * 4})
+    exact = mad_profile(df, "lang").collect()[0]
+    approx = mad_profile(df, "lang", approx=True).collect()[0]
+    assert approx["n_outliers"] == exact["n_outliers"] == 4
+    assert abs(approx["med"] - exact["med"]) <= 2
+    assert abs(approx["mad"] - exact["mad"]) <= 2
