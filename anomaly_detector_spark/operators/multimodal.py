@@ -181,13 +181,115 @@ def encode_ppm(width: int, height: int, gray: list[int]) -> bytes:
     return header + bytes(body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, gray: list[int]) -> bytes:
+    """8-bit grayscale PNG (color type 0, filter 0 rows, zlib-deflated)
+    — a REAL PNG any viewer opens; stdlib zlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        raw += bytes(v & 0xFF for v in gray[y * width : (y + 1) * width])
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python PNG decode: 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). zlib inflates the IDAT stream; everything else is the PNG
+    spec's byte arithmetic."""
+    import struct
+    import zlib
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise NotImplementedError("not a PNG signature")
+    pos, width = len(_PNG_SIG), None
+    idat = bytearray()
+    height = bitdepth = colortype = interlace = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bitdepth, colortype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise NotImplementedError("PNG missing IHDR")
+    if bitdepth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {colortype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    prev = bytearray(stride)
+    gray = [0] * (width * height)
+    off = 0
+    for y in range(height):
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0  # left
+            up = prev[i]
+            if ft == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + ((a + up) >> 1)) & 0xFF
+            elif ft == 4:
+                c = prev[i - channels] if i >= channels else 0  # upper-left
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+            elif ft != 0:
+                raise NotImplementedError(f"unknown PNG filter {ft}")
+        prev = line
+        for x in range(width):
+            px = line[x * channels : (x + 1) * channels]
+            if channels >= 3:
+                gray[y * width + x] = _luma(px[0], px[1], px[2])
+            else:
+                gray[y * width + x] = px[0]
+    return width, height, gray
+
+
 def decode_image(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a BMP (24-bit BI_RGB) or binary PPM/PGM payload to
-    ``(width, height, grayscale row-major top-down)``.
+    """Decode a BMP (24-bit BI_RGB), binary PPM/PGM, or PNG (8-bit
+    gray/LA/RGB/RGBA non-interlaced — stdlib zlib inflate + defilter)
+    payload to ``(width, height, grayscale row-major top-down)``.
 
     Raises NotImplementedError for any other container — the retained
-    stub path for codecs this sandbox cannot host."""
+    stub path for codecs this sandbox cannot host (JPEG, video, audio)."""
     b = bytes(payload)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(b)
     if b[:2] == b"BM":
         if len(b) < 54:
             raise NotImplementedError("truncated BMP header")
@@ -465,7 +567,7 @@ def dhash64(payload: bytes | None) -> int | None:
     if payload is None:
         return None
     b = bytes(payload)
-    if b[:2] in (b"BM", b"P6", b"P5"):
+    if b[:2] in (b"BM", b"P6", b"P5") or b[: len(_PNG_SIG)] == _PNG_SIG:
         try:
             return dhash64_pixels(*decode_image(b))
         except NotImplementedError:

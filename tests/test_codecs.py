@@ -46,6 +46,10 @@ def test_encode_decode_round_trip_exact(enc, dims):
 
 
 def test_decode_rejects_unknown_container():
+    # JPEG magic: genuinely unsupported -> stub path
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF....")
+    # truncated PNG (signature without chunks) also refuses, not crashes
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
@@ -119,3 +123,77 @@ def test_extract_image_features_runs_on_decoded_pixels(spark):
         assert (r["width"], r["height"], r["n_pixels"]) == (9, 8, 72)
         for i in range(8):
             assert r[f"f{i}"] == round(buckets[i] / 72, 6)
+
+
+def test_png_round_trip_and_cross_codec_hash(spark=None):
+    from anomaly_detector_spark.operators.multimodal import encode_png
+
+    for dims in [(9, 8), (17, 5), (1, 1)]:
+        w, h = dims
+        rng = random.Random(w * 31 + h)
+        px = [rng.randrange(256) for _ in range(w * h)]
+        assert decode_image(encode_png(w, h, px)) == (w, h, px)
+    px = _sha_pixels(5)
+    # same pixels in three containers -> one perceptual hash
+    assert (
+        dhash64(encode_png(9, 8, px))
+        == dhash64(encode_bmp(9, 8, px))
+        == dhash64(encode_ppm(9, 8, px))
+    )
+
+
+def test_png_all_filters_and_rgb_luma():
+    import struct
+    import zlib
+
+    from anomaly_detector_spark.operators.multimodal import _luma
+
+    rng = random.Random(11)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w, h, ch = 6, 5, 3
+    rgb = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w * h)]
+    raw, prev = bytearray(), bytes(w * ch)
+    for y in range(h):
+        ft = [0, 1, 2, 3, 4][y % 5]  # exercise every scanline filter
+        line = bytes(c for p in rgb[y * w : (y + 1) * w] for c in p)
+        enc = bytearray(line)
+        for i in range(len(line) - 1, -1, -1):
+            a = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif ft == 2:
+                enc[i] = (line[i] - up) & 0xFF
+            elif ft == 3:
+                enc[i] = (line[i] - ((a + up) >> 1)) & 0xFF
+            elif ft == 4:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw += enc
+        prev = line
+    sig = b"\x89PNG\r\n\x1a\n"
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image(png) == (w, h, [_luma(*p) for p in rgb])
+    # interlaced PNGs stay on the stub path
+    bad = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_image(bad)
