@@ -3950,7 +3950,9 @@ def oracle_sql() -> dict[str, str]:
             -- sides (both compute round(c/72, 6)).
             WITH {_media_px_cte(1000)}
             SELECT CAST(media_id AS BIGINT) AS media_id,
-                   CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+                   CASE WHEN media_id % 3 = 0 THEN 'bmp'
+                        WHEN media_id % 3 = 1 THEN 'ppm'
+                        ELSE 'png' END AS kind,
                    CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
                    CAST(72 AS BIGINT) AS n_pixels,
                    {", ".join(
@@ -7033,7 +7035,9 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         {_MEDIA_PHASH_CTE},
         hk AS (
           SELECT media_id,
-                 CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+                 CASE WHEN media_id % 3 = 0 THEN 'bmp'
+                        WHEN media_id % 3 = 1 THEN 'ppm'
+                        ELSE 'png' END AS kind,
                  ph
           FROM h
         ),

@@ -381,12 +381,14 @@ def synth_media_images(
     spark, n_rows: int, plant_every: int | None = None, width: int = 9, height: int = 8
 ) -> DataFrame:
     """Deterministic REAL-image media table: payload = an actual encoded
-    BMP (even ids) or binary PPM (odd ids) whose grayscale pixel at
-    row-major index ``idx`` is byte ``idx % 32`` of
-    ``sha256('px' + id + '/' + idx//32)`` — sha-derived (so unrelated
-    images sit at dHash hamming >= 11; a polynomial-mod-256 formula is
-    far too structured) yet re-derivable in any SQL engine via hex-char
-    arithmetic, no container parsing needed.
+    BMP (id % 3 == 0), binary PPM (id % 3 == 1), or zlib-deflated PNG
+    (id % 3 == 2) whose grayscale pixel at row-major index ``idx`` is
+    byte ``idx % 32`` of ``sha256('px' + id + '/' + idx//32)`` —
+    sha-derived (so unrelated images sit at dHash hamming >= 11; a
+    polynomial-mod-256 formula is far too structured) yet re-derivable
+    in any SQL engine via hex-char arithmetic, no container parsing
+    needed (the oracle derives PIXELS, so even the compressed PNG path
+    is exactly checkable).
 
     ``plant_every``: every k-th row (id % k == k-1, id > 0) carries the
     PIXELS of row id-1 with the single pixel at idx = id % (w*h) bumped
@@ -416,13 +418,16 @@ def synth_media_images(
 
         for pdf in batches:
             rows = []
+            encoders = {
+                0: ("bmp", encode_bmp),
+                1: ("ppm", encode_ppm),
+                2: ("png", encode_png),
+            }
             for mid in pdf["id"]:
                 mid = int(mid)
                 px = pixels(mid)
-                if mid % 2 == 0:
-                    kind, payload = "bmp", encode_bmp(width, height, px)
-                else:
-                    kind, payload = "ppm", encode_ppm(width, height, px)
+                kind, enc = encoders[mid % 3]
+                payload = enc(width, height, px)
                 rows.append(
                     {
                         "media_id": mid,

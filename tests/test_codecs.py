@@ -92,7 +92,7 @@ def test_synth_media_images_decodes_to_formula_pixels(spark):
     rows = synth_media_images(spark, 12).collect()
     assert len(rows) == 12
     for r in rows:
-        expected_kind = "bmp" if r["media_id"] % 2 == 0 else "ppm"
+        expected_kind = {0: "bmp", 1: "ppm", 2: "png"}[r["media_id"] % 3]
         assert r["kind"] == expected_kind
         w, h, gray = decode_image(bytes(r["payload"]))
         assert (w, h) == (9, 8)
@@ -102,9 +102,9 @@ def test_synth_media_images_decodes_to_formula_pixels(spark):
 def test_synth_media_images_planted_cross_codec_near_dup(spark):
     rows = {r["media_id"]: bytes(r["payload"]) for r in synth_media_images(spark, 50, plant_every=25).collect()}
     # planted row 24 carries row 23's pixels (one bumped), but is encoded
-    # in ITS OWN container (24 -> bmp, source 23 -> ppm): bytes differ
-    # entirely, decoded dHash lands within hamming 2
-    assert rows[24][:2] == b"BM" and rows[23][:2] == b"P6"
+    # in ITS OWN container (24 -> bmp, source 23 -> zlib-deflated png):
+    # bytes differ entirely, decoded dHash lands within hamming 2
+    assert rows[24][:2] == b"BM" and rows[23][:8] == b"\x89PNG\r\n\x1a\n"
     ham = bin((dhash64(rows[24]) ^ dhash64(rows[23])) & ((1 << 64) - 1)).count("1")
     assert ham <= 2
     # an unrelated pair sits far away
