@@ -201,3 +201,50 @@ def test_dhash_one_byte_edit_bounded_hamming(payload, pos_seed, new_byte):
     assert ham <= 2 * math.ceil(64 / n)
     if payload == edited:
         assert ham == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=10_000),
+    codec=st.sampled_from(["bmp", "ppm", "png"]),
+)
+def test_codec_round_trip_property(w, h, seed, codec):
+    # any dims, any pixels, all three containers: decode(encode(px)) == px
+    import random as _random
+
+    from anomaly_detector_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[codec]
+    rng = _random.Random(seed)
+    px = [rng.randrange(256) for _ in range(w * h)]
+    assert decode_image(enc(w, h, px)) == (w, h, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    pos=st.integers(min_value=0, max_value=71),
+    delta=st.integers(min_value=1, max_value=255),
+)
+def test_pixel_dhash_single_edit_bound_property(seed, pos, delta):
+    # one edited pixel on a 9x8 image flips at most the two adjacent
+    # row comparisons -> hamming <= 2, for ANY edit anywhere
+    import random as _random
+
+    from anomaly_detector_spark.operators.multimodal import dhash64_pixels
+
+    rng = _random.Random(seed)
+    px = [rng.randrange(256) for _ in range(72)]
+    edited = list(px)
+    edited[pos] = (edited[pos] + delta) % 256
+    ham = bin(
+        (dhash64_pixels(9, 8, px) ^ dhash64_pixels(9, 8, edited)) & ((1 << 64) - 1)
+    ).count("1")
+    assert ham <= 2
