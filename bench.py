@@ -329,7 +329,7 @@ def main() -> int:
         # measured by tools/scaling_bench.py (32M rows, median of 5,
         # verdict equality asserted across levels); latest round-3 run —
         # full tables + method in BASELINE.md "Round-3 scaling".
-        "scaling_note": "tools/scaling_bench.py r4: local[2] 175,978 -> local[8] 635,995 files/s on 32M rows, efficiency 0.904 (>=0.8 target; r3 close 0.881), identical verdicts+violations at both levels; 8->32 flattening remains the single-box memory-bandwidth ceiling, see BASELINE.md",
+        "scaling_note": "tools/scaling_bench.py r4, two samples on 32M rows: efficiency 0.904 (175,978 -> 635,995 files/s) and 0.99 (162,815 -> 644,560 files/s) local[2]->local[8]; >=0.8 target met, identical verdicts+violations at both levels; 8->32 flattening remains the single-box memory-bandwidth ceiling, see BASELINE.md",
     }
     print(json.dumps(out))
     return 0
