@@ -4,10 +4,11 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 metadata struct; decode/feature steps run as Arrow-batched pandas
 iterators over ``mapInPandas`` so each Python worker sees columnar
 batches, never one row at a time. Decode is REAL for BMP (24-bit
-BI_RGB) and binary PPM/PGM — pure-Python parsers, no codec libraries
-needed — so features and perceptual hashes run on genuinely decoded
-pixels; exotic codecs (JPEG/PNG/audio/video) keep the documented
-NotImplementedError stub path.
+BI_RGB), binary PPM/PGM, and PNG (8-bit, stdlib-zlib inflate +
+defilter) — pure-Python parsers, no codec libraries needed — so
+features and perceptual hashes run on genuinely decoded pixels; exotic
+codecs (JPEG/audio/video) keep the documented NotImplementedError stub
+path.
 """
 
 from __future__ import annotations
@@ -126,10 +127,10 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 #
 # Closes the "decode is simulated" gap: BMP (24-bit uncompressed BI_RGB,
 # the classic 54-byte header) and binary PPM/PGM (P6/P5) are simple
-# enough to parse without codec libraries, so fixture payloads are REAL
-# encoded images and the feature/dHash paths run on genuinely decoded
-# pixels. Exotic codecs (JPEG/PNG/audio/video) still raise
-# NotImplementedError — the documented stub path.
+# enough to parse without codec libraries — and PNG needs only stdlib
+# zlib — so fixture payloads are REAL encoded images and the
+# feature/dHash paths run on genuinely decoded pixels. Exotic codecs
+# (JPEG/audio/video) still raise NotImplementedError — the stub path.
 
 
 def _luma(r: int, g: int, b: int) -> int:
@@ -611,6 +612,35 @@ def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
     return df.mapInPandas(kernel, out_schema)
 
 
+def phash_block_rows(sigs: DataFrame, blocks: int = 8) -> DataFrame:
+    """Pigeonhole block rows for a (_id, _sig) signature frame: one row
+    per (id, block) with the block's bit-slice as the join key — shared
+    by the batch self-join and the incremental store."""
+    width = DHASH_BITS // blocks
+    return sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col("_sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(
+        "_id",
+        "_sig",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+
+
 def phash_near_dups(
     df: DataFrame,
     max_hamming: int = 6,
@@ -635,34 +665,12 @@ def phash_near_dups(
     dedup.py's banded/containment stores."""
     if max_hamming >= blocks:
         raise ValueError("pigeonhole requires max_hamming < blocks")
-    width = DHASH_BITS // blocks
     sigs = with_dhash(df.select(id_col, "payload")).select(
         F.col(id_col).alias("_id"), F.col("phash").alias("_sig")
     )
     if materialize:
         sigs = sigs.localCheckpoint()
-    blocked = sigs.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block_idx"),
-                        F.shiftright(F.col("_sig"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("block_val"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("blk"),
-    ).select(
-        "_id",
-        "_sig",
-        F.col("blk.block_idx").alias("block_idx"),
-        F.col("blk.block_val").alias("block_val"),
-    )
+    blocked = phash_block_rows(sigs, blocks)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, on=["block_idx", "block_val"], how="inner")
@@ -676,4 +684,105 @@ def phash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+
+
+def incremental_phash_pairs(
+    spark,
+    new_media: DataFrame,
+    store_dir: str,
+    run_id: str,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    id_col: str = "media_id",
+    commit: bool = True,
+) -> DataFrame:
+    """Cross-run perceptual near-dup pairs: new media vs themselves AND
+    every earlier run — the media member of the incremental-store family
+    (operators/dedup.py incremental_lsh_candidates for MinHash bands,
+    incremental_containment_pairs for winnow fingerprints).
+
+    The persisted artifact is the pigeonhole block assignment
+    (media_id, block_idx, block_val, phash, run_id): ``blocks`` rows of
+    four longs per asset — bytes-per-asset is FIXED no matter how large
+    the decoded media is, so the store stays a vanishing fraction of
+    corpus bytes. Each increment decodes/hashes ONLY the new batch and
+    equi-joins its block rows against the store; earlier media are never
+    re-decoded. Same commit protocol as the band store: append (with
+    run_id) before compute, old side filters ``run_id != this run``, so
+    a crash-retry with the same run_id is safe and retry-duplicated rows
+    collapse via the deterministic-row dedupe on read (block rows are a
+    pure function of payload). plans/stores.py compaction: family
+    'phash_blocks'.
+
+    Returns (media_id_a, media_id_b, phash_a, phash_b, hamming,
+    pair_kind) with hamming <= max_hamming and at least one side new
+    this run; pair_kind 'new_new' | 'new_old'. The union over all runs
+    equals full-batch :func:`phash_near_dups` over the whole corpus
+    (pinned by test)."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole requires max_hamming < blocks")
+    sigs = with_dhash(new_media.select(id_col, "payload")).select(
+        F.col(id_col).alias("_id"), F.col("phash").alias("_sig")
+    )
+    blocked_new = phash_block_rows(sigs, blocks).localCheckpoint()
+
+    if commit:
+        (
+            blocked_new.select(
+                F.col("_id").alias("media_id"),
+                "block_idx",
+                "block_val",
+                F.col("_sig").alias("phash"),
+                F.lit(run_id).alias("run_id"),
+            )
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    try:
+        old = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("run_id") != F.lit(run_id))
+            .select(
+                F.col("media_id").alias("_id"),
+                F.col("phash").alias("_sig"),
+                "block_idx",
+                "block_val",
+            )
+            .dropDuplicates(["_id", "block_idx"])  # retry-appended rows identical
+        )
+    except Exception:  # first run: no store yet (or commit=False)
+        old = blocked_new.filter(F.lit(False))
+
+    def pairs(left, right, kind, anti_self):
+        j = left.alias("a").join(
+            right.alias("b"), on=["block_idx", "block_val"], how="inner"
+        )
+        j = j.filter(
+            F.col("a._id") < F.col("b._id")
+            if anti_self
+            else F.col("a._id") != F.col("b._id")
+        )
+        return (
+            j.select(
+                F.least(F.col("a._id"), F.col("b._id")).alias("media_id_a"),
+                F.greatest(F.col("a._id"), F.col("b._id")).alias("media_id_b"),
+                F.when(F.col("a._id") < F.col("b._id"), F.col("a._sig"))
+                .otherwise(F.col("b._sig"))
+                .alias("phash_a"),
+                F.when(F.col("a._id") < F.col("b._id"), F.col("b._sig"))
+                .otherwise(F.col("a._sig"))
+                .alias("phash_b"),
+                F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["media_id_a", "media_id_b"])
+            .withColumn("pair_kind", F.lit(kind))
+        )
+
+    return pairs(blocked_new, blocked_new, "new_new", anti_self=True).unionByName(
+        pairs(blocked_new, old, "new_old", anti_self=False)
     )

@@ -113,7 +113,7 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
 
         out = reduce(lambda a, b: a.unionByName(b), parts).select(*df.columns)
         return _rewrite(spark, out.unionByName(latest.select(*df.columns)), store_dir)
-    if family in ("bands", "winnow_fps"):
+    if family in ("bands", "winnow_fps", "phash_blocks"):
         # content-derived assignment rows (incremental LSH band store /
         # incremental containment fingerprint store): retried appends
         # duplicate rows byte-for-byte, so compaction is one surviving
@@ -125,7 +125,11 @@ def compact_store(spark: SparkSession, store_dir: str, family: str) -> int:
         # pairs under both kinds. max_by on the payload column is
         # deterministic: the payload is a pure function of content, so
         # every duplicate carries the same value.
-        key = ["doc_id", "band_idx"] if family == "bands" else ["doc_id", "fingerprint"]
+        key = {
+            "bands": ["doc_id", "band_idx"],
+            "winnow_fps": ["doc_id", "fingerprint"],
+            "phash_blocks": ["media_id", "block_idx"],
+        }[family]
         payload = [c for c in df.columns if c not in (*key, "run_id")]
         out = df.groupBy(*key).agg(
             F.max("run_id").alias("run_id"),

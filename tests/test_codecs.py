@@ -197,3 +197,51 @@ def test_png_all_filters_and_rgb_luma():
     ) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_image(bad)
+
+
+def test_incremental_phash_pairs_parity_with_full_batch(spark, tmp_path):
+    # ingest cycles of real bmp/ppm/png media with planted near-dups;
+    # the union of incremental pairs over all runs must equal full-batch
+    # phash_near_dups over the whole corpus, cross-batch plants surface
+    # as new_old, and compaction (family phash_blocks) between cycles
+    # must not change later runs
+    from anomaly_detector_spark.operators.multimodal import (
+        incremental_phash_pairs,
+        phash_near_dups,
+        synth_media_images,
+    )
+    from anomaly_detector_spark.plans.stores import compact_store
+
+    store = str(tmp_path / "phash_store")
+    full = synth_media_images(spark, 150, plant_every=25).localCheckpoint()
+    # split at id 74 so the (73, 74) planted pair crosses the boundary
+    batches = [
+        full.filter("media_id < 74"),
+        full.filter("media_id >= 74"),
+    ]
+
+    got = set()
+    kinds = {}
+    for k, batch in enumerate(batches):
+        for r in incremental_phash_pairs(spark, batch, store, f"r{k}").collect():
+            got.add(
+                (r["media_id_a"], r["media_id_b"], r["phash_a"], r["phash_b"], r["hamming"])
+            )
+            kinds[(r["media_id_a"], r["media_id_b"])] = r["pair_kind"]
+        if k == 0:
+            compact_store(spark, store, "phash_blocks")
+
+    expect = {
+        (r["media_id_a"], r["media_id_b"], r["phash_a"], r["phash_b"], r["hamming"])
+        for r in phash_near_dups(full, max_hamming=6, blocks=8).collect()
+    }
+    assert got == expect and len(got) == 6  # plants at 24,49,74,99,124,149
+    assert kinds[(73, 74)] == "new_old"  # crosses the ingest boundary
+    assert kinds[(23, 24)] == "new_new" and kinds[(148, 149)] == "new_new"
+    # crash-retry with the same run id after the first append: the
+    # returned pairs for run r1 are exactly the run-1 pairs again
+    again = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in incremental_phash_pairs(spark, batches[1], store, "r1").collect()
+    }
+    assert again == {(a, b) for (a, b, *_) in got if b >= 74}
