@@ -1902,6 +1902,33 @@ def q_events_benford(spark: SparkSession, sf: str) -> DataFrame:
     return benford_profile(ev, "event_type", "value")
 
 
+def q_media_incr_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # incremental perceptual-hash dedup in its store-free form: even
+    # media ids play the already-ingested corpus (their block rows would
+    # come from the persisted phash store), odd ids are the new ingest.
+    # Real bmp/ppm/png payloads decode to the sha-formula pixels, so the
+    # oracle brute-forces the decoded-pixel dHash pairs and labels kinds
+    # by id parity (every planted pair is (k-1, k) -> new_old).
+    from anomaly_detector_spark.operators.multimodal import (
+        incremental_pairs_from_blocks,
+        phash_block_rows,
+        synth_media_images,
+        with_dhash,
+    )
+
+    media = synth_media_images(spark, 1000, plant_every=25)
+
+    def blocked(pred):
+        sigs = with_dhash(media.filter(pred).select("media_id", "payload")).select(
+            F.col("media_id").alias("_id"), F.col("phash").alias("_sig")
+        )
+        return phash_block_rows(sigs, blocks=8).localCheckpoint()
+
+    new = blocked(F.col("media_id") % 2 == 1)
+    old = blocked(F.col("media_id") % 2 == 0)
+    return incremental_pairs_from_blocks(new, old, max_hamming=6)
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2757,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_mad_outliers": q_files_mad_outliers,
         "events_benford": q_events_benford,
         "metric_ewma_flags": q_metric_ewma_flags,
+        "media_incr_dups": q_media_incr_dups,
         # --- never driver-oracled before round 4 (all green under tools/check_oracle.py) ---
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
@@ -5541,6 +5569,22 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                          > greatest(1e-9 * abs(l.value), 1e-12)
                END AS is_anomalous
         FROM latest l LEFT JOIN agg a USING (partition_key, metric)
+    """
+    # media_incr_dups: decoded-pixel dHash pairs brute-forced (the
+    # oracle's luxury), restricted to pairs touching the odd-id "new
+    # ingest" side; kind = new_new iff both odd.
+    out["media_incr_dups"] = f"""
+        WITH {_media_px_cte(1000, plant_every=25)},
+        {_MEDIA_PHASH_CTE}
+        SELECT CAST(a.media_id AS BIGINT) AS media_id_a,
+               CAST(b.media_id AS BIGINT) AS media_id_b,
+               a.ph AS phash_a, b.ph AS phash_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming,
+               CASE WHEN a.media_id % 2 = 1 AND b.media_id % 2 = 1
+                    THEN 'new_new' ELSE 'new_old' END AS pair_kind
+        FROM h a JOIN h b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 6
+          AND (a.media_id % 2 = 1 OR b.media_id % 2 = 1)
     """
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()

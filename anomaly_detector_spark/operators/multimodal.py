@@ -755,6 +755,18 @@ def incremental_phash_pairs(
     except Exception:  # first run: no store yet (or commit=False)
         old = blocked_new.filter(F.lit(False))
 
+    return incremental_pairs_from_blocks(blocked_new, old, max_hamming)
+
+
+def incremental_pairs_from_blocks(
+    blocked_new: DataFrame, blocked_old: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Pure-plan core of incremental_phash_pairs: near-dup pairs touching
+    the new side. Both inputs are (_id, _sig, block_idx, block_val)
+    frames (phash_block_rows shape); exposed separately so the
+    store-free form is query/oracle-testable (the
+    incremental_pairs_from_bands precedent, operators/dedup.py)."""
+
     def pairs(left, right, kind, anti_self):
         j = left.alias("a").join(
             right.alias("b"), on=["block_idx", "block_val"], how="inner"
@@ -784,5 +796,5 @@ def incremental_phash_pairs(
         )
 
     return pairs(blocked_new, blocked_new, "new_new", anti_self=True).unionByName(
-        pairs(blocked_new, old, "new_old", anti_self=False)
+        pairs(blocked_new, blocked_old, "new_old", anti_self=False)
     )
