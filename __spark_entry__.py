@@ -1929,6 +1929,20 @@ def q_media_incr_dups(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_pairs_from_blocks(new, old, max_hamming=6)
 
 
+def q_media_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL audio decode: payloads are actual 16-bit mono PCM WAV files
+    # (pure-Python RIFF codec); RMS / zero-crossing / amplitude-histogram
+    # features run on the DECODED samples, and the oracle re-derives the
+    # ground-truth samples from the sha256 byte-pair formula — a decoder
+    # defect (chunk walk, endianness, sign) breaks the hash match.
+    from anomaly_detector_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_media_audio,
+    )
+
+    return extract_audio_features(synth_media_audio(spark, 1000, n_samples=64))
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2785,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_benford": q_events_benford,
         "metric_ewma_flags": q_metric_ewma_flags,
         "media_incr_dups": q_media_incr_dups,
+        "media_audio_features": q_media_audio_features,
         # --- never driver-oracled before round 4 (all green under tools/check_oracle.py) ---
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
@@ -5585,6 +5600,43 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
         FROM h a JOIN h b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ph, b.ph)) <= 6
           AND (a.media_id % 2 = 1 OR b.media_id % 2 = 1)
+    """
+    # media_audio_features: ground-truth samples from the sha256
+    # byte-pair formula (sample idx of media m = byte pair idx%16 of
+    # sha256('au'+m+'/'+idx//16) - 32768); integer sums are exact and
+    # IEEE sqrt is correctly rounded, so round(...,6) matches bitwise.
+    _b0 = (
+        "((strpos('0123456789abcdef', substr(hx, (i.range % 16) * 4 + 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, (i.range % 16) * 4 + 2, 1)) - 1))"
+    )
+    _b1 = (
+        "((strpos('0123456789abcdef', substr(hx, (i.range % 16) * 4 + 3, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, (i.range % 16) * 4 + 4, 1)) - 1))"
+    )
+    out["media_audio_features"] = f"""
+        WITH au AS (
+          SELECT m.range AS media_id, i.range AS idx,
+                 ({_b0} * 256 + {_b1} - 32768) AS v
+          FROM range(1000) m CROSS JOIN range(64) i,
+               LATERAL (SELECT sha256('au' || CAST(m.range AS VARCHAR) || '/' ||
+                                      CAST(i.range // 16 AS VARCHAR)) AS hx) s
+        ),
+        lagged AS (
+          SELECT media_id, idx, v,
+                 lag(v) OVER (PARTITION BY media_id ORDER BY idx) AS pv
+          FROM au
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               round(sqrt(CAST(sum(v * v) AS DOUBLE) / 64) / 32768.0, 6) AS rms,
+               round(CAST(count(*) FILTER (WHERE pv IS NOT NULL
+                          AND (v >= 0) != (pv >= 0)) AS DOUBLE) / 64, 6) AS zcr,
+               {", ".join(
+                   f"round(count(*) FILTER (WHERE least(abs(v) // 4096, 7) = {i}) / 64.0, 6) AS a{i}"
+                   for i in range(8)
+               )}
+        FROM lagged GROUP BY media_id
     """
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()

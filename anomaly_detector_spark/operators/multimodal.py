@@ -798,3 +798,169 @@ def incremental_pairs_from_blocks(
     return pairs(blocked_new, blocked_new, "new_new", anti_self=True).unionByName(
         pairs(blocked_new, blocked_old, "new_old", anti_self=False)
     )
+
+
+# --- real audio codec (RIFF/WAVE PCM, pure Python) -------------------------
+#
+# The audio twin of the image codecs: 16-bit mono PCM WAV is a plain
+# struct layout (RIFF header + fmt + data chunks), so audio fixtures are
+# REAL playable files and the feature/fingerprint paths run on genuinely
+# decoded samples. Compressed audio (mp3/ogg/aac) stays on the
+# NotImplementedError stub path.
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """16-bit mono PCM RIFF/WAVE — a real WAV any player opens."""
+    import struct
+
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a 16-bit mono PCM WAV to (sample_rate, samples).
+
+    Raises NotImplementedError for any other container/codec — the
+    audio stub path."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("unsupported audio container (stub path)")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit mono PCM WAV supported")
+        elif tag == b"data":
+            data = body
+    if sample_rate is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    n = len(data) // 2
+    return sample_rate, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def sign_hash64(samples: list[int]) -> int:
+    """64-bit sign-of-delta audio fingerprint: bit i = samples[i+1] >
+    samples[i] (wraparound for short clips), packed little-endian signed
+    — the waveform twin of the image dHash: a one-sample edit flips at
+    most the two adjacent comparisons, re-encoding (container changes)
+    flips none, so the SAME pigeonhole block machinery
+    (phash_block_rows / incremental_pairs_from_blocks) finds near-dup
+    audio."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    h = 0
+    for i in range(DHASH_BITS):
+        if samples[(i + 1) % n] > samples[i % n]:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, rms double, zcr double, "
+    + ", ".join(f"a{i} double" for i in range(8))
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Decoded-sample audio features: RMS (of the full-scale fraction),
+    zero-crossing rate, and the 8-bucket |amplitude| histogram
+    (bucket = |s| >> 12) — Arrow-batched mapInPandas over REALLY decoded
+    WAV samples."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_audio(payload)
+                n = max(len(samples), 1)
+                ss = sum(s * s for s in samples)
+                zc = sum(
+                    1
+                    for i in range(len(samples) - 1)
+                    if (samples[i] >= 0) != (samples[i + 1] >= 0)
+                )
+                buckets = [0] * 8
+                for s in samples:
+                    buckets[min(abs(s) >> 12, 7)] += 1
+                row = {
+                    "media_id": int(mid),
+                    "sample_rate": rate,
+                    "n_samples": len(samples),
+                    "rms": round(math.sqrt(ss / n) / 32768.0, 6),
+                    "zcr": round(zc / n, 6),
+                }
+                for i in range(8):
+                    row[f"a{i}"] = round(buckets[i] / n, 6)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def synth_media_audio(
+    spark, n_rows: int, n_samples: int = 64, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic REAL-audio media table: payload = an actual 16-bit
+    mono PCM WAV whose sample at index ``idx`` is
+    ``(byte-pair idx of the sha256('au' + id + '/' + idx//16) stream)
+    - 32768`` — sha-derived yet re-derivable in SQL via hex-char
+    arithmetic (the synth_media_images discipline for waveforms)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def samples(mid: int) -> list[int]:
+            out: list[int] = []
+            for blk in range((n_samples + 15) // 16):
+                d = hashlib.sha256(f"au{mid}/{blk}".encode()).digest()
+                for k in range(16):
+                    out.append(d[2 * k] * 256 + d[2 * k + 1] - 32768)
+            return out[:n_samples]
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "wav",
+                        "payload": encode_wav(sample_rate, samples(mid)),
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "sample_rate": sample_rate,
+                            "duration_ms": n_samples * 1000 // sample_rate,
+                            "codec": "pcm16",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)

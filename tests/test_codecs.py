@@ -245,3 +245,61 @@ def test_incremental_phash_pairs_parity_with_full_batch(spark, tmp_path):
         for r in incremental_phash_pairs(spark, batches[1], store, "r1").collect()
     }
     assert again == {(a, b) for (a, b, *_) in got if b >= 74}
+
+
+def test_wav_round_trip_and_stub():
+    from anomaly_detector_spark.operators.multimodal import decode_audio, encode_wav
+
+    rng = random.Random(9)
+    for n in (64, 1, 7):  # odd data lengths exercise word alignment
+        s = [rng.randrange(-32768, 32768) for _ in range(n)]
+        assert decode_audio(encode_wav(16000, s)) == (16000, s)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04\x00mp3....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF\x00\x00\x00\x00AVI ....")  # RIFF but not WAVE
+
+
+def test_audio_sign_hash_edit_bound_and_reencode_invariance():
+    from anomaly_detector_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        sign_hash64,
+    )
+
+    rng = random.Random(13)
+    s = [rng.randrange(-32768, 32768) for _ in range(64)]
+    h = sign_hash64(s)
+    # re-encode at a different sample rate: samples identical -> same hash
+    assert sign_hash64(decode_audio(encode_wav(8000, s))[1]) == h
+    for pos in (0, 30, 63):
+        s2 = list(s)
+        s2[pos] = max(-32768, min(32767, s2[pos] + 9000))
+        ham = bin((h ^ sign_hash64(s2)) & ((1 << 64) - 1)).count("1")
+        assert ham <= 2
+
+
+def test_extract_audio_features_matches_hand_computation(spark):
+    import math
+
+    from anomaly_detector_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+        synth_media_audio,
+    )
+
+    media = synth_media_audio(spark, 10, n_samples=64)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    feats = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    for mid, payload in payloads.items():
+        rate, samples = decode_audio(payload)
+        assert rate == 16000 and len(samples) == 64
+        r = feats[mid]
+        assert r["rms"] == round(math.sqrt(sum(s * s for s in samples) / 64) / 32768.0, 6)
+        zc = sum(
+            1
+            for i in range(63)
+            if (samples[i] >= 0) != (samples[i + 1] >= 0)
+        )
+        assert r["zcr"] == round(zc / 64, 6)
+        assert abs(sum(r[f"a{i}"] for i in range(8)) - 1.0) < 1e-5
