@@ -4,11 +4,11 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 metadata struct; decode/feature steps run as Arrow-batched pandas
 iterators over ``mapInPandas`` so each Python worker sees columnar
 batches, never one row at a time. Decode is REAL for BMP (24-bit
-BI_RGB), binary PPM/PGM, and PNG (8-bit, stdlib-zlib inflate +
-defilter) — pure-Python parsers, no codec libraries needed — so
-features and perceptual hashes run on genuinely decoded pixels; exotic
-codecs (JPEG/audio/video) keep the documented NotImplementedError stub
-path.
+BI_RGB), binary PPM/PGM, PNG (8-bit, stdlib-zlib inflate + defilter),
+and 16-bit mono PCM WAV — pure-Python parsers, no codec libraries
+needed — so features and perceptual hashes run on genuinely decoded
+pixels/samples; compressed codecs (JPEG, mp3/ogg, video) keep the
+documented NotImplementedError stub path.
 """
 
 from __future__ import annotations
@@ -578,6 +578,15 @@ def dhash64(payload: bytes | None) -> int | None:
             return dhash64_pixels(*decode_image(b))
         except NotImplementedError:
             pass  # unsupported variant -> byte path
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # audio must NOT fall through to the byte path: every WAV shares
+        # the 44-byte header, so byte comparisons over the first 64
+        # bytes would make unrelated clips look near-identical. Hash the
+        # DECODED waveform's sign-of-delta fingerprint instead.
+        try:
+            return sign_hash64(decode_audio(b)[1])
+        except NotImplementedError:
+            pass  # exotic WAV variant -> byte path
     n = len(b)
     if n == 0:
         return 0
@@ -924,24 +933,41 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 
 def synth_media_audio(
-    spark, n_rows: int, n_samples: int = 64, sample_rate: int = 16000
+    spark,
+    n_rows: int,
+    n_samples: int = 64,
+    sample_rate: int = 16000,
+    plant_every: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL-audio media table: payload = an actual 16-bit
     mono PCM WAV whose sample at index ``idx`` is
     ``(byte-pair idx of the sha256('au' + id + '/' + idx//16) stream)
     - 32768`` — sha-derived yet re-derivable in SQL via hex-char
-    arithmetic (the synth_media_images discipline for waveforms)."""
+    arithmetic (the synth_media_images discipline for waveforms).
+
+    ``plant_every``: every k-th clip (id % k == k-1, id > 0) carries
+    clip id-1's samples with the single sample at idx = id % n_samples
+    bumped +9000 (clamped) — the planted near-dup ground truth for the
+    sign-of-delta fingerprint (hamming <= 2)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        def samples(mid: int) -> list[int]:
+        def raw_samples(mid: int) -> list[int]:
             out: list[int] = []
             for blk in range((n_samples + 15) // 16):
                 d = hashlib.sha256(f"au{mid}/{blk}".encode()).digest()
                 for k in range(16):
                     out.append(d[2 * k] * 256 + d[2 * k + 1] - 32768)
             return out[:n_samples]
+
+        def samples(mid: int) -> list[int]:
+            if plant_every is not None and mid % plant_every == plant_every - 1 and mid > 0:
+                s = raw_samples(mid - 1)
+                j = mid % n_samples
+                s[j] = max(-32768, min(32767, s[j] + 9000))
+                return s
+            return raw_samples(mid)
 
         for pdf in batches:
             rows = []

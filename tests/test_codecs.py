@@ -303,3 +303,22 @@ def test_extract_audio_features_matches_hand_computation(spark):
         )
         assert r["zcr"] == round(zc / 64, 6)
         assert abs(sum(r[f"a{i}"] for i in range(8)) - 1.0) < 1e-5
+
+
+def test_phash_near_dups_works_on_audio_via_sign_fingerprint(spark):
+    # dhash64 dispatches WAV payloads to the decoded-waveform sign hash;
+    # the SAME pigeonhole block join finds planted audio near-dups, and
+    # the shared RIFF header cannot fake similarity (byte path never runs)
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_near_dups,
+        synth_media_audio,
+    )
+
+    media = synth_media_audio(spark, 200, plant_every=25)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_near_dups(media, max_hamming=6, blocks=8).collect()
+    }
+    expect = {(k - 1, k) for k in range(24, 200, 25)}
+    assert set(pairs) == expect
+    assert all(h <= 2 for h in pairs.values())
