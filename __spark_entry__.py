@@ -2800,6 +2800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_ewma_flags": q_metric_ewma_flags,
         "media_incr_dups": q_media_incr_dups,
         "media_audio_features": q_media_audio_features,
+        # re-pinned this round over REAL decoded pixels (codecs new in r4)
+        "media_features": q_media_features,
+        "media_phash_dups": q_media_phash_dups,
+        "media_dup_verdicts": q_media_dup_verdicts,
         # --- never driver-oracled before round 4 (all green under tools/check_oracle.py) ---
         "files_rowrules": q_files_rowrules,
         "files_rule_viols": q_files_rule_viols,
@@ -2831,8 +2835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incr_dedup": q_docs_incr_dedup,
         "docs_topk_merge": q_docs_topk_merge,
         "manifest_revalidation": q_manifest_revalidation,
-        "media_phash_dups": q_media_phash_dups,
-        "media_dup_verdicts": q_media_dup_verdicts,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_sample_mix": q_docs_sample_mix,
         "docs_token_shards": q_docs_token_shards,
@@ -2928,7 +2930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "docs_langid": q_docs_langid,
         "lsh_topk": q_lsh_topk,
-        "media_features": q_media_features,
     }
 
 
