@@ -1943,6 +1943,20 @@ def q_media_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(synth_media_audio(spark, 1000, n_samples=64))
 
 
+def q_media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL video decode: payloads are actual animated GIFs (pure-Python
+    # LZW); frame sampling decodes every frame and emits its
+    # decoded-pixel dHash. The oracle re-derives each frame's pixels
+    # from the sha256 formula — an LZW/canvas/palette defect breaks the
+    # hash match on every row.
+    from anomaly_detector_spark.operators.multimodal import (
+        extract_video_frames,
+        synth_media_video,
+    )
+
+    return extract_video_frames(synth_media_video(spark, 300, n_frames=4))
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2800,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_ewma_flags": q_metric_ewma_flags,
         "media_incr_dups": q_media_incr_dups,
         "media_audio_features": q_media_audio_features,
+        "media_video_frames": q_media_video_frames,
         # re-pinned this round over REAL decoded pixels (codecs new in r4)
         "media_features": q_media_features,
         "media_phash_dups": q_media_phash_dups,
@@ -5638,6 +5653,47 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                    for i in range(8)
                )}
         FROM lagged GROUP BY media_id
+    """
+    # media_video_frames: per-frame ground-truth pixels from the sha256
+    # formula (frame axis added to the image pixel CTE), folded to the
+    # 9x8 dHash exactly like _MEDIA_PHASH_CTE.
+    _vhx = (
+        "sha256('vid' || CAST(m.range AS VARCHAR) || '/' || "
+        "CAST(f.range AS VARCHAR) || '/' || CAST(i.range // 32 AS VARCHAR))"
+    )
+    _vbyte = (
+        f"((strpos('0123456789abcdef', substr({_vhx}, (i.range % 32) * 2 + 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({_vhx}, (i.range % 32) * 2 + 2, 1)) - 1))"
+    )
+    out["media_video_frames"] = f"""
+        WITH px AS (
+          SELECT m.range AS media_id, f.range AS frame_idx, i.range AS idx,
+                 {_vbyte} AS v
+          FROM range(300) m CROSS JOIN range(4) f CROSS JOIN range(72) i
+        ),
+        g AS (
+          SELECT media_id, frame_idx, list(v ORDER BY idx) AS gv
+          FROM px GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT media_id, frame_idx,
+                 CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                            THEN s - (CAST(1 AS HUGEINT) << 64)
+                            ELSE s END) AS BIGINT) AS ph
+          FROM (
+            SELECT media_id, frame_idx,
+                   list_aggregate(list_transform(range(0, 64), i ->
+                     CASE WHEN gv[(i // 8) * 9 + (i % 8) + 1] >
+                               gv[(i // 8) * 9 + (i % 8) + 2]
+                          THEN CAST(1 AS HUGEINT) << i
+                          ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+            FROM g
+          )
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(9 AS INT) AS width, CAST(8 AS INT) AS height, ph AS phash
+        FROM h
     """
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()

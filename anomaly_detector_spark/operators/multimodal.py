@@ -990,3 +990,253 @@ def synth_media_audio(
             yield pd.DataFrame(rows)
 
     return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+# --- real video codec (animated GIF, pure Python LZW) ----------------------
+#
+# The video member of the codec family: GIF87a/89a is a public container
+# whose raster is plain LZW — implementable without any library — so
+# "video" fixtures are REAL animated files and FRAME SAMPLING genuinely
+# decodes frames (frame_sample_plan was the plan-only precursor).
+# Compressed true-video codecs (h264 etc.) stay on the stub path.
+
+
+def _gif_lzw_decode(min_code: int, data: bytes) -> list[int]:
+    """LZW decode of a GIF image data stream (codes packed LSB-first)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    dictionary: list[list[int]] = []
+
+    def reset():
+        nonlocal dictionary, width
+        dictionary = [[i] for i in range(1 << min_code)] + [[], []]
+        width = min_code + 1
+
+    width = min_code + 1
+    reset()
+    acc = bits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(dictionary) and (code < clear or dictionary[code]):
+                entry = dictionary[code]
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and len(dictionary) < 4096:
+                dictionary.append(prev + [entry[0]])
+                if len(dictionary) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _gif_lzw_encode_uncompressed(min_code: int, pixels: list[int]) -> bytes:
+    """Valid-but-uncompressed GIF LZW stream: literal codes with a CLEAR
+    every 250 symbols so the code width never grows past min_code+1 —
+    the classic library-free GIF writer."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    for i, p in enumerate(pixels):
+        if i and i % 250 == 0:
+            emit(clear)
+        emit(p)
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, frames: list[list[int]]) -> bytes:
+    """Animated GIF89a of grayscale frames (256-entry gray palette,
+    full-frame images, uncompressed LZW) — a real GIF any viewer plays."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0xF7, 0, 0))  # global 256-color table, bg 0, aspect 0
+    for v in range(256):
+        out += bytes((v, v, v))
+    for frame in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(8)  # LZW min code size
+        data = _gif_lzw_encode_uncompressed(8, [v & 0xFF for v in frame])
+        for off in range(0, len(data), 255):
+            blk = data[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_video(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode an animated GIF to (width, height, [grayscale frame, ...]).
+
+    Supports GIF87a/89a, global/local color tables, non-interlaced
+    images; each image descriptor renders onto the persistent canvas
+    (disposal 'do not dispose'), and every rendered state is one frame.
+    Raises NotImplementedError for other containers — the video stub
+    path."""
+    import struct
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("unsupported video container (stub path)")
+    width, height = struct.unpack("<HH", b[6:10])
+    packed, _bg, _aspect = b[10], b[11], b[12]
+    pos = 13
+    global_table: list[int] | None = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        global_table = [
+            _luma(b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    canvas = [0] * (width * height)
+    frames: list[list[int]] = []
+    while pos < len(b):
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if tag != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{tag:02x}")
+        left, top, w, h = struct.unpack("<HHHH", b[pos : pos + 8])
+        ipacked = b[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            table = [
+                _luma(b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if table is None:
+            raise NotImplementedError("GIF image without a color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code, bytes(data))
+        for y in range(h):
+            for x in range(w):
+                canvas[(top + y) * width + (left + x)] = table[idx[y * w + x]]
+        frames.append(list(canvas))
+    return width, height, frames
+
+
+VIDEO_FRAME_SCHEMA = "media_id long, frame_idx int, width int, height int, phash long"
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling: decode each video payload (animated GIF),
+    keep every ``every_n``-th frame, and emit its decoded-pixel dHash —
+    one row per sampled frame, Arrow-batched mapInPandas. The realized
+    form of ``frame_sample_plan`` (which plans the fan-out without
+    decoding); per-frame hashes feed the same pigeonhole near-dup
+    machinery as images and audio."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_video(payload)
+                for fi in range(0, len(frames), every_n):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "phash": dhash64_pixels(w, h, frames[fi]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+
+
+def synth_media_video(
+    spark, n_rows: int, n_frames: int = 4, width: int = 9, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL-video media table: payload = an actual animated
+    GIF whose frame f's pixel at row-major idx is byte idx%32 of
+    ``sha256('vid' + id + '/' + f + '/' + idx//32)`` — the image/audio
+    sha-formula discipline extended with a frame axis, so per-frame
+    derivations (dHash, features) are re-derivable in SQL."""
+    npx = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def frame(mid: int, f: int) -> list[int]:
+            out: list[int] = []
+            for blk in range((npx + 31) // 32):
+                out += hashlib.sha256(f"vid{mid}/{f}/{blk}".encode()).digest()
+            return out[:npx]
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                payload = encode_gif(
+                    width, height, [frame(mid, f) for f in range(n_frames)]
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "gif",
+                        "payload": payload,
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": None,
+                            "duration_ms": n_frames * 100,
+                            "codec": "gif",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)

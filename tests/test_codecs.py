@@ -322,3 +322,87 @@ def test_phash_near_dups_works_on_audio_via_sign_fingerprint(spark):
     expect = {(k - 1, k) for k in range(24, 200, 25)}
     assert set(pairs) == expect
     assert all(h <= 2 for h in pairs.values())
+
+
+def test_gif_round_trip_and_stub():
+    from anomaly_detector_spark.operators.multimodal import decode_video, encode_gif
+
+    rng = random.Random(21)
+    frames = [[rng.randrange(256) for _ in range(72)] for _ in range(3)]
+    assert decode_video(encode_gif(9, 8, frames)) == (9, 8, frames)
+    # multi-subblock + periodic CLEAR codes (larger than one 255B block)
+    big = [[rng.randrange(256) for _ in range(40 * 30)] for _ in range(2)]
+    assert decode_video(encode_gif(40, 30, big))[2] == big
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x01\xb3mpeg....")
+
+
+def test_gif_extension_blocks_and_delta_frames():
+    # hand-built GIF89a: a graphic-control extension (skipped), a full
+    # first frame, then a 3x2 sub-rectangle second image — the decoder
+    # must render the delta onto the persistent canvas
+    import struct
+
+    from anomaly_detector_spark.operators.multimodal import (
+        _gif_lzw_encode_uncompressed,
+        decode_video,
+    )
+
+    rng = random.Random(23)
+    w, h = 9, 8
+    f0 = [rng.randrange(256) for _ in range(w * h)]
+    patch = [rng.randrange(256) for _ in range(3 * 2)]
+
+    def img_block(left, top, iw, ih, pixels):
+        out = bytearray(b"\x2c" + struct.pack("<HHHH", left, top, iw, ih) + b"\x00")
+        out.append(8)
+        data = _gif_lzw_encode_uncompressed(8, pixels)
+        for off in range(0, len(data), 255):
+            blk = data[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+        return bytes(out)
+
+    gif = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + bytes((0xF7, 0, 0)))
+    for v in range(256):
+        gif += bytes((v, v, v))
+    gif += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphic control ext
+    gif += img_block(0, 0, w, h, f0)
+    gif += img_block(4, 3, 3, 2, patch)  # delta frame
+    gif += b"\x3b"
+
+    gw, gh, frames = decode_video(bytes(gif))
+    assert (gw, gh) == (w, h) and len(frames) == 2
+    assert frames[0] == f0
+    expect = list(f0)
+    for y in range(2):
+        for x in range(3):
+            expect[(3 + y) * w + (4 + x)] = patch[y * 3 + x]
+    assert frames[1] == expect
+
+
+def test_extract_video_frames_matches_decode(spark):
+    from anomaly_detector_spark.operators.multimodal import (
+        decode_video,
+        dhash64_pixels,
+        extract_video_frames,
+        synth_media_video,
+    )
+
+    media = synth_media_video(spark, 6, n_frames=3)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    got = {
+        (r["media_id"], r["frame_idx"]): r["phash"]
+        for r in extract_video_frames(media).collect()
+    }
+    assert len(got) == 18
+    for mid, payload in payloads.items():
+        w, h, frames = decode_video(payload)
+        for fi, fr in enumerate(frames):
+            assert got[(mid, fi)] == dhash64_pixels(w, h, fr)
+    # every_n sampling keeps frames 0 and 2 only
+    sampled = {
+        r["frame_idx"] for r in extract_video_frames(media, every_n=2).collect()
+    }
+    assert sampled == {0, 2}
