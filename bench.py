@@ -115,7 +115,9 @@ def main() -> int:
         "files_mad_outliers",  # MAD modified-z profile (2 aggs + broadcast median)
         "events_benford",      # Benford first-digit chi-square, one aggregate
         "metric_ewma_flags",   # EWMA control chart over synthetic run history
-        "media_phash_dups",    # REAL BMP/PPM decode -> pixel dHash block join
+        "media_phash_dups",    # REAL BMP/PPM/PNG decode -> pixel dHash block join
+        "media_audio_features",  # REAL WAV decode -> RMS/ZCR/amplitude features
+        "media_video_frames",  # REAL GIF decode -> per-frame dHash sampling
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings
