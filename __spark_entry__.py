@@ -1957,6 +1957,21 @@ def q_media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     return extract_video_frames(synth_media_video(spark, 300, n_frames=4))
 
 
+def q_media_frame_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # clip pairs sharing decoded frames (the video containment twin):
+    # 300 real GIFs, every 25th a near-copy of its predecessor sharing
+    # 3 of 4 frames; ONE decode pass, equi-join on the 8-byte frame
+    # hash, never all-pairs. The oracle re-derives per-frame dHashes
+    # from the planted sha formula and brute-forces the pair counts.
+    from anomaly_detector_spark.operators.multimodal import (
+        synth_media_video,
+        video_frame_overlap_pairs,
+    )
+
+    media = synth_media_video(spark, 300, n_frames=4, plant_every=25)
+    return video_frame_overlap_pairs(media, min_shared=2)
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2815,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_incr_dups": q_media_incr_dups,
         "media_audio_features": q_media_audio_features,
         "media_video_frames": q_media_video_frames,
+        "media_frame_overlap": q_media_frame_overlap,
         # re-pinned this round over REAL decoded pixels (codecs new in r4)
         "media_features": q_media_features,
         "media_phash_dups": q_media_phash_dups,
@@ -5694,6 +5710,60 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                CAST(frame_idx AS INT) AS frame_idx,
                CAST(9 AS INT) AS width, CAST(8 AS INT) AS height, ph AS phash
         FROM h
+    """
+    # media_frame_overlap: planted clips source all but one frame from
+    # clip id-1; the oracle re-derives every frame dHash from the
+    # formula (source id switched per frame for planted clips) and
+    # brute-forces shared-frame counts.
+    _vsrc = (
+        "(CASE WHEN m.range % 25 = 24 AND m.range > 0 AND f.range != m.range % 4 "
+        "THEN m.range - 1 ELSE m.range END)"
+    )
+    _pvhx = (
+        f"sha256('vid' || CAST({_vsrc} AS VARCHAR) || '/' || "
+        "CAST(f.range AS VARCHAR) || '/' || CAST(i.range // 32 AS VARCHAR))"
+    )
+    _pvbyte = (
+        f"((strpos('0123456789abcdef', substr({_pvhx}, (i.range % 32) * 2 + 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({_pvhx}, (i.range % 32) * 2 + 2, 1)) - 1))"
+    )
+    out["media_frame_overlap"] = f"""
+        WITH px AS (
+          SELECT m.range AS media_id, f.range AS frame_idx, i.range AS idx,
+                 {_pvbyte} AS v
+          FROM range(300) m CROSS JOIN range(4) f CROSS JOIN range(72) i
+        ),
+        g AS (
+          SELECT media_id, frame_idx, list(v ORDER BY idx) AS gv
+          FROM px GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT media_id,
+                 CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                            THEN s - (CAST(1 AS HUGEINT) << 64)
+                            ELSE s END) AS BIGINT) AS ph
+          FROM (
+            SELECT media_id, frame_idx,
+                   list_aggregate(list_transform(range(0, 64), i ->
+                     CASE WHEN gv[(i // 8) * 9 + (i % 8) + 1] >
+                               gv[(i // 8) * 9 + (i % 8) + 2]
+                          THEN CAST(1 AS HUGEINT) << i
+                          ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+            FROM g
+          )
+        )
+        SELECT CAST(a_id AS BIGINT) AS media_id_a,
+               CAST(b_id AS BIGINT) AS media_id_b,
+               CAST(shared AS BIGINT) AS n_shared_frames,
+               CAST(4 AS BIGINT) AS n_frames_a,
+               CAST(4 AS BIGINT) AS n_frames_b,
+               round(shared / 4.0, 6) AS overlap_frac
+        FROM (
+          SELECT a.media_id AS a_id, b.media_id AS b_id,
+                 count(DISTINCT a.ph) AS shared
+          FROM h a JOIN h b ON a.ph = b.ph AND a.media_id < b.media_id
+          GROUP BY 1, 2 HAVING count(DISTINCT a.ph) >= 2
+        )
     """
     out["docs_langid"] = _langid_oracle()
     out["docs_clean_corpus"] = _clean_corpus_oracle()

@@ -1198,13 +1198,24 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
 
 
 def synth_media_video(
-    spark, n_rows: int, n_frames: int = 4, width: int = 9, height: int = 8
+    spark,
+    n_rows: int,
+    n_frames: int = 4,
+    width: int = 9,
+    height: int = 8,
+    plant_every: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL-video media table: payload = an actual animated
     GIF whose frame f's pixel at row-major idx is byte idx%32 of
     ``sha256('vid' + id + '/' + f + '/' + idx//32)`` — the image/audio
     sha-formula discipline extended with a frame axis, so per-frame
-    derivations (dHash, features) are re-derivable in SQL."""
+    derivations (dHash, features) are re-derivable in SQL.
+
+    ``plant_every``: every k-th clip (id % k == k-1, id > 0) carries
+    clip id-1's frames with the single frame at index id % n_frames
+    replaced by its OWN formula frame — the planted ground truth for
+    frame-overlap detection (shares n_frames-1 frames with its
+    source)."""
     npx = width * height
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1216,13 +1227,18 @@ def synth_media_video(
                 out += hashlib.sha256(f"vid{mid}/{f}/{blk}".encode()).digest()
             return out[:npx]
 
+        def clip(mid: int) -> list[list[int]]:
+            if plant_every is not None and mid % plant_every == plant_every - 1 and mid > 0:
+                fs = [frame(mid - 1, f) for f in range(n_frames)]
+                fs[mid % n_frames] = frame(mid, mid % n_frames)
+                return fs
+            return [frame(mid, f) for f in range(n_frames)]
+
         for pdf in batches:
             rows = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                payload = encode_gif(
-                    width, height, [frame(mid, f) for f in range(n_frames)]
-                )
+                payload = encode_gif(width, height, clip(mid))
                 rows.append(
                     {
                         "media_id": mid,
@@ -1240,3 +1256,61 @@ def synth_media_video(
             yield pd.DataFrame(rows)
 
     return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def video_frame_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Clip pairs sharing decoded frames — the VIDEO twin of the
+    document containment check (operators/dedup.py containment_pairs):
+    a re-encoded / trimmed / lightly-edited copy of a clip shares most
+    of its per-frame dHashes even when the container bytes share
+    nothing.
+
+    One decode pass (``extract_video_frames``), then an equi-self-join
+    on the 8-byte frame hash — never all-pairs over clips, and the
+    payload column is pruned before any exchange. Returns
+    (media_id_a, media_id_b, n_shared_frames, n_frames_a, n_frames_b,
+    overlap_frac) for pairs sharing >= ``min_shared`` sampled frames,
+    where overlap_frac = shared / min(n_a, n_b) (the containment
+    convention: a short clip fully inside a long one scores 1.0).
+
+    ``materialize`` eagerly localCheckpoints the (id, frame hash) frame
+    so the join's two sides and the per-clip counts reuse ONE decode
+    (three consumers otherwise re-run the Python kernel)."""
+    frames = extract_video_frames(df.select(id_col, "payload"), every_n=every_n).select(
+        F.col("media_id").alias("_id"), "phash"
+    )
+    if materialize:
+        frames = frames.localCheckpoint()
+    counts = frames.groupBy("_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a, b = frames.alias("a"), frames.alias("b")
+    shared = (
+        a.join(b, on="phash", how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("media_id_a"), F.col("b._id").alias("media_id_b"))
+        .agg(F.count_distinct("phash").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )
+    ca = counts.select(F.col("_id").alias("media_id_a"), F.col("n_frames").alias("n_frames_a"))
+    cb = counts.select(F.col("_id").alias("media_id_b"), F.col("n_frames").alias("n_frames_b"))
+    return (
+        shared.join(F.broadcast(ca), "media_id_a")
+        .join(F.broadcast(cb), "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "n_shared_frames",
+            "n_frames_a",
+            "n_frames_b",
+            F.round(
+                F.col("n_shared_frames")
+                / F.least(F.col("n_frames_a"), F.col("n_frames_b")),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )

@@ -406,3 +406,23 @@ def test_extract_video_frames_matches_decode(spark):
         r["frame_idx"] for r in extract_video_frames(media, every_n=2).collect()
     }
     assert sampled == {0, 2}
+
+
+def test_video_frame_overlap_pairs_finds_planted_copies_only(spark):
+    from anomaly_detector_spark.operators.multimodal import (
+        synth_media_video,
+        video_frame_overlap_pairs,
+    )
+
+    media = synth_media_video(spark, 100, n_frames=4, plant_every=25)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r
+        for r in video_frame_overlap_pairs(media, min_shared=2).collect()
+    }
+    assert set(pairs) == {(23, 24), (48, 49), (73, 74), (98, 99)}
+    for r in pairs.values():
+        assert r["n_shared_frames"] == 3  # one frame replaced
+        assert r["overlap_frac"] == 0.75
+        assert r["n_frames_a"] == r["n_frames_b"] == 4
+    # clean corpus: no pairs at all
+    assert video_frame_overlap_pairs(synth_media_video(spark, 60, n_frames=4)).count() == 0
