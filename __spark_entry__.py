@@ -1972,6 +1972,21 @@ def q_media_frame_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return video_frame_overlap_pairs(media, min_shared=2)
 
 
+def q_media_audio_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # clip pairs sharing decoded AUDIO segments (the audio granule-
+    # overlap twin): 1000 real WAVs, every 25th a one-sample-edited copy
+    # of its predecessor -> shares 3 of 4 sixteen-sample windows. The
+    # oracle re-derives window sign-hashes from the sha sample formula
+    # (with the planted +9000 clamp) and brute-forces the pair counts.
+    from anomaly_detector_spark.operators.multimodal import (
+        audio_segment_overlap_pairs,
+        synth_media_audio,
+    )
+
+    media = synth_media_audio(spark, 1000, n_samples=64, plant_every=25)
+    return audio_segment_overlap_pairs(media, segment_len=16, min_shared=2)
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2831,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": q_media_audio_features,
         "media_video_frames": q_media_video_frames,
         "media_frame_overlap": q_media_frame_overlap,
+        "media_audio_overlap": q_media_audio_overlap,
         # re-pinned this round over REAL decoded pixels (codecs new in r4)
         "media_features": q_media_features,
         "media_phash_dups": q_media_phash_dups,
@@ -5669,6 +5685,64 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
                    for i in range(8)
                )}
         FROM lagged GROUP BY media_id
+    """
+    # media_audio_overlap: ground-truth samples from the 'au' sha
+    # byte-pair formula with the planted copy-of-previous (+9000 clamp
+    # at idx = mid % 64) override; window sign-hash = the wraparound
+    # sign-of-delta fold over each 16-sample segment.
+    _asrc = "(CASE WHEN m.range % 25 = 24 AND m.range > 0 THEN m.range - 1 ELSE m.range END)"
+    _ahx = (
+        f"sha256('au' || CAST({_asrc} AS VARCHAR) || '/' || "
+        "CAST(i.range // 16 AS VARCHAR))"
+    )
+    _ab0 = (
+        f"((strpos('0123456789abcdef', substr({_ahx}, (i.range % 16) * 4 + 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({_ahx}, (i.range % 16) * 4 + 2, 1)) - 1))"
+    )
+    _ab1 = (
+        f"((strpos('0123456789abcdef', substr({_ahx}, (i.range % 16) * 4 + 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({_ahx}, (i.range % 16) * 4 + 4, 1)) - 1))"
+    )
+    out["media_audio_overlap"] = f"""
+        WITH au AS (
+          SELECT m.range AS media_id, i.range AS idx,
+                 CASE WHEN m.range % 25 = 24 AND m.range > 0
+                           AND i.range = m.range % 64
+                      THEN least(32767, {_ab0} * 256 + {_ab1} - 32768 + 9000)
+                      ELSE {_ab0} * 256 + {_ab1} - 32768 END AS v
+          FROM range(1000) m CROSS JOIN range(64) i
+        ),
+        g AS (
+          SELECT media_id, idx // 16 AS seg_idx,
+                 list(v ORDER BY idx) AS gv
+          FROM au GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT media_id,
+                 CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                            THEN s - (CAST(1 AS HUGEINT) << 64)
+                            ELSE s END) AS BIGINT) AS sh
+          FROM (
+            SELECT media_id, seg_idx,
+                   list_aggregate(list_transform(range(0, 64), i ->
+                     CASE WHEN gv[((i + 1) % 16) + 1] > gv[(i % 16) + 1]
+                          THEN CAST(1 AS HUGEINT) << i
+                          ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+            FROM g
+          )
+        )
+        SELECT CAST(a_id AS BIGINT) AS media_id_a,
+               CAST(b_id AS BIGINT) AS media_id_b,
+               CAST(shared AS BIGINT) AS n_shared_segments,
+               CAST(4 AS BIGINT) AS n_segments_a,
+               CAST(4 AS BIGINT) AS n_segments_b,
+               round(shared / 4.0, 6) AS overlap_frac
+        FROM (
+          SELECT a.media_id AS a_id, b.media_id AS b_id,
+                 count(DISTINCT a.sh) AS shared
+          FROM h a JOIN h b ON a.sh = b.sh AND a.media_id < b.media_id
+          GROUP BY 1, 2 HAVING count(DISTINCT a.sh) >= 2
+        )
     """
     # media_video_frames: per-frame ground-truth pixels from the sha256
     # formula (frame axis added to the image pixel CTE), folded to the

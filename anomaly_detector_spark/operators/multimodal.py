@@ -1314,3 +1314,79 @@ def video_frame_overlap_pairs(
             ).alias("overlap_frac"),
         )
     )
+
+
+def audio_segment_overlap_pairs(
+    df: DataFrame,
+    segment_len: int = 16,
+    min_shared: int = 2,
+    id_col: str = "media_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Clip pairs sharing decoded AUDIO segments — the audio member of
+    the per-granule overlap family (docs: segment dedup; video: frame
+    overlap): clips are split into fixed windows of ``segment_len``
+    samples, each window fingerprinted with the sign-of-delta hash, and
+    clips sharing >= ``min_shared`` window fingerprints pair up. Catches
+    spliced / partially-copied audio that whole-clip hashing misses.
+
+    One decode pass (Arrow-batched), then an equi-self-join on the
+    8-byte window hash; payload bytes never ride a shuffle. Returns
+    (media_id_a, media_id_b, n_shared_segments, n_segments_a,
+    n_segments_b, overlap_frac) with overlap_frac = shared / min(n_a,
+    n_b)."""
+    seg_schema = "media_id long, seg_idx int, seg_hash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = decode_audio(payload)
+                for si in range(len(samples) // segment_len):
+                    seg = samples[si * segment_len : (si + 1) * segment_len]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "seg_idx": si,
+                            "seg_hash": sign_hash64(seg),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    segs = (
+        df.select(F.col(id_col).alias("media_id"), "payload")
+        .mapInPandas(kernel, seg_schema)
+        .select("media_id", "seg_hash")
+    )
+    if materialize:
+        segs = segs.localCheckpoint()
+    counts = segs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    a, b = segs.alias("a"), segs.alias("b")
+    shared = (
+        a.join(b, on="seg_hash", how="inner")
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .groupBy(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .agg(F.count_distinct("seg_hash").alias("n_shared_segments"))
+        .filter(F.col("n_shared_segments") >= min_shared)
+    )
+    ca = counts.select(F.col("media_id").alias("media_id_a"), F.col("n_segments").alias("n_segments_a"))
+    cb = counts.select(F.col("media_id").alias("media_id_b"), F.col("n_segments").alias("n_segments_b"))
+    return (
+        shared.join(F.broadcast(ca), "media_id_a")
+        .join(F.broadcast(cb), "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "n_shared_segments",
+            "n_segments_a",
+            "n_segments_b",
+            F.round(
+                F.col("n_shared_segments")
+                / F.least(F.col("n_segments_a"), F.col("n_segments_b")),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )

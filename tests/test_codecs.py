@@ -426,3 +426,23 @@ def test_video_frame_overlap_pairs_finds_planted_copies_only(spark):
         assert r["n_frames_a"] == r["n_frames_b"] == 4
     # clean corpus: no pairs at all
     assert video_frame_overlap_pairs(synth_media_video(spark, 60, n_frames=4)).count() == 0
+
+
+def test_audio_segment_overlap_pairs_finds_planted_copies(spark):
+    from anomaly_detector_spark.operators.multimodal import (
+        audio_segment_overlap_pairs,
+        synth_media_audio,
+    )
+
+    media = synth_media_audio(spark, 100, n_samples=64, plant_every=25)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r
+        for r in audio_segment_overlap_pairs(media, segment_len=16, min_shared=2).collect()
+    }
+    planted = {(23, 24), (48, 49), (73, 74), (98, 99)}
+    assert planted <= set(pairs)
+    for key in planted:
+        r = pairs[key]
+        # one edited sample kills exactly one 16-sample window
+        assert r["n_shared_segments"] == 3 and r["overlap_frac"] == 0.75
+        assert r["n_segments_a"] == r["n_segments_b"] == 4
