@@ -443,6 +443,8 @@ def test_audio_segment_overlap_pairs_finds_planted_copies(spark):
     assert planted <= set(pairs)
     for key in planted:
         r = pairs[key]
-        # one edited sample kills exactly one 16-sample window
-        assert r["n_shared_segments"] == 3 and r["overlap_frac"] == 0.75
+        # one edited sample kills AT MOST one 16-sample window (a bump
+        # that preserves the window's sign pattern kills none)
+        assert r["n_shared_segments"] >= 3
+        assert r["overlap_frac"] in (0.75, 1.0)
         assert r["n_segments_a"] == r["n_segments_b"] == 4
