@@ -78,3 +78,114 @@ def run_media_dups(df: DataFrame, spec: CheckSpec) -> CheckResult:
         metric_cols=["n_rows", "n_dup"],
     )
     return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
+
+
+def run_frame_overlap(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Frame-level copy exposure for video columns: FAIL partitions
+    where more than ``max_dup_frac`` of clips participate in a
+    frame-overlap pair (operators/multimodal.py
+    video_frame_overlap_pairs — decoded per-frame dHash equi-join, one
+    decode pass). The video analog of the containment check: trimmed or
+    re-encoded clip copies multiply training weight invisibly to
+    byte-exact and whole-clip dedup.
+
+    config: ``payload_col`` ('payload'), ``id_col`` ('media_id'),
+    ``min_shared`` (2), ``every_n`` (1), ``max_dup_frac`` (0.05)."""
+    from ..operators.multimodal import video_frame_overlap_pairs
+
+    part = spec.partition_col
+    c = spec.config
+    payload_col = c.get("payload_col", "payload")
+    id_c = c.get("id_col", "media_id")
+    slim = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_c).alias("_id"),
+        F.col(part).alias("_part"),
+        F.col(payload_col).alias("payload"),
+    )
+    pairs = video_frame_overlap_pairs(
+        slim,
+        min_shared=int(c.get("min_shared", 2)),
+        every_n=int(c.get("every_n", 1)),
+        id_col="_id",
+        materialize=bool(c.get("materialize", True)),
+    )
+    dupped = (
+        pairs.select(F.col("media_id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("media_id_b").alias("_id")))
+        .distinct()
+    )
+    totals = slim.groupBy("_part").agg(F.count(F.lit(1)).alias("n_rows"))
+    hit = (
+        slim.join(dupped, on="_id", how="left_semi")
+        .groupBy("_part")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    per_part = null_safe_join(totals, hit, ["_part"], "left").select(
+        F.col("_part").alias(part),
+        "n_rows",
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        part,
+        fail_when=F.col("n_dup")
+        > F.col("n_rows") * F.lit(float(c.get("max_dup_frac", 0.05))),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_dup"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)
+
+
+def run_audio_overlap(df: DataFrame, spec: CheckSpec) -> CheckResult:
+    """Segment-level copy exposure for audio columns — the audio twin of
+    :func:`run_frame_overlap`, built on
+    operators/multimodal.py audio_segment_overlap_pairs (decoded
+    16-sample sign-hash windows, one decode pass).
+
+    config: ``payload_col`` ('payload'), ``id_col`` ('media_id'),
+    ``segment_len`` (16), ``min_shared`` (2), ``max_dup_frac`` (0.05)."""
+    from ..operators.multimodal import audio_segment_overlap_pairs
+
+    part = spec.partition_col
+    c = spec.config
+    payload_col = c.get("payload_col", "payload")
+    id_c = c.get("id_col", "media_id")
+    slim = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_c).alias("_id"),
+        F.col(part).alias("_part"),
+        F.col(payload_col).alias("payload"),
+    )
+    pairs = audio_segment_overlap_pairs(
+        slim,
+        segment_len=int(c.get("segment_len", 16)),
+        min_shared=int(c.get("min_shared", 2)),
+        id_col="_id",
+        materialize=bool(c.get("materialize", True)),
+    )
+    dupped = (
+        pairs.select(F.col("media_id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("media_id_b").alias("_id")))
+        .distinct()
+    )
+    totals = slim.groupBy("_part").agg(F.count(F.lit(1)).alias("n_rows"))
+    hit = (
+        slim.join(dupped, on="_id", how="left_semi")
+        .groupBy("_part")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    per_part = null_safe_join(totals, hit, ["_part"], "left").select(
+        F.col("_part").alias(part),
+        "n_rows",
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+    )
+    verdicts = verdict_frame(
+        per_part,
+        spec.id,
+        part,
+        fail_when=F.col("n_dup")
+        > F.col("n_rows") * F.lit(float(c.get("max_dup_frac", 0.05))),
+        skip_when=F.col("n_rows") < spec.min_rows,
+        metric_cols=["n_rows", "n_dup"],
+    )
+    return CheckResult(violations=empty_violations(df), verdicts=verdicts, metrics=per_part)

@@ -1282,9 +1282,9 @@ def video_frame_overlap_pairs(
     ``materialize`` eagerly localCheckpoints the (id, frame hash) frame
     so the join's two sides and the per-clip counts reuse ONE decode
     (three consumers otherwise re-run the Python kernel)."""
-    frames = extract_video_frames(df.select(id_col, "payload"), every_n=every_n).select(
-        F.col("media_id").alias("_id"), "phash"
-    )
+    frames = extract_video_frames(
+        df.select(F.col(id_col).alias("media_id"), "payload"), every_n=every_n
+    ).select(F.col("media_id").alias("_id"), "phash")
     if materialize:
         frames = frames.localCheckpoint()
     counts = frames.groupBy("_id").agg(F.count(F.lit(1)).alias("n_frames"))

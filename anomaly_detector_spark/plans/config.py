@@ -73,7 +73,7 @@ def _registry() -> dict[str, Callable]:
         run_vendored,
     )
     from ..checks.fd import run_fd, run_key_cardinality
-    from ..checks.media import run_media_dups
+    from ..checks.media import run_audio_overlap, run_frame_overlap, run_media_dups
     from ..checks.paths import (
         run_case_collisions,
         run_lang_ext,
@@ -101,6 +101,9 @@ def _registry() -> dict[str, Callable]:
         "mad_outliers": run_mad_outliers,
         # first-significant-digit drift vs Benford's law (chi-square)
         "benford": run_benford,
+        # media granule-overlap family (decoded frames / audio windows)
+        "frame_overlap": run_frame_overlap,
+        "audio_overlap": run_audio_overlap,
         "metadata_stats": run_metadata_stats,
         # layout-health gate: config carries the file inventory PATH and
         # the clustered dims; footer-only, schedules cluster_write

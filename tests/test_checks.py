@@ -706,3 +706,44 @@ def test_media_dups_empty_input(spark):
     res = CheckSpec("media_dups", run_media_dups, {}, "kind", 25).run(empty)
     assert res.verdicts.count() == 0 and res.metrics.count() == 0
     assert phash_near_dups(empty).count() == 0
+
+
+def test_media_overlap_checks_end_to_end(spark):
+    # frame_overlap + audio_overlap as declarable suite members: the
+    # planted media tables FAIL (copies exceed 5%), a clean slice
+    # PASSes, and both ride the JSON-config registry
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.media import run_audio_overlap, run_frame_overlap
+    from anomaly_detector_spark.operators.multimodal import (
+        synth_media_audio,
+        synth_media_video,
+    )
+    from anomaly_detector_spark.plans.config import suite_from_config
+
+    video = synth_media_video(spark, 100, n_frames=4, plant_every=25)
+    spec_v = CheckSpec("frame_overlap", run_frame_overlap, {"max_dup_frac": 0.05}, "kind", 25)
+    res_v = spec_v.run(video)
+    v = {r["partition_key"]: r for r in res_v.verdicts.collect()}
+    assert v["gif"]["verdict"] == "FAIL"  # 8 of 100 clips in pairs
+
+    audio = synth_media_audio(spark, 100, plant_every=25)
+    spec_a = CheckSpec("audio_overlap", run_audio_overlap, {"max_dup_frac": 0.05}, "kind", 25)
+    res_a = spec_a.run(audio)
+    a = {r["partition_key"]: r for r in res_a.verdicts.collect()}
+    assert a["wav"]["verdict"] == "FAIL"
+
+    clean = synth_media_video(spark, 60, n_frames=4)
+    assert spec_v.run(clean).verdicts.collect()[0]["verdict"] == "PASS"
+
+    # declarable from a JSON document like every other family
+    specs = suite_from_config(
+        {
+            "partition_col": "kind",
+            "min_rows": 25,
+            "checks": [
+                {"check": "frame_overlap", "max_dup_frac": 0.05},
+                {"check": "audio_overlap", "max_dup_frac": 0.05},
+            ],
+        }
+    )
+    assert [s.fn for s in specs] == [run_frame_overlap, run_audio_overlap]
