@@ -1231,3 +1231,59 @@ def test_outlier_stream_warm_starts_from_quantile_store(spark, tmp_path):
     assert rows["py"]["n_rows"] == 300 + len(batch)
     # storeless key still warm-up
     assert rows["rs"]["warmed_up"] is False and rows["rs"]["n_flagged"] == 0
+
+
+def test_phash_stream_matches_batch_pairs_across_triggers(spark, tmp_path):
+    # streaming perceptual media dedup: two ingest triggers of real
+    # bmp/ppm/png payloads with planted near-dups (one crossing the
+    # trigger boundary); the DISTINCT emitted pairs must equal the
+    # full-batch phash_near_dups set over the union, and the
+    # cross-trigger pair must surface in trigger 2 (state continued
+    # through the checkpoint across invocations).
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_near_dups,
+        synth_media_images,
+    )
+    from anomaly_detector_spark.streaming.media import phash_stream
+
+    full = synth_media_images(spark, 150, plant_every=25).localCheckpoint()
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+
+    def run_trigger(pred):
+        full.filter(pred).select("media_id", "payload").write.mode("append").parquet(inp)
+        q = (
+            phash_stream(
+                spark.readStream.schema("media_id long, payload binary").parquet(inp),
+                max_hamming=6,
+                blocks=8,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_trigger("media_id < 74")   # plants (23,24), (48,49) inside
+    n_after_t1 = spark.read.parquet(sink).count()
+    run_trigger("media_id >= 74")  # (73,74) crosses; (98,99) etc inside
+
+    got = spark.read.parquet(sink)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"], r["phash_a"], r["phash_b"], r["hamming"])
+        for r in got.collect()
+    }
+    expect = {
+        (r["media_id_a"], r["media_id_b"], r["phash_a"], r["phash_b"], r["hamming"])
+        for r in phash_near_dups(full, max_hamming=6, blocks=8).collect()
+    }
+    assert pairs == expect and len(pairs) == 6
+    # the boundary-crossing pair was emitted by trigger 2 (its row count
+    # grew) and trigger 1 could not have known it
+    t1_pairs = {
+        (a, b) for (a, b, *_ ) in pairs if b < 74
+    }
+    assert len(t1_pairs) < len(pairs) and n_after_t1 >= len(t1_pairs)
+    cross = [r for r in got.collect() if r["media_id_a"] == 73 and r["media_id_b"] == 74]
+    assert cross and all(r["hamming"] <= 2 for r in cross)
