@@ -747,3 +747,31 @@ def test_media_overlap_checks_end_to_end(spark):
         }
     )
     assert [s.fn for s in specs] == [run_frame_overlap, run_audio_overlap]
+
+
+def test_media_dups_check_on_mixed_modality_table(spark):
+    # one media table holding images AND audio: dhash64 dispatches per
+    # payload (pixels vs waveform), pairs stay within modality, and the
+    # per-kind verdicts gate independently
+    from anomaly_detector_spark.checks.base import CheckSpec
+    from anomaly_detector_spark.checks.media import run_media_dups
+    from anomaly_detector_spark.operators.multimodal import (
+        synth_media_audio,
+        synth_media_images,
+    )
+    from pyspark.sql import functions as F
+
+    images = synth_media_images(spark, 100, plant_every=25)
+    audio = synth_media_audio(spark, 100, plant_every=25).withColumn(
+        "media_id", F.col("media_id") + 1000  # disjoint id space
+    )
+    mixed = images.unionByName(audio).withColumn(
+        "kind", F.when(F.col("kind") == "wav", F.lit("wav")).otherwise(F.lit("image"))
+    )
+    spec = CheckSpec("media_dups", run_media_dups, {"max_dup_frac": 0.01}, "kind", 25)
+    res = spec.run(mixed)
+    v = {r["partition_key"]: r["verdict"] for r in res.verdicts.collect()}
+    assert v == {"image": "FAIL", "wav": "FAIL"}  # 8% planted in each
+    m = {r["kind"]: r for r in res.metrics.collect()}
+    # exactly the planted participants per modality (4 pairs -> 8 ids)
+    assert m["image"]["n_dup"] == 8 and m["wav"]["n_dup"] == 8
