@@ -587,6 +587,17 @@ def dhash64(payload: bytes | None) -> int | None:
             return sign_hash64(decode_audio(b)[1])
         except NotImplementedError:
             pass  # exotic WAV variant -> byte path
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        # same header hazard as WAV, worse: every GIF here shares the
+        # magic + screen descriptor + a 768-byte palette, so the byte
+        # path would pair EVERY clip with every other. Hash the decoded
+        # FIRST frame's pixels (whole-clip similarity is the frame-
+        # overlap operator's job).
+        try:
+            w, h, frames = decode_video(b)
+            return dhash64_pixels(w, h, frames[0]) if frames else 0
+        except NotImplementedError:
+            pass  # exotic GIF variant -> byte path
     n = len(b)
     if n == 0:
         return 0

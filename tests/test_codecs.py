@@ -448,3 +448,28 @@ def test_audio_segment_overlap_pairs_finds_planted_copies(spark):
         assert r["n_shared_segments"] >= 3
         assert r["overlap_frac"] in (0.75, 1.0)
         assert r["n_segments_a"] == r["n_segments_b"] == 4
+
+
+def test_dhash_dispatches_gif_to_first_frame_pixels(spark):
+    # unrelated GIFs share magic + screen descriptor + the 768-byte
+    # palette: the byte path would pair everything. First-frame pixel
+    # dispatch keeps unrelated clips far apart and a first-frame-
+    # sharing copy identical.
+    from anomaly_detector_spark.operators.multimodal import (
+        decode_video,
+        dhash64,
+        dhash64_pixels,
+        phash_near_dups,
+        synth_media_video,
+    )
+
+    media = synth_media_video(spark, 40, n_frames=3)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    h0 = dhash64(payloads[0])
+    w, h, frames = decode_video(payloads[0])
+    assert h0 == dhash64_pixels(w, h, frames[0])
+    far = bin((h0 ^ dhash64(payloads[7])) & ((1 << 64) - 1)).count("1")
+    assert far > 6
+    # a clean GIF corpus produces NO near-dup pairs (the header cannot
+    # fake similarity)
+    assert phash_near_dups(media, max_hamming=6, blocks=8).count() == 0
