@@ -248,3 +248,36 @@ def test_pixel_dhash_single_edit_bound_property(seed, pos, delta):
         (dhash64_pixels(9, 8, px) ^ dhash64_pixels(9, 8, edited)) & ((1 << 64) - 1)
     ).count("1")
     assert ham <= 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    seed=st.integers(min_value=0, max_value=10_000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip_property(n, seed, rate):
+    import random as _random
+
+    from anomaly_detector_spark.operators.multimodal import decode_audio, encode_wav
+
+    rng = _random.Random(seed)
+    s = [rng.randrange(-32768, 32768) for _ in range(n)]
+    assert decode_audio(encode_wav(rate, s)) == (rate, s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=12),
+    n_frames=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_gif_round_trip_property(w, h, n_frames, seed):
+    import random as _random
+
+    from anomaly_detector_spark.operators.multimodal import decode_video, encode_gif
+
+    rng = _random.Random(seed)
+    frames = [[rng.randrange(256) for _ in range(w * h)] for _ in range(n_frames)]
+    assert decode_video(encode_gif(w, h, frames)) == (w, h, frames)
