@@ -1987,6 +1987,26 @@ def q_media_audio_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return audio_segment_overlap_pairs(media, segment_len=16, min_shared=2)
 
 
+def q_media_mixed_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # ONE near-dup pass over a MIXED image+audio table: dhash64
+    # dispatches per payload (decoded pixels for bmp/ppm/png, decoded
+    # waveform sign hash for wav), so each modality's planted pairs
+    # surface from the same pigeonhole join with no cross-modal false
+    # pairs. The oracle unions the two hash derivations (pixel formula,
+    # sample formula) and brute-forces the pair set.
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_near_dups,
+        synth_media_audio,
+        synth_media_images,
+    )
+
+    images = synth_media_images(spark, 500, plant_every=25)
+    audio = synth_media_audio(spark, 500, plant_every=25).withColumn(
+        "media_id", F.col("media_id") + 10_000
+    )
+    return phash_near_dups(images.unionByName(audio), max_hamming=6, blocks=8)
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic training-epoch shuffle: (shard, pos) depends only on
     # (salt, epoch, doc_id) — the permutation any ANSI engine reproduces
@@ -2847,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "media_frame_overlap": q_media_frame_overlap,
         "media_audio_overlap": q_media_audio_overlap,
+        "media_mixed_dups": q_media_mixed_dups,
         # re-pinned this round over REAL decoded pixels (codecs new in r4)
         "media_features": q_media_features,
         "media_phash_dups": q_media_phash_dups,
@@ -5743,6 +5764,43 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
           FROM h a JOIN h b ON a.sh = b.sh AND a.media_id < b.media_id
           GROUP BY 1, 2 HAVING count(DISTINCT a.sh) >= 2
         )
+    """
+    # media_mixed_dups: image hashes from the pixel formula, audio
+    # hashes from the whole-clip sign-of-delta over the sample formula
+    # (planted on pre-offset ids), one brute-forced pair set.
+    out["media_mixed_dups"] = f"""
+        WITH {_media_px_cte(500, plant_every=25)},
+        {_MEDIA_PHASH_CTE},
+        au AS (
+          SELECT m.range AS media_id, i.range AS idx,
+                 CASE WHEN m.range % 25 = 24 AND m.range > 0
+                           AND i.range = m.range % 64
+                      THEN least(32767, {_ab0} * 256 + {_ab1} - 32768 + 9000)
+                      ELSE {_ab0} * 256 + {_ab1} - 32768 END AS v
+          FROM range(500) m CROSS JOIN range(64) i
+        ),
+        ag AS (SELECT media_id, list(v ORDER BY idx) AS gv FROM au GROUP BY 1),
+        ah AS (
+          SELECT media_id + 10000 AS media_id,
+                 CAST((CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                            THEN s - (CAST(1 AS HUGEINT) << 64)
+                            ELSE s END) AS BIGINT) AS ph
+          FROM (
+            SELECT media_id,
+                   list_aggregate(list_transform(range(0, 64), i ->
+                     CASE WHEN gv[((i + 1) % 64) + 1] > gv[(i % 64) + 1]
+                          THEN CAST(1 AS HUGEINT) << i
+                          ELSE CAST(0 AS HUGEINT) END), 'sum') AS s
+            FROM ag
+          )
+        ),
+        allh AS (SELECT media_id, ph FROM h UNION ALL SELECT media_id, ph FROM ah)
+        SELECT CAST(a.media_id AS BIGINT) AS media_id_a,
+               CAST(b.media_id AS BIGINT) AS media_id_b,
+               a.ph AS phash_a, b.ph AS phash_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM allh a JOIN allh b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 6
     """
     # media_video_frames: per-frame ground-truth pixels from the sha256
     # formula (frame axis added to the image pixel CTE), folded to the
