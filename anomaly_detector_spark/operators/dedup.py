@@ -20,6 +20,7 @@ Scale design notes (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -453,7 +454,9 @@ def incremental_lsh_candidates(
             .select(F.col("doc_id").alias("_id"), "band_idx", "band_hash")
             .dropDuplicates(["_id", "band_idx"])  # retry-appended rows are identical
         )
-    except Exception:  # first run: no store yet (and commit=False)
+    except AnalysisException:  # first run: store path absent (and commit=False);
+        # any OTHER read failure (corrupt store, FS error) must fail loudly —
+        # swallowing it would silently drop every new_old pair (r4 advice)
         old = banded_new.filter(F.lit(False))
 
     return incremental_pairs_from_bands(banded_new, old, max_bucket)
@@ -861,7 +864,9 @@ def incremental_containment_pairs(
             .select(F.col("doc_id").alias("_id"), "fingerprint", "n_fp")
             .dropDuplicates(["_id", "fingerprint"])
         )
-    except Exception:  # first run: no store yet (and commit=False)
+    except AnalysisException:  # first run: store path absent (and commit=False);
+        # any OTHER read failure (corrupt store, FS error) must fail loudly —
+        # swallowing it would silently drop every new_old pair (r4 advice)
         old = fps_new.filter(F.lit(False))
 
     return incremental_pairs_from_fingerprints(

@@ -13,11 +13,14 @@ documented NotImplementedError stub path.
 
 from __future__ import annotations
 
+import struct
 import sys
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -30,6 +33,19 @@ try:  # pragma: no cover - trivial registration
     _cp.register_pickle_by_value(sys.modules[__name__])
 except Exception:
     pass
+
+# What a malformed-but-magic-matching payload can raise out of the
+# pure-Python decoders: truncated BMP/PPM rasters -> ValueError or
+# IndexError, corrupt PNG IDAT -> zlib.error, short WAV fmt chunk ->
+# struct.error, bad GIF code tables -> IndexError/KeyError. Kernels
+# treat any of these as "this one asset is corrupt" (NULL/skip), never
+# letting one bad payload fail a whole batch job or streaming query.
+# NotImplementedError stays separate: it is the DOCUMENTED stub-path
+# contract for containers the sandbox cannot decode (JPEG-progressive,
+# mp3, h264), and extract_* keeps propagating it so callers must filter
+# to decodable kinds deliberately.
+CORRUPT_ERRORS = (ValueError, struct.error, zlib.error, IndexError, KeyError)
+DECODE_ERRORS = (NotImplementedError,) + CORRUPT_ERRORS
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -458,15 +474,31 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     """Decoded-pixel feature extraction: REALLY decodes each payload
     (BMP/PPM/PGM via :func:`decode_image`) and emits the 8-bucket
     grayscale histogram (bucket = gray >> 5) as fractions, plus decoded
-    dimensions. Arrow-batched mapInPandas; undecodable payloads
+    dimensions. Arrow-batched mapInPandas; unsupported containers
     propagate NotImplementedError (the stub path) — callers filter to
-    decodable kinds first."""
+    decodable kinds first — but a CORRUPT payload inside a recognized
+    container (truncated raster, bad IDAT: ``CORRUPT_ERRORS``) emits a
+    NULL-feature row instead of failing the whole batch job (r4
+    advice)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                w, h, gray = decode_image(payload)
+                try:
+                    w, h, gray = decode_image(payload)
+                except CORRUPT_ERRORS:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "kind": kind,
+                            "width": None,
+                            "height": None,
+                            "n_pixels": None,
+                            **{f"f{i}": None for i in range(8)},
+                        }
+                    )
+                    continue
                 buckets = [0] * 8
                 for v in gray:
                     buckets[v >> 5] += 1
@@ -549,58 +581,103 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 DHASH_BITS = 64
 
+# Declared-kind vocabulary -> decode modality. synth fixtures declare
+# codec names ("bmp"/"ppm"/"png"/"wav"/"gif"); real catalogs declare
+# modalities ("image"/"audio"/"video"); both dispatch the same.
+_IMAGE_KINDS = frozenset({"image", "bmp", "ppm", "pgm", "png", "jpeg", "jpg"})
+_AUDIO_KINDS = frozenset({"audio", "wav", "pcm16"})
+_VIDEO_KINDS = frozenset({"video", "gif"})
 
-def dhash64(payload: bytes | None) -> int | None:
+
+def _sniff_modality(b: bytes) -> str | None:
+    """Container magic -> decode modality (None = no known magic)."""
+    if (
+        b[:2] in (b"BM", b"P6", b"P5")
+        or b[: len(_PNG_SIG)] == _PNG_SIG
+        or b[:2] == b"\xff\xd8"  # JPEG SOI
+    ):
+        return "image"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "audio"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "video"
+    return None
+
+
+def dhash64(payload: bytes | None, kind: str | None = None) -> int | None:
     """Scalar dHash. Payloads in a supported container (BMP 24-bit,
-    binary PPM/PGM) are REALLY decoded — :func:`decode_image` — and
-    hashed over their pixels (:func:`dhash64_pixels`: area-resize to
-    9x8, one bit per adjacent-pixel comparison). Anything else falls
-    back to the byte-comparison dHash: bit i = payload[i % n] >
-    payload[(i+1) % n], packed little-endian into one SIGNED long
-    (two's complement — the same value any engine gets from the same
-    bits). NULL -> NULL, empty -> 0.
+    binary PPM/PGM, PNG, baseline JPEG) are REALLY decoded —
+    :func:`decode_image` — and hashed over their pixels
+    (:func:`dhash64_pixels`: area-resize to 9x8, one bit per
+    adjacent-pixel comparison); WAV payloads hash the decoded
+    waveform's sign-of-delta fingerprint; GIF payloads hash the decoded
+    first frame. Anything else falls back to the byte-comparison dHash:
+    bit i = payload[i % n] > payload[(i+1) % n], packed little-endian
+    into one SIGNED long (two's complement — the same value any engine
+    gets from the same bits). NULL -> NULL.
 
-    The dispatch cannot misfire on the byte-path fixtures: sha256-hex
-    payloads are lowercase-hex ascii and can never start with ``BM`` /
-    ``P6`` / ``P5``.
+    Dispatch (hardened per the r4 advice): the DECLARED ``kind`` wins
+    when given — magic sniffing runs only as fallback — so an
+    adversarial text payload whose leading bytes collide with a magic
+    (e.g. text starting "BM") never reaches the image decoder when its
+    catalog row declares otherwise. A decoder is attempted only when
+    declaration and magic AGREE (byte fixtures like synth_media declare
+    image/audio/video over sha-hex payloads; no magic -> byte path,
+    exactly as before).
+
+    A payload whose container IS recognized but does not decode —
+    corrupt bytes (``CORRUPT_ERRORS``) or an unsupported variant
+    (stereo WAV, interlaced GIF: NotImplementedError) — returns NULL
+    rather than falling to the byte path: every WAV shares the 44-byte
+    RIFF header and every GIF its magic + screen descriptor + palette,
+    so header-dominated byte comparisons would fake near-dup pairs
+    between unrelated clips (and PNGs share sig + IHDR prefix bytes the
+    same way). NULL signatures are dropped by the block join, excluding
+    the asset from pairing. Degenerate media — empty payloads,
+    frame-less GIFs — also return NULL for the same reason: hashing
+    them to a common constant (the old 0) clustered unrelated broken
+    assets as hamming-0 "perfect dups".
 
     Edit-distance property (what makes it a NEAR-dup hash): a one-pixel
     (or, byte path with n >= 64, one-byte) edit touches exactly the two
     adjacent comparisons, so hamming <= 2; shorter byte payloads wrap,
     relaxing the bound to 2*ceil(64/n) (pinned by a hypothesis
     property). Pixel-path hashes survive re-encoding: the same pixels
-    in a BMP and a PPM hash identically (cross-codec near-dup test)."""
+    in a BMP, a PPM and a PNG hash identically (cross-codec near-dup
+    test)."""
     if payload is None:
         return None
     b = bytes(payload)
-    if b[:2] in (b"BM", b"P6", b"P5") or b[: len(_PNG_SIG)] == _PNG_SIG:
-        try:
-            return dhash64_pixels(*decode_image(b))
-        except NotImplementedError:
-            pass  # unsupported variant -> byte path
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        # audio must NOT fall through to the byte path: every WAV shares
-        # the 44-byte header, so byte comparisons over the first 64
-        # bytes would make unrelated clips look near-identical. Hash the
-        # DECODED waveform's sign-of-delta fingerprint instead.
-        try:
-            return sign_hash64(decode_audio(b)[1])
-        except NotImplementedError:
-            pass  # exotic WAV variant -> byte path
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        # same header hazard as WAV, worse: every GIF here shares the
-        # magic + screen descriptor + a 768-byte palette, so the byte
-        # path would pair EVERY clip with every other. Hash the decoded
-        # FIRST frame's pixels (whole-clip similarity is the frame-
-        # overlap operator's job).
-        try:
-            w, h, frames = decode_video(b)
-            return dhash64_pixels(w, h, frames[0]) if frames else 0
-        except NotImplementedError:
-            pass  # exotic GIF variant -> byte path
     n = len(b)
     if n == 0:
-        return 0
+        return None
+    sniffed = _sniff_modality(b)
+    if kind is None:
+        modality = sniffed  # no declaration: sniffing is the fallback
+    else:
+        # an EXPLICIT declaration wins outright: a kind outside the
+        # decodable vocabulary (e.g. "text") pins the byte path even if
+        # the leading bytes collide with a container magic
+        k = str(kind).lower()
+        if k in _IMAGE_KINDS:
+            modality = "image"
+        elif k in _AUDIO_KINDS:
+            modality = "audio"
+        elif k in _VIDEO_KINDS:
+            modality = "video"
+        else:
+            modality = None
+    if modality is not None and sniffed == modality:
+        try:
+            if modality == "image":
+                return dhash64_pixels(*decode_image(b))
+            if modality == "audio":
+                samples = decode_audio(b)[1]
+                return sign_hash64(samples) if samples else None
+            w, h, frames = decode_video(b)
+            return dhash64_pixels(w, h, frames[0]) if frames else None
+        except DECODE_ERRORS:
+            return None  # recognized container, undecodable -> exclude
     h = 0
     for i in range(DHASH_BITS):
         if b[i % n] > b[(i + 1) % n]:
@@ -613,7 +690,9 @@ def dhash64(payload: bytes | None) -> int | None:
 def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
     """64-bit dHash per media row (Arrow-batched mapInPandas over
     :func:`dhash64`; this module is registered pickle-by-value — no
-    --py-files footgun)."""
+    --py-files footgun). When the frame carries a ``kind`` column it is
+    passed through as the declared kind, so dispatch never relies on
+    magic sniffing alone (see dhash64's hardened-dispatch note)."""
 
     out_schema = ", ".join(
         f"{name} {typ}" for name, typ in df.dtypes
@@ -624,8 +703,13 @@ def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
 
         for pdf in batches:
             out = pdf.copy()
+            kinds = pdf["kind"] if "kind" in pdf.columns else None
             out[out_col] = pd.array(
-                [dhash(p) for p in pdf["payload"]], dtype="Int64"
+                [
+                    dhash(p, kinds.iloc[i] if kinds is not None else None)
+                    for i, p in enumerate(pdf["payload"])
+                ],
+                dtype="Int64",
             )
             yield out
 
@@ -772,7 +856,9 @@ def incremental_phash_pairs(
             )
             .dropDuplicates(["_id", "block_idx"])  # retry-appended rows identical
         )
-    except Exception:  # first run: no store yet (or commit=False)
+    except AnalysisException:  # first run: store path absent (or commit=False);
+        # any OTHER read failure (corrupt store, FS error) must fail loudly —
+        # swallowing it would silently drop every new_old pair (r4 advice)
         old = blocked_new.filter(F.lit(False))
 
     return incremental_pairs_from_blocks(blocked_new, old, max_hamming)
@@ -917,7 +1003,20 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, samples = decode_audio(payload)
+                try:
+                    rate, samples = decode_audio(payload)
+                except CORRUPT_ERRORS:  # corrupt WAV: NULL row, don't fail the job
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "rms": None,
+                            "zcr": None,
+                            **{f"a{i}": None for i in range(8)},
+                        }
+                    )
+                    continue
                 n = max(len(samples), 1)
                 ss = sum(s * s for s in samples)
                 zc = sum(
@@ -1192,7 +1291,10 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, frames = decode_video(payload)
+                try:
+                    w, h, frames = decode_video(payload)
+                except CORRUPT_ERRORS:  # corrupt GIF: no frames, don't fail the job
+                    continue
                 for fi in range(0, len(frames), every_n):
                     rows.append(
                         {
@@ -1352,7 +1454,10 @@ def audio_segment_overlap_pairs(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _rate, samples = decode_audio(payload)
+                try:
+                    _rate, samples = decode_audio(payload)
+                except CORRUPT_ERRORS:  # corrupt WAV: no segments, don't fail the job
+                    continue
                 for si in range(len(samples) // segment_len):
                     seg = samples[si * segment_len : (si + 1) * segment_len]
                     rows.append(

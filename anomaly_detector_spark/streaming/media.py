@@ -25,9 +25,10 @@ batch band store persists; streaming/dedup.py's exact twin bounds its
 horizon with a watermark). ``idle_ttl_ms`` gives the same bounded
 horizon here: buckets idle past the TTL are evicted, trading recall
 against old assets for bounded state. ``max_bucket`` censors degenerate
-buckets (stops matching once a bucket holds that many signatures) —
-the stream-side analog of the batch ``max_bucket`` cap, and like it,
-censoring is reported by the bucket simply not emitting.
+buckets — once a bucket holds that many signatures it stops BOTH
+matching and accumulating, so the cap genuinely bounds state memory
+(~16 bytes x max_bucket per bucket) as well as emission — the
+stream-side analog of the batch ``max_bucket`` cap.
 """
 
 from __future__ import annotations
@@ -85,9 +86,14 @@ def phash_stream(
                 }
             )
 
-    sigs = stream_df.select(
-        F.col(id_col).alias("media_id"), "payload"
-    ).mapInPandas(hash_kernel, "media_id long, phash long")
+    sigs = (
+        stream_df.select(F.col(id_col).alias("media_id"), "payload")
+        .mapInPandas(hash_kernel, "media_id long, phash long")
+        # corrupt / undecodable / degenerate assets hash to NULL —
+        # excluded from pairing (and from state), matching the batch
+        # family's block-join NULL semantics
+        .filter(F.col("phash").isNotNull())
+    )
     blocked = sigs.select(
         "media_id",
         "phash",
@@ -150,8 +156,13 @@ def phash_stream(
                                 "block_idx": bidx,
                             }
                         )
-            ids.append(nid)
-            sigs_.append(nsig)
+                # the cap bounds STATE, not just emission: a degenerate
+                # bucket stops accumulating signatures once full, so its
+                # memory stays ~16B x max_bucket no matter how many more
+                # assets hash into it (r4 advice — appending past the cap
+                # made the cap cosmetic)
+                ids.append(nid)
+                sigs_.append(nsig)
         state.update((ids, sigs_))
         if ttl is not None:
             state.setTimeoutDuration(ttl)

@@ -85,7 +85,10 @@ def test_dhash_byte_fallback_unchanged_for_hex_payloads():
     payload = hashlib.sha256(b"payload0").hexdigest().encode()
     assert dhash64(payload) == 6527676635744518809
     assert dhash64(None) is None
-    assert dhash64(b"") == 0
+    # degenerate media hash to NULL, not a shared constant: hashing
+    # empty payloads and frame-less GIFs to 0 clustered unrelated broken
+    # assets as hamming-0 "perfect dups" (r4 advice)
+    assert dhash64(b"") is None
 
 
 def test_synth_media_images_decodes_to_formula_pixels(spark):

@@ -8,7 +8,7 @@ Savitzky-Golay polynomial reproduction, and content-addressing stability
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from anomaly_detector_spark.checks.base import check_id
@@ -189,11 +189,14 @@ def test_dhash_one_byte_edit_bounded_hamming(payload, pos_seed, new_byte):
     # determinism.
     import math
 
-    from anomaly_detector_spark.operators.multimodal import dhash64
+    from anomaly_detector_spark.operators.multimodal import _sniff_modality, dhash64
 
     n = len(payload)
     pos = pos_seed % n
     edited = payload[:pos] + bytes([new_byte]) + payload[pos + 1 :]
+    # the property is about the BYTE path: payloads carrying a container
+    # magic dispatch to a decoder (and return NULL when undecodable)
+    assume(_sniff_modality(payload) is None and _sniff_modality(edited) is None)
     a, b = dhash64(payload), dhash64(edited)
     assert a == dhash64(payload)  # deterministic
     assert -(1 << 63) <= a < (1 << 63)
