@@ -1918,6 +1918,84 @@ def q_media_jpeg_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_reference(n_docs: int = 200, n_merges: int = 16, min_pair_count: int = 2):
+    """Independent sequential BPE reference for the oracle: the
+    DEFINITIONAL algorithm (Sennrich et al. 2016) — count pairs over the
+    word-frequency dict, merge the argmax, repeat — applied merge-by-
+    merge, versus the engine's distributed explode/groupBy/fold loop
+    (operators/bpe.py learn_bpe) and its ranks-greedy tokenizer. Only
+    the corpus generator is shared (it is the INPUT, not the
+    algorithm). Returns (merges, token_counts)."""
+    from collections import Counter
+
+    from anomaly_detector_spark.operators.bpe import synth_bpe_corpus_rows
+
+    freqs: Counter = Counter()
+    for _id, text in synth_bpe_corpus_rows(n_docs):
+        for w in text.split():
+            freqs[w] += 1
+    vocab = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            c = freqs[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    counts: Counter = Counter()
+    for w, syms in vocab.items():
+        for s in syms:
+            counts[s] += freqs[w]
+    return merges, dict(counts)
+
+
+def q_docs_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL distributed BPE merge learning (operators/bpe.py): each round
+    # is one explode + map-side-combined groupBy over the word-level
+    # vocab frame + a 1-row argmax collect + a JVM aggregate-fold apply
+    # — no Python UDF in the loop. The oracle re-learns the same merges
+    # with an independent sequential implementation of the definitional
+    # algorithm; any divergence (tie-break, fold semantics, early stop)
+    # row-mismatches.
+    from anomaly_detector_spark.operators.bpe import learn_bpe, synth_bpe_corpus
+
+    merges = learn_bpe(synth_bpe_corpus(spark, 200), n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, lhs string, rhs string",
+    )
+
+
+def q_docs_bpe_exact(spark: SparkSession, sf: str) -> DataFrame:
+    # exact corpus-wide BPE token counts against the learned merges:
+    # distinct words tokenized once (Arrow kernel, broadcast ranks),
+    # joined back to frequencies — Python cost O(unique words). The
+    # oracle tokenizes with the independent sequential reference.
+    from anomaly_detector_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        synth_bpe_corpus,
+    )
+
+    corpus = synth_bpe_corpus(spark, 200)
+    merges = learn_bpe(corpus, n_merges=16)
+    return bpe_token_counts(corpus, merges)
+
+
 def q_files_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     # robust (MAD / modified-z) outlier profile per lang over content
     # length — the robust sibling of the reference's z/IQR flagging
@@ -2903,6 +2981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "media_jpeg_features": q_media_jpeg_features,
         "media_jpeg_dups": q_media_jpeg_dups,
+        "docs_bpe_learn": q_docs_bpe_learn,
+        "docs_bpe_exact": q_docs_bpe_exact,
         # --- the 17 ---
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_corpus_pipeline": q_docs_corpus_pipeline,
@@ -4119,6 +4199,25 @@ def oracle_sql() -> dict[str, str]:
                    )}
             FROM px GROUP BY media_id
         """,
+        "docs_bpe_learn": (
+            # engine-exact via an INDEPENDENT implementation: the
+            # sequential definitional BPE (see _bpe_reference) re-learns
+            # the merges the distributed loop must produce
+            "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs FROM (VALUES "
+            + ", ".join(
+                f"({i}, '{a}', '{b}')"
+                for i, (a, b) in enumerate(_bpe_reference()[0])
+            )
+            + ") AS t(rank, lhs, rhs)"
+        ),
+        "docs_bpe_exact": (
+            "SELECT token, CAST(total_cnt AS BIGINT) AS total_cnt FROM (VALUES "
+            + ", ".join(
+                f"('{t}', {c})"
+                for t, c in sorted(_bpe_reference()[1].items())
+            )
+            + ") AS t(token, total_cnt)"
+        ),
         "media_jpeg_features": """
             -- the engine really decodes baseline JPEG (Huffman +
             -- dequant + IDCT); constant 8x8 quadrants + DC quant step 8

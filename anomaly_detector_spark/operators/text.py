@@ -40,7 +40,10 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """BPE-ish subword proxy: count alnum runs + standalone punctuation.
 
     Approximates tokenizer behavior (words split from punctuation) with
-    one regexp pass, JVM-side.
+    one regexp pass, JVM-side. Where exactness matters (token-budget
+    packing, shard sizing), use the REAL learned-merge tokenizer in
+    operators/bpe.py (learn_bpe + bpe_doc_token_counts) — this one is
+    the zero-shuffle screening heuristic.
     """
     c = F.col(col) if isinstance(col, str) else col
     arr = F.regexp_extract_all(
