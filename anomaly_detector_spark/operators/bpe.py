@@ -91,10 +91,13 @@ def learn_bpe(
     single argmax row, and applies it with a JVM fold. Stops early when
     the best pair's weighted count drops below ``min_pair_count``.
     Returns the merge list in learned order."""
+    # lazy localCheckpoint: the round's argmax action materializes it,
+    # so each round costs ONE job instead of two (measured 2x on the
+    # fixture); lineage still truncates at every round
     vocab = (
         word_frequencies(df, text_col)
         .select(F.split(F.col("word"), "").alias("symbols"), "cnt")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -124,7 +127,7 @@ def learn_bpe(
         merges.append((a, b))
         vocab = vocab.select(
             _apply_merge(F.col("symbols"), a, b).alias("symbols"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

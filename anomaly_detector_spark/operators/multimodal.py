@@ -739,6 +739,26 @@ def _sniff_modality(b: bytes) -> str | None:
     return None
 
 
+def _dispatch_modality(b: bytes, kind: str | None) -> str | None:
+    """The hardened dhash64 dispatch decision: which decoder family (if
+    any) this payload takes. None = the byte path. A decoder is chosen
+    only when the declared kind (which outranks sniffing; an explicit
+    non-media kind pins the byte path) and the container magic AGREE."""
+    sniffed = _sniff_modality(b)
+    if kind is None:
+        return sniffed
+    k = str(kind).lower()
+    if k in _IMAGE_KINDS:
+        declared = "image"
+    elif k in _AUDIO_KINDS:
+        declared = "audio"
+    elif k in _VIDEO_KINDS:
+        declared = "video"
+    else:
+        return None
+    return declared if sniffed == declared else None
+
+
 def dhash64(payload: bytes | None, kind: str | None = None) -> int | None:
     """Scalar dHash. Payloads in a supported container (BMP 24-bit,
     binary PPM/PGM, PNG, baseline JPEG) are REALLY decoded —
@@ -786,23 +806,8 @@ def dhash64(payload: bytes | None, kind: str | None = None) -> int | None:
     n = len(b)
     if n == 0:
         return None
-    sniffed = _sniff_modality(b)
-    if kind is None:
-        modality = sniffed  # no declaration: sniffing is the fallback
-    else:
-        # an EXPLICIT declaration wins outright: a kind outside the
-        # decodable vocabulary (e.g. "text") pins the byte path even if
-        # the leading bytes collide with a container magic
-        k = str(kind).lower()
-        if k in _IMAGE_KINDS:
-            modality = "image"
-        elif k in _AUDIO_KINDS:
-            modality = "audio"
-        elif k in _VIDEO_KINDS:
-            modality = "video"
-        else:
-            modality = None
-    if modality is not None and sniffed == modality:
+    modality = _dispatch_modality(b, kind)
+    if modality is not None:
         try:
             if modality == "image":
                 return dhash64_pixels(*decode_image(b))
@@ -822,30 +827,79 @@ def dhash64(payload: bytes | None, kind: str | None = None) -> int | None:
     return h
 
 
+def dhash64_bytes_batch(payloads: list[bytes]) -> "list[int]":
+    """Vectorized byte-path dHash over a batch of payloads: one numpy
+    comparison matrix per length group instead of a Python loop per
+    byte — the first thing to fall at scale after decode itself (r4
+    verdict #8). Semantics identical to the scalar byte path (pinned by
+    test): bit i = b[i % n] > b[(i+1) % n], little-endian signed 64."""
+    import numpy as np
+
+    out: list[int] = [0] * len(payloads)
+    by_len: dict[int, list[int]] = {}
+    for j, p in enumerate(payloads):
+        by_len.setdefault(len(p), []).append(j)
+    idx = np.arange(64)
+    for n, rows in by_len.items():
+        # ONE buffer join + reshape per length group: per-payload
+        # frombuffer/stack costs as much as the scalar loop (measured)
+        mat = np.frombuffer(
+            b"".join(payloads[j] for j in rows), dtype=np.uint8
+        ).reshape(len(rows), n)
+        if n >= 65:
+            # contiguous slices, no gather copy
+            bits = mat[:, :64] > mat[:, 1:65]
+        else:
+            bits = mat[:, idx % n] > mat[:, (idx + 1) % n]
+        # little-endian packbits IS the bit-packing convention: bit i of
+        # output byte j = bits[:, j*8 + i]; 8 bytes view as signed 64
+        hashes = np.ascontiguousarray(
+            np.packbits(bits, axis=1, bitorder="little")
+        ).view("<i8")[:, 0]
+        for j, h in zip(rows, hashes):
+            out[j] = int(h)
+    return out
+
+
 def with_dhash(df: DataFrame, out_col: str = "phash") -> DataFrame:
-    """64-bit dHash per media row (Arrow-batched mapInPandas over
-    :func:`dhash64`; this module is registered pickle-by-value — no
-    --py-files footgun). When the frame carries a ``kind`` column it is
-    passed through as the declared kind, so dispatch never relies on
-    magic sniffing alone (see dhash64's hardened-dispatch note)."""
+    """64-bit dHash per media row (Arrow-batched mapInPandas; this
+    module is registered pickle-by-value — no --py-files footgun).
+    When the frame carries a ``kind`` column it is passed through as
+    the declared kind, so dispatch never relies on magic sniffing alone
+    (see dhash64's hardened-dispatch note).
+
+    Rows on the BYTE path (no decoder dispatched) are hashed with the
+    numpy-vectorized :func:`dhash64_bytes_batch`; decode-path rows call
+    the scalar :func:`dhash64` (decode dominates there anyway)."""
 
     out_schema = ", ".join(
         f"{name} {typ}" for name, typ in df.dtypes
     ) + f", {out_col} long"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dhash = dhash64
-
         for pdf in batches:
             out = pdf.copy()
             kinds = pdf["kind"] if "kind" in pdf.columns else None
-            out[out_col] = pd.array(
-                [
-                    dhash(p, kinds.iloc[i] if kinds is not None else None)
-                    for i, p in enumerate(pdf["payload"])
-                ],
-                dtype="Int64",
-            )
+            n_rows = len(pdf)
+            hashes: list = [None] * n_rows
+            byte_rows: list[int] = []
+            byte_payloads: list[bytes] = []
+            for i, p in enumerate(pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                if not b:
+                    continue
+                k = kinds.iloc[i] if kinds is not None else None
+                if _dispatch_modality(b, k) is None:
+                    byte_rows.append(i)
+                    byte_payloads.append(b)
+                else:
+                    hashes[i] = dhash64(b, k)
+            if byte_rows:
+                for i, h in zip(byte_rows, dhash64_bytes_batch(byte_payloads)):
+                    hashes[i] = h
+            out[out_col] = pd.array(hashes, dtype="Int64")
             yield out
 
     return df.mapInPandas(kernel, out_schema)

@@ -118,6 +118,9 @@ def main() -> int:
         "media_phash_dups",    # REAL BMP/PPM/PNG decode -> pixel dHash block join
         "media_audio_features",  # REAL WAV decode -> RMS/ZCR/amplitude features
         "media_video_frames",  # REAL GIF decode -> per-frame dHash sampling
+        # round-5 additions
+        "media_jpeg_dups",     # REAL baseline-JPEG decode -> cross-codec near-dup
+        "docs_bpe_exact",      # distributed BPE learn + exact vocab-level tokenize
     ]
 
     # Warmup: JIT, codegen caches, Arrow python workers — so timings

@@ -46,10 +46,14 @@ def test_encode_decode_round_trip_exact(enc, dims):
 
 
 def test_decode_rejects_unknown_container():
-    # JPEG magic: genuinely unsupported -> stub path
+    # no known magic at all: the retained stub path
     with pytest.raises(NotImplementedError):
+        decode_image(b"ID3\x04\x00 not an image container")
+    # JPEG is REAL now (r5, operators/jpeg.py) — a header-only fragment
+    # is a CORRUPT payload (ValueError), not a stub refusal
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF....")
-    # truncated PNG (signature without chunks) also refuses, not crashes
+    # truncated PNG (signature without chunks) refuses, not crashes
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
 

@@ -210,3 +210,39 @@ def test_incremental_phash_store_absent_store_is_first_run(spark, tmp_path):
         ).collect()
     }
     assert pairs == {(23, 24), (48, 49)}
+
+
+# --- vectorized byte path ------------------------------------------------
+
+
+def test_dhash64_bytes_batch_matches_scalar():
+    import hashlib
+
+    from anomaly_detector_spark.operators.multimodal import dhash64_bytes_batch
+
+    payloads = [
+        hashlib.sha256(f"p{i}".encode()).hexdigest().encode() for i in range(50)
+    ]
+    # mixed lengths exercise the per-length grouping (incl. wraparound)
+    payloads += [b"x", b"ab", b"short payload", b"y" * 200]
+    assert dhash64_bytes_batch(payloads) == [dhash64(p) for p in payloads]
+
+
+def test_with_dhash_mixes_byte_and_decode_paths(spark):
+    # one frame carrying byte fixtures AND real images: the kernel must
+    # route each row to the right path and agree with scalar dhash64
+    from anomaly_detector_spark.operators.multimodal import (
+        encode_bmp,
+        synth_media,
+        with_dhash,
+    )
+
+    byte_media = synth_media(spark, 20).select("media_id", "kind", "payload")
+    img = spark.createDataFrame(
+        [(100, "bmp", bytearray(encode_bmp(9, 8, list(range(72)))))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = with_dhash(byte_media.unionByName(img)).collect()
+    assert len(rows) == 21
+    for r in rows:
+        assert r["phash"] == dhash64(bytes(r["payload"]), r["kind"])
