@@ -82,6 +82,15 @@ _COS = [
 ]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+try:  # numpy fast path: separable DCT as two 8x8 matmuls (S = A X A^T)
+    import numpy as _np
+
+    _A = _np.array(
+        [[0.5 * _C[u] * _COS[x][u] for x in range(8)] for u in range(8)]
+    )
+except Exception:  # pragma: no cover - numpy is baked into this env
+    _np = None
+
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Annex C: symbol -> (code, length)."""
@@ -110,6 +119,9 @@ def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int],
 
 
 def _fdct(block: list[float]) -> list[float]:
+    if _np is not None:
+        x = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
+        return (_A @ x @ _A.T).reshape(64).tolist()
     out = [0.0] * 64
     for u in range(8):
         for v in range(8):
@@ -122,6 +134,9 @@ def _fdct(block: list[float]) -> list[float]:
 
 
 def _idct(coef: list[float]) -> list[float]:
+    if _np is not None:
+        s = _np.asarray(coef, dtype=_np.float64).reshape(8, 8)
+        return (_A.T @ s @ _A).reshape(64).tolist()
     out = [0.0] * 64
     for y in range(8):
         for x in range(8):

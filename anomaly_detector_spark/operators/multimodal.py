@@ -11,6 +11,12 @@ so features and perceptual hashes run on genuinely decoded
 pixels/samples; the remaining compressed codecs (progressive/chroma
 JPEG, mp3/ogg, h264) keep the documented NotImplementedError stub
 path.
+
+These interpreted-Python decoders are fixture-grade: the measured
+throughput ceiling per codec (and the ~100-1000x native swap-in behind
+the decode_image/decode_audio/decode_video seams) is documented in
+BASELINE.md "Decode-kernel throughput ceiling" and measured by
+tools/bench_codecs.py.
 """
 
 from __future__ import annotations
