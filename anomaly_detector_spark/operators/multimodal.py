@@ -940,12 +940,31 @@ def phash_block_rows(sigs: DataFrame, blocks: int = 8) -> DataFrame:
     )
 
 
+def phash_oversized_buckets(
+    blocked: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Censoring census for the pigeonhole join: (block_idx, block_val,
+    n_members) of every bucket past ``max_bucket``. This is how capping
+    is REPORTED, not just applied — operators surface it so a silent
+    mega-cluster (one asset duplicated millions of times) shows up as a
+    loud census row instead of quietly missing pairs. Members of a
+    censored bucket are near-identical by construction, so the cheap
+    exact path (files_dup_keys / exact sha dedup) is the right tool for
+    them — the r4 t-digest lesson applied to media."""
+    return (
+        blocked.groupBy("block_idx", "block_val")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
 def phash_near_dups(
     df: DataFrame,
     max_hamming: int = 6,
     blocks: int = 8,
     id_col: str = "media_id",
     materialize: bool = True,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate media pairs by dHash hamming distance.
 
@@ -957,6 +976,14 @@ def phash_near_dups(
     payload column is pruned before the exchange (only id + sig ride
     the shuffle).
 
+    ``max_bucket`` (r5 skew audit): buckets larger than this are
+    dropped from pair generation — the dedup.py LSH discipline. Without
+    it one mega-cluster (an asset duplicated k times shares ALL blocks)
+    costs O(k^2 x blocks) join rows: measured, 20k copies = 3.2e9
+    pre-filter rows. Censored members are near-identical, so exact
+    dedup covers them cheaply; use :func:`phash_oversized_buckets` on
+    :func:`phash_block_rows` output to REPORT what was censored.
+
     ``materialize``: eagerly localCheckpoint the 16-byte (id, sig)
     frame before the self-join — without it both join sides re-run the
     Python decode kernel (the plan shows TWO MapInPandas nodes), which
@@ -964,12 +991,19 @@ def phash_near_dups(
     dedup.py's banded/containment stores."""
     if max_hamming >= blocks:
         raise ValueError("pigeonhole requires max_hamming < blocks")
-    sigs = with_dhash(df.select(id_col, "payload")).select(
+    cols = [id_col, "payload"] + (["kind"] if "kind" in df.columns else [])
+    sigs = with_dhash(df.select(*cols)).select(
         F.col(id_col).alias("_id"), F.col("phash").alias("_sig")
     )
     if materialize:
         sigs = sigs.localCheckpoint()
     blocked = phash_block_rows(sigs, blocks)
+    oversized = phash_oversized_buckets(blocked, max_bucket).select(
+        "block_idx", "block_val"
+    )
+    blocked = blocked.join(
+        F.broadcast(oversized), ["block_idx", "block_val"], "left_anti"
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, on=["block_idx", "block_val"], how="inner")
@@ -995,6 +1029,7 @@ def incremental_phash_pairs(
     blocks: int = 8,
     id_col: str = "media_id",
     commit: bool = True,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Cross-run perceptual near-dup pairs: new media vs themselves AND
     every earlier run — the media member of the incremental-store family
@@ -1021,7 +1056,8 @@ def incremental_phash_pairs(
     (pinned by test)."""
     if max_hamming >= blocks:
         raise ValueError("pigeonhole requires max_hamming < blocks")
-    sigs = with_dhash(new_media.select(id_col, "payload")).select(
+    cols = [id_col, "payload"] + (["kind"] if "kind" in new_media.columns else [])
+    sigs = with_dhash(new_media.select(*cols)).select(
         F.col(id_col).alias("_id"), F.col("phash").alias("_sig")
     )
     blocked_new = phash_block_rows(sigs, blocks).localCheckpoint()
@@ -1056,17 +1092,35 @@ def incremental_phash_pairs(
         # swallowing it would silently drop every new_old pair (r4 advice)
         old = blocked_new.filter(F.lit(False))
 
-    return incremental_pairs_from_blocks(blocked_new, old, max_hamming)
+    return incremental_pairs_from_blocks(blocked_new, old, max_hamming, max_bucket)
 
 
 def incremental_pairs_from_blocks(
-    blocked_new: DataFrame, blocked_old: DataFrame, max_hamming: int = 6
+    blocked_new: DataFrame,
+    blocked_old: DataFrame,
+    max_hamming: int = 6,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Pure-plan core of incremental_phash_pairs: near-dup pairs touching
     the new side. Both inputs are (_id, _sig, block_idx, block_val)
     frames (phash_block_rows shape); exposed separately so the
     store-free form is query/oracle-testable (the
-    incremental_pairs_from_bands precedent, operators/dedup.py)."""
+    incremental_pairs_from_bands precedent, operators/dedup.py).
+
+    ``max_bucket``: oversized-bucket census over the UNION (so
+    degenerate buckets are capped consistently on both sides — the
+    bands-twin discipline); censored buckets are reportable via
+    :func:`phash_oversized_buckets`."""
+    all_rows = blocked_new.unionByName(blocked_old)
+    oversized = phash_oversized_buckets(all_rows, max_bucket).select(
+        "block_idx", "block_val"
+    )
+    blocked_new = blocked_new.join(
+        F.broadcast(oversized), ["block_idx", "block_val"], "left_anti"
+    )
+    blocked_old = blocked_old.join(
+        F.broadcast(oversized), ["block_idx", "block_val"], "left_anti"
+    )
 
     def pairs(left, right, kind, anti_self):
         j = left.alias("a").join(

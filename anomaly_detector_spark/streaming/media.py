@@ -156,6 +156,15 @@ def phash_stream(
                                 "block_idx": bidx,
                             }
                         )
+                        # a near-cap bucket of mutually-matching
+                        # signatures emits O(cap^2) pairs in one batch;
+                        # flush in bounded chunks so the worker never
+                        # builds the quadratic frame in memory (r5 skew
+                        # audit — a 20k-copy mega-cluster crashed the
+                        # worker here before this flush)
+                        if len(rows) >= 65536:
+                            yield pd.DataFrame(rows)
+                            rows = []
                 # the cap bounds STATE, not just emission: a degenerate
                 # bucket stops accumulating signatures once full, so its
                 # memory stays ~16B x max_bucket no matter how many more

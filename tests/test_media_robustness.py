@@ -246,3 +246,81 @@ def test_with_dhash_mixes_byte_and_decode_paths(spark):
     assert len(rows) == 21
     for r in rows:
         assert r["phash"] == dhash64(bytes(r["payload"]), r["kind"])
+
+
+# --- skew: mega-cluster censoring (r5 audit) ------------------------------
+
+
+def test_phash_near_dups_mega_cluster_censored_and_reported(spark):
+    # one asset duplicated 500x (over max_bucket=100): its buckets are
+    # censored — the pigeonhole join stays bounded, normal planted
+    # pairs are still found, and the census REPORTS what was dropped
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_spark.operators.multimodal import (
+        phash_block_rows,
+        phash_near_dups,
+        phash_oversized_buckets,
+        synth_media,
+        with_dhash,
+    )
+
+    base = synth_media(spark, 200, plant_every=25).select(
+        "media_id", "kind", "payload"
+    )
+    clone = spark.range(500).select(
+        (F.lit(10_000) + F.col("id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.sha2(F.lit("mega"), 256).cast("binary").alias("payload"),
+    )
+    c = base.unionByName(clone)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_near_dups(c, max_hamming=6, blocks=8, max_bucket=100).collect()
+    }
+    planted = {(k - 1, k) for k in range(24, 200, 25)}
+    assert planted <= pairs
+    assert not any(a >= 10_000 and b >= 10_000 for a, b in pairs)  # censored
+    sigs = with_dhash(c).select(
+        F.col("media_id").alias("_id"), F.col("phash").alias("_sig")
+    )
+    census = phash_oversized_buckets(phash_block_rows(sigs, 8), 100).collect()
+    assert len(census) == 8  # the mega-cluster saturates all 8 blocks
+    assert all(r["n_members"] >= 500 for r in census)
+
+
+def test_incremental_blocks_mega_cluster_censored(spark):
+    from pyspark.sql import functions as F
+
+    from anomaly_detector_spark.operators.multimodal import (
+        incremental_pairs_from_blocks,
+        phash_block_rows,
+        synth_media,
+        with_dhash,
+    )
+
+    base = synth_media(spark, 100, plant_every=25).select(
+        "media_id", "kind", "payload"
+    )
+    clone = spark.range(300).select(
+        (F.lit(10_000) + F.col("id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.sha2(F.lit("mega"), 256).cast("binary").alias("payload"),
+    )
+    c = base.unionByName(clone)
+
+    def blocked(pred):
+        sigs = with_dhash(c.filter(pred)).select(
+            F.col("media_id").alias("_id"), F.col("phash").alias("_sig")
+        )
+        return phash_block_rows(sigs, 8).localCheckpoint()
+
+    new = blocked(F.col("media_id") % 2 == 1)
+    old = blocked(F.col("media_id") % 2 == 0)
+    pairs = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in incremental_pairs_from_blocks(new, old, 6, max_bucket=100).collect()
+    }
+    planted = {(k - 1, k) for k in range(24, 100, 25)}
+    assert planted <= pairs
+    assert not any(a >= 10_000 and b >= 10_000 for a, b in pairs)
