@@ -1963,6 +1963,20 @@ def _bpe_reference(n_docs: int = 200, n_merges: int = 16, min_pair_count: int = 
     return merges, dict(counts)
 
 
+def q_media_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
+    # COLOR JPEG (YCbCr 4:2:0, interleaved MCUs — the real-world
+    # container shape): luma is the exact-DC quadrant formula, chroma
+    # is real sha noise the decoder must entropy-decode past; a slip in
+    # MCU interleave order, chroma Huffman stepping, or per-component
+    # DC predictors garbles luma and hash-fails against the formula.
+    from anomaly_detector_spark.operators.multimodal import (
+        extract_image_features,
+        synth_media_jpeg_color,
+    )
+
+    return extract_image_features(synth_media_jpeg_color(spark, 1000))
+
+
 def q_docs_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
     # REAL distributed BPE merge learning (operators/bpe.py): each round
     # is one explode + map-side-combined groupBy over the word-level
@@ -2981,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "media_jpeg_features": q_media_jpeg_features,
         "media_jpeg_dups": q_media_jpeg_dups,
+        "media_jpeg_color": q_media_jpeg_color,
         "docs_bpe_learn": q_docs_bpe_learn,
         "docs_bpe_exact": q_docs_bpe_exact,
         # --- the 17 ---
@@ -4231,6 +4246,33 @@ def oracle_sql() -> dict[str, str]:
                         substr(sha256('jq' || CAST(m.range AS VARCHAR)), q.range * 2 + 1, 1)) - 1) * 16
                       + (strpos('0123456789abcdef',
                         substr(sha256('jq' || CAST(m.range AS VARCHAR)), q.range * 2 + 2, 1)) - 1)) AS v
+              FROM range(1000) m CROSS JOIN range(4) q
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   'jpeg' AS kind,
+                   CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CAST(256 AS BIGINT) AS n_pixels,
+                   round(count(*) FILTER (WHERE v // 32 = 0) / 4.0, 6) AS f0,
+                   round(count(*) FILTER (WHERE v // 32 = 1) / 4.0, 6) AS f1,
+                   round(count(*) FILTER (WHERE v // 32 = 2) / 4.0, 6) AS f2,
+                   round(count(*) FILTER (WHERE v // 32 = 3) / 4.0, 6) AS f3,
+                   round(count(*) FILTER (WHERE v // 32 = 4) / 4.0, 6) AS f4,
+                   round(count(*) FILTER (WHERE v // 32 = 5) / 4.0, 6) AS f5,
+                   round(count(*) FILTER (WHERE v // 32 = 6) / 4.0, 6) AS f6,
+                   round(count(*) FILTER (WHERE v // 32 = 7) / 4.0, 6) AS f7
+            FROM jq GROUP BY media_id
+        """,
+        "media_jpeg_color": """
+            -- COLOR (YCbCr 4:2:0) twin of media_jpeg_features: luma
+            -- quadrants from sha256('jc' || id); chroma is noise the
+            -- decoder must correctly step over, so the oracle needs
+            -- only the luma formula.
+            WITH jq AS (
+              SELECT m.range AS media_id, q.range AS q,
+                     ((strpos('0123456789abcdef',
+                        substr(sha256('jc' || CAST(m.range AS VARCHAR)), q.range * 2 + 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                        substr(sha256('jc' || CAST(m.range AS VARCHAR)), q.range * 2 + 2, 1)) - 1)) AS v
               FROM range(1000) m CROSS JOIN range(4) q
             )
             SELECT CAST(media_id AS BIGINT) AS media_id,

@@ -5,14 +5,19 @@ the media dedup/feature family runs on genuinely decoded JPEG pixels
 (closing the r4 verdict's "JPEG is the difference between a media-dedup
 demo and one that would meet a real corpus"). Scope is honest:
 
-* decode: baseline sequential DCT (SOF0), single-component
-  (grayscale), 8-bit, no restart intervals. Progressive (SOF2),
-  multi-component/chroma-subsampled scans, arithmetic coding, DRI —
-  all raise ``NotImplementedError`` (the documented stub path, exactly
+* decode: baseline sequential DCT (SOF0), 8-bit — grayscale (1
+  component) AND YCbCr color (3 components, interleaved MCUs, 4:4:4 /
+  4:2:0 sampling, the shape of virtually every real-world JPEG).
+  Output is the LUMA plane (JPEG's Y is BT.601 luma — exactly the gray
+  the media family consumes); chroma blocks are entropy-decoded to
+  advance the bitstream, then skipped. Progressive (SOF2),
+  non-interleaved scans, >2x2 sampling, arithmetic coding, DRI — all
+  raise ``NotImplementedError`` (the documented stub path, exactly
   like interlaced GIF / stereo WAV in the sibling codecs).
-* encode: the matching baseline grayscale writer (JFIF APP0, one DQT,
-  SOF0, the Annex K.3 luminance Huffman tables, one scan) — any image
-  viewer opens its output.
+* encode: matching baseline writers — grayscale (``encode_jpeg``) and
+  interleaved YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:0) — JFIF
+  APP0, one DQT, the Annex K.3 luminance Huffman tables, one scan; any
+  image viewer opens their output.
 
 Exactness property used by the SQL oracles: an 8x8-constant block has
 only a DC coefficient (8 * (v - 128) under the T.81 FDCT convention),
@@ -205,63 +210,149 @@ def encode_jpeg(
     prev_dc = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
-            block = [
-                float(
-                    gray[
-                        min(by + y, height - 1) * width + min(bx + x, width - 1)
-                    ]
-                    - 128
-                )
-                for y in range(8)
-                for x in range(8)
-            ]
-            coef = _fdct(block)
-            q = [
-                int(round(coef[ZIGZAG[i]] / qt[i])) for i in range(64)
-            ]
-            # DC (differential)
-            size, bits = _magnitude(q[0] - prev_dc)
-            prev_dc = q[0]
-            code, ln = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            # AC run-length
-            run = 0
-            for i in range(1, 64):
-                if q[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(q[i])
-                code, ln = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            block = _edge_block(gray, width, height, bx, by)
+            prev_dc = _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc)
     scan = bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
-    sof0 = seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    return (
+        b"\xff\xd8"
+        + _jfif_app0()
+        + _seg(0xDB, bytes([0x00]) + bytes(qt))
+        + _seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        + _annex_k_dht()
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
     )
-    dht = seg(
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jfif_app0() -> bytes:
+    return _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+
+
+def _annex_k_dht() -> bytes:
+    return _seg(
         0xC4,
         bytes([0x00]) + bytes(DC_LUM_BITS[1:]) + bytes(DC_LUM_VALS)
         + bytes([0x10]) + bytes(AC_LUM_BITS[1:]) + bytes(AC_LUM_VALS),
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
-    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+def _edge_block(
+    plane: list[int], width: int, height: int, bx: int, by: int
+) -> list[float]:
+    """8x8 level-shifted block at (bx, by), edge-replicated (standard pad)."""
+    return [
+        float(plane[min(by + y, height - 1) * width + min(bx + x, width - 1)] - 128)
+        for y in range(8)
+        for x in range(8)
+    ]
+
+
+def _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc: int) -> int:
+    """FDCT + quantize + Huffman-encode one block; returns its DC (the
+    next block's predictor for this component)."""
+    coef = _fdct(block)
+    q = [int(round(coef[ZIGZAG[i]] / qt[i])) for i in range(64)]
+    size, bits = _magnitude(q[0] - prev_dc)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for i in range(1, 64):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(q[i])
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return q[0]
+
+
+def _subsample(plane: list[int], width: int, height: int, f: int) -> tuple[int, int, list[int]]:
+    """Box-average downsample by factor ``f`` (1 = identity)."""
+    if f == 1:
+        return width, height, plane
+    ow, oh = (width + f - 1) // f, (height + f - 1) // f
+    out = [0] * (ow * oh)
+    for oy in range(oh):
+        for ox in range(ow):
+            s = n = 0
+            for y in range(oy * f, min((oy + 1) * f, height)):
+                for x in range(ox * f, min((ox + 1) * f, width)):
+                    s += plane[y * width + x]
+                    n += 1
+            out[oy * ow + ox] = s // n
+    return ow, oh, out
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    y: list[int],
+    cb: list[int],
+    cr: list[int],
+    subsampling: str = "420",
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Baseline sequential COLOR JPEG (SOF0, 3 YCbCr components,
+    interleaved MCUs) — the container shape of virtually every
+    real-world JPEG. ``y``/``cb``/``cr`` are full-resolution planes;
+    the encoder box-averages chroma for 4:2:0 (``subsampling`` in
+    {'444', '420'}). All components share quant table 0 and the Annex K
+    luminance Huffman tables (legal, and what keeps the writer small)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    f = 2 if subsampling == "420" else 1
+    hv = (f << 4) | f  # Y sampling; chroma is always 1x1
+    qt = list(qtable or NEAR_LOSSLESS_QT)
+    dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    cw, ch, cbs = _subsample(cb, width, height, f)
+    _, _, crs = _subsample(cr, width, height, f)
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    mcu_w, mcu_h = 8 * f, 8 * f
+    for my in range(0, height, mcu_h):
+        for mx in range(0, width, mcu_w):
+            for by in range(f):
+                for bx in range(f):
+                    block = _edge_block(y, width, height, mx + 8 * bx, my + 8 * by)
+                    prev[0] = _encode_block(bw, block, qt, dc_codes, ac_codes, prev[0])
+            for ci, plane in ((1, cbs), (2, crs)):
+                block = _edge_block(plane, cw, ch, mx // f, my // f)
+                prev[ci] = _encode_block(bw, block, qt, dc_codes, ac_codes, prev[ci])
+    scan = bw.flush()
+
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + _jfif_app0()
+        + _seg(0xDB, bytes([0x00]) + bytes(qt))
+        + _seg(0xC0, sof)
+        + _annex_k_dht()
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
 
 
 class _BitReader:
@@ -310,14 +401,21 @@ class _BitReader:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a baseline sequential single-component (grayscale) JPEG to
-    ``(width, height, row-major top-down pixels)``.
+    """Decode a baseline sequential JPEG — grayscale (1 component) or
+    YCbCr color (3 components, interleaved MCUs, 4:4:4 or 4:2:0
+    sampling) — to ``(width, height, row-major top-down GRAY pixels)``.
+
+    Gray output is the LUMA plane: in JPEG's YCbCr model Y *is* BT.601
+    luma, so color images decode to exactly the gray the rest of the
+    media family (dHash, histograms) consumes. Chroma blocks are fully
+    entropy-decoded (the bitstream demands it) but skip dequant/IDCT —
+    the cheap correct path for a luma consumer.
 
     NotImplementedError for progressive (SOF2) / extended (SOF1+) /
-    arithmetic scans, multi-component images, 16-bit quant tables and
-    restart intervals — the documented stub path. Corrupt payloads
-    raise ValueError/IndexError/struct.error (``CORRUPT_ERRORS`` in
-    operators/multimodal.py)."""
+    arithmetic scans, non-interleaved or >2x2-sampled scans, 16-bit
+    quant tables and restart intervals — the documented stub path.
+    Corrupt payloads raise ValueError/IndexError/struct.error
+    (``CORRUPT_ERRORS`` in operators/multimodal.py)."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (no SOI)")
@@ -325,10 +423,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     dc_maps: dict[int, dict[tuple[int, int], int]] = {}
     ac_maps: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_qt = 0
+    comps = None
     pos = 2
     scan_pos = None
-    dc_sel = ac_sel = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -357,68 +454,106 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 i += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) baseline JPEG supported"
+                    f"unsupported component count {ncomp} (1=gray, 3=YCbCr)"
                 )
-            comp_qt = body[8]
+            comps = [
+                {
+                    "id": body[6 + 3 * ci],
+                    "h": body[7 + 3 * ci] >> 4,
+                    "v": body[7 + 3 * ci] & 0x0F,
+                    "tq": body[8 + 3 * ci],
+                }
+                for ci in range(ncomp)
+            ]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan unsupported")
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            if comps is None or ns != len(comps):
+                raise NotImplementedError("non-interleaved scan unsupported")
+            sel = {}
+            for si in range(ns):
+                sel[body[1 + 2 * si]] = (
+                    body[2 + 2 * si] >> 4,
+                    body[2 + 2 * si] & 0x0F,
+                )
             scan_pos = pos
             break
         # APPn/COM/others: skipped
-    if width is None or scan_pos is None:
+    if width is None or scan_pos is None or comps is None:
         raise ValueError("JPEG missing SOF/SOS")
-    qt = qtables[comp_qt]
-    dc_map, ac_map = dc_maps[dc_sel], ac_maps[ac_sel]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        # Y is the first component in every real encoder; our gray
+        # output materializes only its plane
+        raise NotImplementedError("first component must carry max sampling")
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise NotImplementedError("only 1x1/2x2 sampling factors supported")
 
     br = _BitReader(b, scan_pos)
-    bw_blocks = (width + 7) // 8
-    bh_blocks = (height + 7) // 8
+    qt0 = qtables[comps[0]["tq"]]
+    maps = [
+        (dc_maps[sel[c["id"]][0]], ac_maps[sel[c["id"]][1]]) for c in comps
+    ]
     pixels = [0] * (width * height)
-    prev_dc = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
-            zz = [0] * 64
-            size = br.read_symbol(dc_map)
-            diff = _extend(br.read_bits(size), size)
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = br.read_symbol(ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid JPEG AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("JPEG AC run past block end")
-                zz[i] = _extend(br.read_bits(size), size)
-                i += 1
-            coef = [0.0] * 64
-            for i in range(64):
-                coef[ZIGZAG[i]] = zz[i] * qt[i]
-            out = _idct(coef)
-            for y in range(8):
-                py = by * 8 + y
-                if py >= height:
-                    break
-                for x in range(8):
-                    px = bx * 8 + x
-                    if px >= width:
-                        continue
-                    v = int(round(out[y * 8 + x])) + 128
-                    pixels[py * width + px] = 0 if v < 0 else (255 if v > 255 else v)
+    prev = [0] * len(comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    def read_block(ci: int) -> list[int]:
+        dc_map, ac_map = maps[ci]
+        zz = [0] * 64
+        size = br.read_symbol(dc_map)
+        prev[ci] += _extend(br.read_bits(size), size)
+        zz[0] = prev[ci]
+        i = 1
+        while i < 64:
+            sym = br.read_symbol(ac_map)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid JPEG AC symbol")
+                i += 16  # ZRL
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[i] = _extend(br.read_bits(size), size)
+            i += 1
+        return zz
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, comp in enumerate(comps):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = read_block(ci)
+                        if ci != 0:
+                            continue  # chroma: bitstream advanced, plane unused
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i] * qt0[i]
+                        out = _idct(coef)
+                        py0 = (my * vmax + by) * 8
+                        px0 = (mx * hmax + bx) * 8
+                        for y in range(8):
+                            py = py0 + y
+                            if py >= height:
+                                break
+                            for x in range(8):
+                                px = px0 + x
+                                if px >= width:
+                                    continue
+                                v = int(round(out[y * 8 + x])) + 128
+                                pixels[py * width + px] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
     return width, height, pixels

@@ -541,6 +541,61 @@ def synth_media_jpeg(spark, n_rows: int, plant_every: int | None = None) -> Data
     return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def synth_media_jpeg_color(spark, n_rows: int) -> DataFrame:
+    """COLOR (YCbCr 4:2:0 interleaved-MCU) twin of synth_media_jpeg:
+    the container shape of virtually every real-world JPEG. The luma
+    plane is the same quadrant-constant sha formula (tag 'jc'), so the
+    exact-DC oracle still derives ground truth; the CHROMA planes carry
+    sha-derived noise (tag 'jcc') — real nonzero AC data the decoder
+    must entropy-decode and step over correctly, or luma comes out
+    garbled and the oracle hash-fails. Decoded gray == Y (JPEG's Y is
+    BT.601 luma)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .jpeg import encode_jpeg_color
+
+        def quads(mid: int) -> list[int]:
+            d = hashlib.sha256(f"jc{mid}".encode()).digest()
+            return [d[0], d[1], d[2], d[3]]
+
+        def planes(mid: int) -> tuple[list[int], list[int], list[int]]:
+            v = quads(mid)
+            y = [0] * 256
+            for q, (qy, qx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                for yy in range(8):
+                    for xx in range(8):
+                        y[(qy + yy) * 16 + (qx + xx)] = v[q]
+            d = hashlib.sha256(f"jcc{mid}".encode()).digest()
+            cb = [d[k % 32] for k in range(256)]
+            cr = [d[(k + 7) % 32] for k in range(256)]
+            return y, cb, cr
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                y, cb, cr = planes(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "jpeg",
+                        "payload": encode_jpeg_color(16, 16, y, cb, cr, "420"),
+                        "meta": {
+                            "width": 16,
+                            "height": 16,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "codec": "jpeg-ycbcr420",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def synth_media_mixed_jpeg(
     spark, n_rows: int, plant_every: int | None = None
 ) -> DataFrame:

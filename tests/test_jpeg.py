@@ -87,12 +87,17 @@ def test_unsupported_variants_raise_not_implemented():
     prog[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
-    # multi-component: patch SOF0's component count (offset +9: marker
-    # 2 + len 2 + precision 1 + height 2 + width 2)
+    # 4 components (CMYK-style): beyond the 1/3-component support
+    # (offset +9: marker 2 + len 2 + precision 1 + height 2 + width 2)
     multi = bytearray(payload)
-    multi[sof + 9] = 3
+    multi[sof + 9] = 4
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(multi))
+    # exotic sampling factors (3x3) on a single component
+    samp = bytearray(payload)
+    samp[sof + 11] = 0x33
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(samp))
     # not a JPEG at all
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"no soi here")
@@ -151,3 +156,58 @@ def test_synth_media_mixed_planted_pairs_found(spark):
         for r in phash_near_dups(media, max_hamming=6, blocks=8).collect()
     }
     assert pairs == {(23, 24), (48, 49), (73, 74), (98, 99)}
+
+
+# --- color (YCbCr, interleaved MCU) ---------------------------------------
+
+
+def test_color_444_and_420_round_trip_luma():
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_color
+
+    rng = random.Random(5)
+    w, h = 24, 16
+    y = [rng.randrange(256) for _ in range(w * h)]
+    cb = [rng.randrange(256) for _ in range(w * h)]
+    cr = [rng.randrange(256) for _ in range(w * h)]
+    for sub in ("444", "420"):
+        W, H, dec = decode_jpeg(encode_jpeg_color(w, h, y, cb, cr, subsampling=sub))
+        assert (W, H) == (w, h)
+        assert max(abs(a - b) for a, b in zip(y, dec)) <= 2
+
+
+def test_color_exact_quadrants_match_grayscale():
+    # same luma through the gray writer and both color writers decodes
+    # to identical exact pixels — color adds chroma blocks to step
+    # over, never a different luma
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_color
+
+    gray = _quadrant_gray([10, 200, 77, 145])
+    flat = [128] * 256
+    _, _, d1 = decode_jpeg(encode_jpeg(16, 16, gray))
+    _, _, d2 = decode_jpeg(encode_jpeg_color(16, 16, gray, flat, flat, "420"))
+    _, _, d3 = decode_jpeg(encode_jpeg_color(16, 16, gray, flat, flat, "444"))
+    assert d1 == d2 == d3 == gray
+
+
+def test_color_odd_dims_420_cropped():
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_color
+
+    rng = random.Random(9)
+    y = [rng.randrange(256) for _ in range(9 * 8)]
+    c = [rng.randrange(256) for _ in range(9 * 8)]
+    W, H, dec = decode_jpeg(encode_jpeg_color(9, 8, y, c, c, "420"))
+    assert (W, H) == (9, 8)
+    assert max(abs(a - b) for a, b in zip(y, dec)) <= 2
+
+
+def test_synth_media_jpeg_color_decodes_to_formula_luma(spark):
+    import hashlib
+
+    from anomaly_detector_spark.operators.multimodal import synth_media_jpeg_color
+
+    rows = synth_media_jpeg_color(spark, 9).collect()
+    for r in rows:
+        w, h, dec = decode_image(bytes(r["payload"]))
+        d = hashlib.sha256(f"jc{r['media_id']}".encode()).digest()
+        assert (w, h) == (16, 16)
+        assert dec == _quadrant_gray([d[0], d[1], d[2], d[3]])
