@@ -10,10 +10,13 @@ demo and one that would meet a real corpus"). Scope is honest:
   4:2:0 sampling, the shape of virtually every real-world JPEG).
   Output is the LUMA plane (JPEG's Y is BT.601 luma — exactly the gray
   the media family consumes); chroma blocks are entropy-decoded to
-  advance the bitstream, then skipped. Progressive (SOF2),
-  non-interleaved scans, >2x2 sampling, arithmetic coding, DRI — all
-  raise ``NotImplementedError`` (the documented stub path, exactly
-  like interlaced GIF / stereo WAV in the sibling codecs).
+  advance the bitstream, then skipped. Restart intervals (DRI/RSTn —
+  the error-resilience feature most real encoders emit) are fully
+  handled: DC predictors reset and the bit reader re-syncs at each
+  marker. Progressive (SOF2), non-interleaved scans, >2x2 sampling,
+  arithmetic coding — all raise ``NotImplementedError`` (the
+  documented stub path, exactly like interlaced GIF / stereo WAV in
+  the sibling codecs).
 * encode: matching baseline writers — grayscale (``encode_jpeg``) and
   interleaved YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:0) — JFIF
   APP0, one DQT, the Annex K.3 luminance Huffman tables, one scan; any
@@ -194,32 +197,56 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.out)
 
+    def write_marker(self, byte2: int) -> None:
+        """1-pad to a byte boundary, then emit a raw (unstuffed) marker
+        — how RSTn markers sit in the entropy stream."""
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, byte2])
+
 
 def encode_jpeg(
-    width: int, height: int, gray: list[int], qtable: list[int] | None = None
+    width: int,
+    height: int,
+    gray: list[int],
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential grayscale JPEG (SOF0, one component, Annex K
     luminance Huffman tables). ``gray`` is row-major top-down;
     ``qtable`` is in ZIGZAG order (default :data:`NEAR_LOSSLESS_QT`).
-    Edge blocks replicate the last row/column (the standard pad)."""
+    Edge blocks replicate the last row/column (the standard pad).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset at each) — the error-resilience
+    feature most real-world encoders use."""
     qt = list(qtable or NEAR_LOSSLESS_QT)
     dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
 
     bw = _BitWriter()
     prev_dc = 0
+    mcu_i = rst_m = 0
+    n_mcus = ((height + 7) // 8) * ((width + 7) // 8)
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
             block = _edge_block(gray, width, height, bx, by)
             prev_dc = _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc)
+            mcu_i += 1
+            if restart_interval and mcu_i % restart_interval == 0 and mcu_i < n_mcus:
+                bw.write_marker(0xD0 + rst_m)
+                rst_m = (rst_m + 1) % 8
+                prev_dc = 0
     scan = bw.flush()
 
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _jfif_app0()
         + _seg(0xDB, bytes([0x00]) + bytes(qt))
         + _seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
         + _annex_k_dht()
+        + dri
         + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
         + scan
         + b"\xff\xd9"
@@ -308,6 +335,7 @@ def encode_jpeg_color(
     cr: list[int],
     subsampling: str = "420",
     qtable: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential COLOR JPEG (SOF0, 3 YCbCr components,
     interleaved MCUs) — the container shape of virtually every
@@ -328,6 +356,8 @@ def encode_jpeg_color(
     bw = _BitWriter()
     prev = [0, 0, 0]
     mcu_w, mcu_h = 8 * f, 8 * f
+    mcu_i = rst_m = 0
+    n_mcus = ((height + mcu_h - 1) // mcu_h) * ((width + mcu_w - 1) // mcu_w)
     for my in range(0, height, mcu_h):
         for mx in range(0, width, mcu_w):
             for by in range(f):
@@ -337,18 +367,25 @@ def encode_jpeg_color(
             for ci, plane in ((1, cbs), (2, crs)):
                 block = _edge_block(plane, cw, ch, mx // f, my // f)
                 prev[ci] = _encode_block(bw, block, qt, dc_codes, ac_codes, prev[ci])
+            mcu_i += 1
+            if restart_interval and mcu_i % restart_interval == 0 and mcu_i < n_mcus:
+                bw.write_marker(0xD0 + rst_m)
+                rst_m = (rst_m + 1) % 8
+                prev = [0, 0, 0]
     scan = bw.flush()
 
     sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
         [1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dri = _seg(0xDD, __import__("struct").pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + _jfif_app0()
         + _seg(0xDB, bytes([0x00]) + bytes(qt))
         + _seg(0xC0, sof)
         + _annex_k_dht()
+        + dri
         + sos
         + scan
         + b"\xff\xd9"
@@ -399,6 +436,14 @@ class _BitReader:
                 return table[(length, code)]
         raise ValueError("invalid JPEG Huffman code")
 
+    def sync_restart(self, m: int) -> None:
+        """Consume the RSTm marker at a restart boundary: drop the pad
+        bits, require FFD0+m, advance past it."""
+        self._n = 0
+        if self.b[self.pos] != 0xFF or self.b[self.pos + 1] != 0xD0 + m:
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a baseline sequential JPEG — grayscale (1 component) or
@@ -426,6 +471,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     comps = None
     pos = 2
     scan_pos = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -470,7 +516,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if comps is None or ns != len(comps):
@@ -530,6 +576,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             i += 1
         return zz
 
+    mcu_i = rst_m = 0
+    n_mcus = mcus_x * mcus_y
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, comp in enumerate(comps):
@@ -556,4 +604,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                                 pixels[py * width + px] = (
                                     0 if v < 0 else (255 if v > 255 else v)
                                 )
+            mcu_i += 1
+            if restart_interval and mcu_i % restart_interval == 0 and mcu_i < n_mcus:
+                br.sync_restart(rst_m)
+                rst_m = (rst_m + 1) % 8
+                prev = [0] * len(comps)
     return width, height, pixels

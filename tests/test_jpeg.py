@@ -211,3 +211,42 @@ def test_synth_media_jpeg_color_decodes_to_formula_luma(spark):
         d = hashlib.sha256(f"jc{r['media_id']}".encode()).digest()
         assert (w, h) == (16, 16)
         assert dec == _quadrant_gray([d[0], d[1], d[2], d[3]])
+
+
+# --- restart intervals (DRI / RSTn) ---------------------------------------
+
+
+def test_restart_intervals_round_trip_gray_and_color():
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_color
+
+    rng = random.Random(13)
+    g = [rng.randrange(256) for _ in range(24 * 16)]
+    for ri in (1, 3):
+        payload = encode_jpeg(24, 16, g, restart_interval=ri)
+        assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+        _, _, dec = decode_jpeg(payload)
+        assert max(abs(a - b) for a, b in zip(g, dec)) <= 2
+    y = [rng.randrange(256) for _ in range(32 * 32)]
+    c = [rng.randrange(256) for _ in range(32 * 32)]
+    for ri in (1, 2):
+        _, _, dec = decode_jpeg(
+            encode_jpeg_color(32, 32, y, c, c, "420", restart_interval=ri)
+        )
+        assert max(abs(a - b) for a, b in zip(y, dec)) <= 2
+
+
+def test_restart_intervals_keep_dc_exactness():
+    gray = _quadrant_gray([10, 200, 77, 145])
+    _, _, dec = decode_jpeg(encode_jpeg(16, 16, gray, restart_interval=2))
+    assert dec == gray
+
+
+def test_broken_restart_marker_is_corrupt():
+    rng = random.Random(17)
+    g = [rng.randrange(256) for _ in range(24 * 16)]
+    pay = bytearray(encode_jpeg(24, 16, g, restart_interval=1))
+    i = bytes(pay).find(b"\xff\xd0")
+    pay[i + 1] = 0xD7  # out-of-order RST index
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(pay))
+    assert dhash64(bytes(pay)) is None  # corrupt -> NULL, not the job
