@@ -1960,7 +1960,11 @@ def _bpe_reference(n_docs: int = 200, n_merges: int = 16, min_pair_count: int = 
     for w, syms in vocab.items():
         for s in syms:
             counts[s] += freqs[w]
-    return merges, dict(counts)
+    doc_tokens = {
+        i: sum(len(vocab[w]) for w in text.split())
+        for i, text in synth_bpe_corpus_rows(n_docs)
+    }
+    return merges, dict(counts), doc_tokens
 
 
 def q_media_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
@@ -2008,6 +2012,23 @@ def q_docs_bpe_exact(spark: SparkSession, sf: str) -> DataFrame:
     corpus = synth_bpe_corpus(spark, 200)
     merges = learn_bpe(corpus, n_merges=16)
     return bpe_token_counts(corpus, merges)
+
+
+def q_docs_bpe_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # exact per-document BPE token counts — the honest replacement for
+    # the bpe_ish heuristic where token budgets matter (packing, shard
+    # sizing). Distinct words tokenized once, joined back to per-doc
+    # occurrences; oracle = the independent sequential reference's
+    # per-doc sums.
+    from anomaly_detector_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        learn_bpe,
+        synth_bpe_corpus,
+    )
+
+    corpus = synth_bpe_corpus(spark, 200)
+    merges = learn_bpe(corpus, n_merges=16)
+    return bpe_doc_token_counts(corpus, merges)
 
 
 def q_files_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
@@ -2998,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_color": q_media_jpeg_color,
         "docs_bpe_learn": q_docs_bpe_learn,
         "docs_bpe_exact": q_docs_bpe_exact,
+        "docs_bpe_doc_tokens": q_docs_bpe_doc_tokens,
         # --- the 17 ---
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_corpus_pipeline": q_docs_corpus_pipeline,
@@ -4262,6 +4284,14 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) FILTER (WHERE v // 32 = 7) / 4.0, 6) AS f7
             FROM jq GROUP BY media_id
         """,
+        "docs_bpe_doc_tokens": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens FROM (VALUES "
+            + ", ".join(
+                f"({i}, {n})" for i, n in sorted(_bpe_reference()[2].items())
+            )
+            + ") AS t(doc_id, n_bpe_tokens)"
+        ),
         "media_jpeg_color": """
             -- COLOR (YCbCr 4:2:0) twin of media_jpeg_features: luma
             -- quadrants from sha256('jc' || id); chroma is noise the

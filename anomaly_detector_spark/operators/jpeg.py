@@ -7,7 +7,8 @@ demo and one that would meet a real corpus"). Scope is honest:
 
 * decode: baseline sequential DCT (SOF0), 8-bit — grayscale (1
   component) AND YCbCr color (3 components, interleaved MCUs, 4:4:4 /
-  4:2:0 sampling, the shape of virtually every real-world JPEG).
+  4:2:2 / 4:2:0 sampling, the shape of virtually every real-world
+  JPEG).
   Output is the LUMA plane (JPEG's Y is BT.601 luma — exactly the gray
   the media family consumes); chroma blocks are entropy-decoded to
   advance the bitstream, then skipped. Restart intervals (DRI/RSTn —
@@ -18,7 +19,7 @@ demo and one that would meet a real corpus"). Scope is honest:
   documented stub path, exactly like interlaced GIF / stereo WAV in
   the sibling codecs).
 * encode: matching baseline writers — grayscale (``encode_jpeg``) and
-  interleaved YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:0) — JFIF
+  interleaved YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:2/4:2:0) — JFIF
   APP0, one DQT, the Annex K.3 luminance Huffman tables, one scan; any
   image viewer opens their output.
 
@@ -310,17 +311,19 @@ def _encode_block(bw, block, qt, dc_codes, ac_codes, prev_dc: int) -> int:
     return q[0]
 
 
-def _subsample(plane: list[int], width: int, height: int, f: int) -> tuple[int, int, list[int]]:
-    """Box-average downsample by factor ``f`` (1 = identity)."""
-    if f == 1:
+def _subsample(
+    plane: list[int], width: int, height: int, fx: int, fy: int
+) -> tuple[int, int, list[int]]:
+    """Box-average downsample by (fx, fy) (1 = identity per axis)."""
+    if fx == 1 and fy == 1:
         return width, height, plane
-    ow, oh = (width + f - 1) // f, (height + f - 1) // f
+    ow, oh = (width + fx - 1) // fx, (height + fy - 1) // fy
     out = [0] * (ow * oh)
     for oy in range(oh):
         for ox in range(ow):
             s = n = 0
-            for y in range(oy * f, min((oy + 1) * f, height)):
-                for x in range(ox * f, min((ox + 1) * f, width)):
+            for y in range(oy * fy, min((oy + 1) * fy, height)):
+                for x in range(ox * fx, min((ox + 1) * fx, width)):
                     s += plane[y * width + x]
                     n += 1
             out[oy * ow + ox] = s // n
@@ -340,32 +343,34 @@ def encode_jpeg_color(
     """Baseline sequential COLOR JPEG (SOF0, 3 YCbCr components,
     interleaved MCUs) — the container shape of virtually every
     real-world JPEG. ``y``/``cb``/``cr`` are full-resolution planes;
-    the encoder box-averages chroma for 4:2:0 (``subsampling`` in
-    {'444', '420'}). All components share quant table 0 and the Annex K
-    luminance Huffman tables (legal, and what keeps the writer small)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    f = 2 if subsampling == "420" else 1
-    hv = (f << 4) | f  # Y sampling; chroma is always 1x1
+    the encoder box-averages chroma for 4:2:0 / 4:2:2 (``subsampling``
+    in {'444', '422', '420'}). All components share quant table 0 and
+    the Annex K luminance Huffman tables (legal, and what keeps the
+    writer small)."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    fx, fy = factors[subsampling]
+    hv = (fx << 4) | fy  # Y sampling; chroma is always 1x1
     qt = list(qtable or NEAR_LOSSLESS_QT)
     dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
-    cw, ch, cbs = _subsample(cb, width, height, f)
-    _, _, crs = _subsample(cr, width, height, f)
+    cw, ch, cbs = _subsample(cb, width, height, fx, fy)
+    _, _, crs = _subsample(cr, width, height, fx, fy)
 
     bw = _BitWriter()
     prev = [0, 0, 0]
-    mcu_w, mcu_h = 8 * f, 8 * f
+    mcu_w, mcu_h = 8 * fx, 8 * fy
     mcu_i = rst_m = 0
     n_mcus = ((height + mcu_h - 1) // mcu_h) * ((width + mcu_w - 1) // mcu_w)
     for my in range(0, height, mcu_h):
         for mx in range(0, width, mcu_w):
-            for by in range(f):
-                for bx in range(f):
+            for by in range(fy):
+                for bx in range(fx):
                     block = _edge_block(y, width, height, mx + 8 * bx, my + 8 * by)
                     prev[0] = _encode_block(bw, block, qt, dc_codes, ac_codes, prev[0])
             for ci, plane in ((1, cbs), (2, crs)):
-                block = _edge_block(plane, cw, ch, mx // f, my // f)
+                block = _edge_block(plane, cw, ch, mx // fx, my // fy)
                 prev[ci] = _encode_block(bw, block, qt, dc_codes, ac_codes, prev[ci])
             mcu_i += 1
             if restart_interval and mcu_i % restart_interval == 0 and mcu_i < n_mcus:

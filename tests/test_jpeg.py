@@ -250,3 +250,20 @@ def test_broken_restart_marker_is_corrupt():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(pay))
     assert dhash64(bytes(pay)) is None  # corrupt -> NULL, not the job
+
+
+def test_color_422_round_trip_luma():
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_color
+
+    rng = random.Random(3)
+    y = [rng.randrange(256) for _ in range(24 * 16)]
+    c = [rng.randrange(256) for _ in range(24 * 16)]
+    W, H, dec = decode_jpeg(encode_jpeg_color(24, 16, y, c, c, "422"))
+    assert (W, H) == (24, 16)
+    assert max(abs(a - b) for a, b in zip(y, dec)) <= 2
+    # with restarts, odd dims
+    W, H, dec = decode_jpeg(
+        encode_jpeg_color(9, 8, y[:72], c[:72], c[:72], "422", restart_interval=1)
+    )
+    assert (W, H) == (9, 8)
+    assert max(abs(a - b) for a, b in zip(y[:72], dec)) <= 2
