@@ -21,7 +21,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from anomaly_detector_spark.operators.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from anomaly_detector_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_color,
+)
 from anomaly_detector_spark.operators.multimodal import (  # noqa: E402
     decode_audio,
     decode_image,
@@ -51,6 +55,13 @@ def main() -> int:
         ("ppm", encode_ppm, decode_image),
         ("png", encode_png, decode_image),
         ("jpeg", lambda W, H, px: encode_jpeg(W, H, px), decode_image),
+        (
+            "jpeg_420",
+            lambda W, H, px: encode_jpeg_color(
+                W, H, px, _pixels("cb", W * H), _pixels("cr", W * H), "420"
+            ),
+            decode_image,
+        ),
     ]:
         payloads = [enc(w, h, _pixels(f"{name}{i}", npx)) for i in range(n)]
         cases.append((name, payloads, dec))
@@ -77,8 +88,8 @@ def main() -> int:
         rows[name] = round(rate, 1)
         desc = {
             "bmp": "64x64 gray", "ppm": "64x64 gray", "png": "64x64 gray",
-            "jpeg": "64x64 gray baseline", "wav_1s": "1 s 16 kHz PCM",
-            "gif_4f": "64x64, 4 frames",
+            "jpeg": "64x64 gray baseline", "jpeg_420": "64x64 YCbCr 4:2:0",
+            "wav_1s": "1 s 16 kHz PCM", "gif_4f": "64x64, 4 frames",
         }[name]
         print(f"| {name} | {desc} | {rate:,.1f} | {rate * 32:,.0f} |")
     print(json.dumps({"metric": "codec_assets_per_sec_1core", "rates": rows, "n": n}))
