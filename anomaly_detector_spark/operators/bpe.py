@@ -214,6 +214,27 @@ def bpe_doc_token_counts(
     )
 
 
+def save_merges(spark, merges: list[tuple[str, str]], store_dir: str) -> None:
+    """Persist a learned merge table as a parquet tokenizer artifact —
+    the BPE member of the cross-run store family (dedup band stores,
+    quantile stores): learn once on a sample window, tokenize every
+    later ingest with the SAME vocabulary (mixing merge tables across
+    runs silently changes token budgets). One tiny file; rank order is
+    the schema's contract."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, lhs string, rhs string",
+    ).coalesce(1).write.mode("overwrite").parquet(store_dir)
+
+
+def load_merges(spark, store_dir: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table in learned (rank) order. A missing
+    store raises AnalysisException loudly — an untrained tokenizer must
+    never silently tokenize char-by-char."""
+    rows = spark.read.parquet(store_dir).orderBy("rank").collect()
+    return [(r["lhs"], r["rhs"]) for r in rows]
+
+
 def synth_bpe_corpus_rows(n_docs: int) -> list[tuple[int, str]]:
     """Deterministic corpus shared by the Spark fixture and the
     independent reference implementation (tools/gen_bpe_expected.py):

@@ -63,7 +63,9 @@ def phash_stream(
     idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Continuous perceptual near-dup matches over a media stream (see
-    module docstring). Input columns: ``id_col`` + ``payload``."""
+    module docstring). Input columns: ``id_col`` + ``payload``, plus an
+    optional ``kind`` column that feeds dhash64's hardened declared-
+    kind dispatch (magic sniffing alone otherwise)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.multimodal import DHASH_BITS, dhash64
@@ -77,17 +79,25 @@ def phash_stream(
 
     def hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            kinds = pdf["kind"] if "kind" in pdf.columns else None
             yield pd.DataFrame(
                 {
                     "media_id": [int(x) for x in pdf["media_id"]],
                     "phash": pd.array(
-                        [dhash64(p) for p in pdf["payload"]], dtype="Int64"
+                        [
+                            dhash64(p, kinds.iloc[i] if kinds is not None else None)
+                            for i, p in enumerate(pdf["payload"])
+                        ],
+                        dtype="Int64",
                     ),
                 }
             )
 
+    cols = [F.col(id_col).alias("media_id"), "payload"] + (
+        ["kind"] if "kind" in stream_df.columns else []
+    )
     sigs = (
-        stream_df.select(F.col(id_col).alias("media_id"), "payload")
+        stream_df.select(*cols)
         .mapInPandas(hash_kernel, "media_id long, phash long")
         # corrupt / undecodable / degenerate assets hash to NULL —
         # excluded from pairing (and from state), matching the batch

@@ -115,3 +115,26 @@ def test_doc_token_counts_sum_to_corpus_total(spark):
         F.sum("total_cnt")
     ).collect()[0][0]
     assert total == corpus_total > 0
+
+
+def test_merge_store_round_trip_and_missing_store_loud(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from anomaly_detector_spark.operators.bpe import load_merges, save_merges
+
+    corpus = synth_bpe_corpus(spark, 50)
+    merges = learn_bpe(corpus, n_merges=8)
+    store = str(tmp_path / "tokenizer")
+    save_merges(spark, merges, store)
+    assert load_merges(spark, store) == merges
+    # tokenizing with the reloaded table is bit-identical
+    a = {r["token"]: r["total_cnt"] for r in bpe_token_counts(corpus, merges).collect()}
+    b = {
+        r["token"]: r["total_cnt"]
+        for r in bpe_token_counts(corpus, load_merges(spark, store)).collect()
+    }
+    assert a == b
+    import pytest
+
+    with pytest.raises(AnalysisException):
+        load_merges(spark, str(tmp_path / "absent"))
