@@ -1967,6 +1967,22 @@ def _bpe_reference(n_docs: int = 200, n_merges: int = 16, min_pair_count: int = 
     return merges, dict(counts), doc_tokens
 
 
+def q_media_jpeg_prog(spark: SparkSession, sf: str) -> DataFrame:
+    # PROGRESSIVE (SOF2) JPEG decode: the same quadrant pixels encoded
+    # as real multi-scan files (DC successive approximation + spectral
+    # bands + cross-block EOB runs); progressive transmits the same
+    # quantized coefficients, so decode is bit-identical to baseline
+    # and the same sha formula oracle certifies the multi-scan path —
+    # a scan-script slip (band bounds, EOB-run accounting, refinement
+    # bits) garbles whole quadrants and hash-fails.
+    from anomaly_detector_spark.operators.multimodal import (
+        extract_image_features,
+        synth_media_jpeg,
+    )
+
+    return extract_image_features(synth_media_jpeg(spark, 1000, progressive=True))
+
+
 def q_media_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
     # COLOR JPEG (YCbCr 4:2:0, interleaved MCUs — the real-world
     # container shape): luma is the exact-DC quadrant formula, chroma
@@ -3017,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_features": q_media_jpeg_features,
         "media_jpeg_dups": q_media_jpeg_dups,
         "media_jpeg_color": q_media_jpeg_color,
+        "media_jpeg_prog": q_media_jpeg_prog,
         "docs_bpe_learn": q_docs_bpe_learn,
         "docs_bpe_exact": q_docs_bpe_exact,
         "docs_bpe_doc_tokens": q_docs_bpe_doc_tokens,
@@ -4292,6 +4309,33 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") AS t(doc_id, n_bpe_tokens)"
         ),
+        "media_jpeg_prog": """
+            -- progressive (SOF2) twin of media_jpeg_features: the SAME
+            -- quadrant formula (progressive decode is bit-identical to
+            -- baseline by construction), certifying the multi-scan
+            -- path end-to-end.
+            WITH jq AS (
+              SELECT m.range AS media_id, q.range AS q,
+                     ((strpos('0123456789abcdef',
+                        substr(sha256('jq' || CAST(m.range AS VARCHAR)), q.range * 2 + 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                        substr(sha256('jq' || CAST(m.range AS VARCHAR)), q.range * 2 + 2, 1)) - 1)) AS v
+              FROM range(1000) m CROSS JOIN range(4) q
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   'jpeg' AS kind,
+                   CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CAST(256 AS BIGINT) AS n_pixels,
+                   round(count(*) FILTER (WHERE v // 32 = 0) / 4.0, 6) AS f0,
+                   round(count(*) FILTER (WHERE v // 32 = 1) / 4.0, 6) AS f1,
+                   round(count(*) FILTER (WHERE v // 32 = 2) / 4.0, 6) AS f2,
+                   round(count(*) FILTER (WHERE v // 32 = 3) / 4.0, 6) AS f3,
+                   round(count(*) FILTER (WHERE v // 32 = 4) / 4.0, 6) AS f4,
+                   round(count(*) FILTER (WHERE v // 32 = 5) / 4.0, 6) AS f5,
+                   round(count(*) FILTER (WHERE v // 32 = 6) / 4.0, 6) AS f6,
+                   round(count(*) FILTER (WHERE v // 32 = 7) / 4.0, 6) AS f7
+            FROM jq GROUP BY media_id
+        """,
         "media_jpeg_color": """
             -- COLOR (YCbCr 4:2:0) twin of media_jpeg_features: luma
             -- quadrants from sha256('jc' || id); chroma is noise the

@@ -14,14 +14,20 @@ demo and one that would meet a real corpus"). Scope is honest:
   advance the bitstream, then skipped. Restart intervals (DRI/RSTn —
   the error-resilience feature most real encoders emit) are fully
   handled: DC predictors reset and the bit reader re-syncs at each
-  marker. Progressive (SOF2), non-interleaved scans, >2x2 sampling,
-  arithmetic coding — all raise ``NotImplementedError`` (the
-  documented stub path, exactly like interlaced GIF / stereo WAV in
-  the sibling codecs).
-* encode: matching baseline writers — grayscale (``encode_jpeg``) and
-  interleaved YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:2/4:2:0) — JFIF
-  APP0, one DQT, the Annex K.3 luminance Huffman tables, one scan; any
-  image viewer opens their output.
+  marker. PROGRESSIVE (SOF2) files decode through a dedicated
+  multi-scan path — spectral selection + DC successive approximation,
+  per-scan DHT redefinition, cross-block EOB runs — and, because
+  progressive transmits the SAME quantized coefficients as baseline,
+  the result is pinned BIT-IDENTICAL to the baseline decode.
+  Non-interleaved baseline scans, >2x2 sampling, arithmetic coding and
+  the AC-successive-approximation slice of progressive raise
+  ``NotImplementedError`` (the documented stub path, exactly like
+  interlaced GIF / stereo WAV in the sibling codecs).
+* encode: matching writers — grayscale (``encode_jpeg``), interleaved
+  YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:2/4:2:0) and
+  multi-scan progressive (``encode_jpeg_progressive``) — JFIF APP0,
+  one DQT, the Annex K.3 luminance Huffman tables; any image viewer
+  opens their output.
 
 Exactness property used by the SQL oracles: an 8x8-constant block has
 only a DC coefficient (8 * (v - 128) under the T.81 FDCT convention),
@@ -461,9 +467,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     entropy-decoded (the bitstream demands it) but skip dequant/IDCT —
     the cheap correct path for a luma consumer.
 
-    NotImplementedError for progressive (SOF2) / extended (SOF1+) /
-    arithmetic scans, non-interleaved or >2x2-sampled scans, 16-bit
-    quant tables and restart intervals — the documented stub path.
+    Progressive (SOF2) files route to the dedicated multi-scan path
+    (spectral selection + DC successive approximation — see
+    _decode_progressive). NotImplementedError for extended (SOF1+) /
+    arithmetic scans, non-interleaved baseline or >2x2-sampled scans
+    and 16-bit quant tables — the documented stub path.
     Corrupt payloads raise ValueError/IndexError/struct.error
     (``CORRUPT_ERRORS`` in operators/multimodal.py)."""
     b = bytes(payload)
@@ -518,8 +526,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 }
                 for ci in range(ncomp)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC2:  # SOF2 progressive: dedicated multi-scan path
+            return _decode_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline/progressive DCT supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -615,3 +625,332 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 rst_m = (rst_m + 1) % 8
                 prev = [0] * len(comps)
     return width, height, pixels
+
+
+# --- progressive JPEG (SOF2): spectral selection + DC successive
+# approximation -------------------------------------------------------------
+#
+# Progressive transmits the SAME quantized coefficients as baseline,
+# split across scans: an interleaved DC scan (optionally sent in two
+# successive-approximation passes), then per-component AC scans over
+# spectral bands, each scan its own entropy stream. The decode result
+# is therefore BIT-IDENTICAL to the baseline decode of the same
+# coefficients — pinned by test. Scope: DC successive approximation
+# (Ah/Al) is fully handled; AC scans with Al != 0 (AC successive
+# approximation) and progressive restart intervals raise
+# NotImplementedError — the retained stub slice. Because every scan is
+# self-delimited, chroma AC scans are SKIPPED outright (seek to the
+# next marker) — the luma-consumer shortcut the baseline path's
+# "decode chroma, discard" cannot take.
+
+
+def _skip_entropy(b: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment: stop at the first marker
+    that is not stuffing (FF00) and not an RSTn."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF:
+            nxt = b[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2
+        else:
+            pos += 1
+    return len(b)
+
+
+def _decode_progressive(b: bytes) -> tuple[int, int, list[int]]:
+    qtables: dict[int, list[int]] = {}
+    dc_maps: dict[int, dict[tuple[int, int], int]] = {}
+    ac_maps: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps = None
+    coefs: list[list[int]] | None = None  # luma blocks, padded MCU grid
+    chroma_dc: list[list[int]] = []  # decoded-and-discarded DC per chroma comp
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    bw_pad = 0  # luma blocks per padded row
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = [0] + list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                (dc_maps if tc == 0 else ac_maps)[th] = _build_decode_map(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xC2:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            comps = [
+                {
+                    "id": body[6 + 3 * ci],
+                    "h": body[7 + 3 * ci] >> 4,
+                    "v": body[7 + 3 * ci] & 0x0F,
+                    "tq": body[8 + 3 * ci],
+                }
+                for ci in range(ncomp)
+            ]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+                raise NotImplementedError("first component must carry max sampling")
+            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+                raise NotImplementedError("only 1x1/2x2 sampling factors supported")
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            bw_pad = mcus_x * hmax
+            coefs = [[0] * 64 for _ in range(bw_pad * mcus_y * vmax)]
+            chroma_dc = [
+                [0] * (mcus_x * c["h"] * mcus_y * c["v"]) for c in comps
+            ]
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans unsupported"
+                )
+        elif marker == 0xDA:
+            if comps is None or coefs is None:
+                raise ValueError("progressive SOS before SOF2")
+            ns = body[0]
+            sel = {}
+            for si in range(ns):
+                sel[body[1 + 2 * si]] = (
+                    body[2 + 2 * si] >> 4,
+                    body[2 + 2 * si] & 0x0F,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if ss == 0:  # DC scan: interleaved over all components
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if ns != len(comps):
+                    raise NotImplementedError("non-interleaved DC scan unsupported")
+                br = _BitReader(b, pos)
+                if ah == 0:
+                    dmaps = [dc_maps[sel[c["id"]][0]] for c in comps]
+                    prev = [0] * len(comps)
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for ci, comp in enumerate(comps):
+                                for by in range(comp["v"]):
+                                    for bx in range(comp["h"]):
+                                        size = br.read_symbol(dmaps[ci])
+                                        prev[ci] += _extend(br.read_bits(size), size)
+                                        if ci == 0:
+                                            bi = (my * vmax + by) * bw_pad + mx * hmax + bx
+                                            coefs[bi][0] = prev[ci] << al
+                                        else:
+                                            bi = (my * comp["v"] + by) * mcus_x * comp["h"] + mx * comp["h"] + bx
+                                            chroma_dc[ci][bi] = prev[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for ci, comp in enumerate(comps):
+                                for by in range(comp["v"]):
+                                    for bx in range(comp["h"]):
+                                        bit = br.read_bit()
+                                        if ci == 0 and bit:
+                                            bi = (my * vmax + by) * bw_pad + mx * hmax + bx
+                                            coefs[bi][0] |= bit << al
+                pos = _skip_entropy(b, br.pos)
+            else:  # AC scan: single component over its own raster grid
+                if ns != 1:
+                    raise ValueError("AC scan must be single-component")
+                if ah != 0 or al != 0:
+                    raise NotImplementedError(
+                        "AC successive approximation unsupported"
+                    )
+                cid = body[1]
+                ci = next(i for i, c in enumerate(comps) if c["id"] == cid)
+                if ci != 0:
+                    # chroma plane is never materialized; the scan is
+                    # self-delimited, so skip its entropy bytes outright
+                    pos = _skip_entropy(b, pos)
+                    continue
+                acm = ac_maps[sel[cid][1]]
+                br = _BitReader(b, pos)
+                nbw = (width + 7) // 8  # true raster grid, NOT MCU-padded
+                nbh = (height + 7) // 8
+                eobrun = 0
+                for by in range(nbh):
+                    for bx in range(nbw):
+                        zz = coefs[by * bw_pad + bx]
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = br.read_symbol(acm)
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << run) - 1 + br.read_bits(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                pos = _skip_entropy(b, br.pos)
+        # other markers (APPn/COM): skipped
+    if width is None or comps is None or coefs is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    qt = qtables[comps[0]["tq"]]
+    pixels = [0] * (width * height)
+    nbw = (width + 7) // 8
+    nbh = (height + 7) // 8
+    for by in range(nbh):
+        for bx in range(nbw):
+            zz = coefs[by * bw_pad + bx]
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[ZIGZAG[i]] = zz[i] * qt[i]
+            out = _idct(coef)
+            for y in range(8):
+                py = by * 8 + y
+                if py >= height:
+                    break
+                for x in range(8):
+                    px = bx * 8 + x
+                    if px >= width:
+                        continue
+                    v = int(round(out[y * 8 + x])) + 128
+                    pixels[py * width + px] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, pixels
+
+
+def _encode_ac_band_progressive(
+    bw, blocks: list[list[int]], ss: int, se: int, ac_codes
+) -> None:
+    """AC spectral-band scan (T.81 G.1.2.2, Al=0). EOB runs are emitted
+    as repeated EOB0 symbols: the Annex K.3 AC table is Kraft-full (one
+    free 16-bit codepoint), so the EOBn (r >= 1) symbols real
+    progressive encoders put in CUSTOM tables don't fit — 4 bits per
+    all-zero band block instead. The decoder handles general EOBn runs
+    regardless (foreign files carry their own DHT)."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        code, ln = ac_codes[0x00]
+        for _ in range(eobrun):
+            bw.write(code, ln)
+        eobrun = 0
+
+    for zz in blocks:
+        last_nz = 0
+        for k in range(ss, se + 1):
+            if zz[k] != 0:
+                last_nz = k
+        if all(zz[k] == 0 for k in range(ss, se + 1)):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for k in range(ss, se + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(zz[k])
+            code, ln = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(bits, size)
+            run = 0
+        if last_nz < se and run:
+            eobrun += 1  # trailing zeros of THIS block start an EOB run
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, gray: list[int], qtable: list[int] | None = None
+) -> bytes:
+    """Progressive (SOF2) grayscale JPEG: DC sent in two successive-
+    approximation passes (Al=1 first scan, refinement bit second), AC
+    in two spectral bands (1-5, 6-63) — a real multi-scan progressive
+    file exercising every scan kind the decoder supports. Quantized
+    coefficients are identical to :func:`encode_jpeg`'s, so the decode
+    must be bit-identical to the baseline decode (pinned by test)."""
+    qt = list(qtable or NEAR_LOSSLESS_QT)
+    dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    blocks: list[list[int]] = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = _edge_block(gray, width, height, bx, by)
+            coef = _fdct(block)
+            blocks.append(
+                [int(round(coef[ZIGZAG[i]] / qt[i])) for i in range(64)]
+            )
+
+    def sos(comp_spec: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(
+            0xDA,
+            bytes([len(comp_spec) // 2]) + comp_spec + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    # scan 1: DC, Al=1 (diffs of dc >> 1)
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        v = zz[0] >> 1  # arithmetic shift per spec
+        size, bits = _magnitude(v - prev)
+        prev = v
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(bits, size)
+    scan_dc1 = sos(bytes([1, 0x00]), 0, 0, 0, 1) + bw.flush()
+    # scan 2: DC refinement (the low bit, raw)
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.write(zz[0] & 1, 1)
+    scan_dc2 = sos(bytes([1, 0x00]), 0, 0, 1, 0) + bw.flush()
+    # scans 3+4: AC spectral bands
+    bw = _BitWriter()
+    _encode_ac_band_progressive(bw, blocks, 1, 5, ac_codes)
+    scan_ac1 = sos(bytes([1, 0x00]), 1, 5, 0, 0) + bw.flush()
+    bw = _BitWriter()
+    _encode_ac_band_progressive(bw, blocks, 6, 63, ac_codes)
+    scan_ac2 = sos(bytes([1, 0x00]), 6, 63, 0, 0) + bw.flush()
+
+    return (
+        b"\xff\xd8"
+        + _jfif_app0()
+        + _seg(0xDB, bytes([0x00]) + bytes(qt))
+        + _seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        + _annex_k_dht()
+        + scan_dc1
+        + scan_dc2
+        + scan_ac1
+        + scan_ac2
+        + b"\xff\xd9"
+    )

@@ -8,9 +8,11 @@ BI_RGB), binary PPM/PGM, PNG (8-bit, stdlib-zlib inflate + defilter),
 baseline JPEG (SOF0 grayscale — operators/jpeg.py), animated GIF and
 16-bit mono PCM WAV — pure-Python parsers, no codec libraries needed —
 so features and perceptual hashes run on genuinely decoded
-pixels/samples; the remaining compressed codecs (progressive/chroma
-JPEG, mp3/ogg, h264) keep the documented NotImplementedError stub
-path.
+pixels/samples; JPEG covers baseline gray + YCbCr color
+(4:4:4/4:2:2/4:2:0, restart markers) AND progressive (SOF2: spectral
+selection + DC successive approximation). The remaining compressed
+codecs (mp3/ogg, h264) and the progressive AC-successive-approximation
+slice keep the documented NotImplementedError stub path.
 
 These interpreted-Python decoders are fixture-grade: the measured
 throughput ceiling per codec (and the ~100-1000x native swap-in behind
@@ -49,8 +51,9 @@ except Exception:
 # treat any of these as "this one asset is corrupt" (NULL/skip), never
 # letting one bad payload fail a whole batch job or streaming query.
 # NotImplementedError stays separate: it is the DOCUMENTED stub-path
-# contract for containers the sandbox cannot decode (JPEG-progressive,
-# mp3, h264), and extract_* keeps propagating it so callers must filter
+# contract for containers the sandbox cannot decode (mp3, h264,
+# JPEG's AC-successive-approximation slice), and extract_* keeps
+# propagating it so callers must filter
 # to decodable kinds deliberately.
 CORRUPT_ERRORS = (ValueError, struct.error, zlib.error, IndexError, KeyError)
 DECODE_ERRORS = (NotImplementedError,) + CORRUPT_ERRORS
@@ -313,8 +316,8 @@ def decode_image(payload: bytes) -> tuple[int, int, list[int]]:
     row-major top-down)``.
 
     Raises NotImplementedError for any other container or variant
-    (progressive/chroma JPEG, mp3, h264) — the retained stub path for
-    codecs this sandbox cannot host."""
+    (mp3, h264, JPEG's AC-successive-approximation slice) — the
+    retained stub path for codecs this sandbox cannot host."""
     b = bytes(payload)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(b)
@@ -479,7 +482,9 @@ def synth_media_images(
     return spark.range(n_rows).mapInPandas(kernel, MEDIA_SCHEMA)
 
 
-def synth_media_jpeg(spark, n_rows: int, plant_every: int | None = None) -> DataFrame:
+def synth_media_jpeg(
+    spark, n_rows: int, plant_every: int | None = None, progressive: bool = False
+) -> DataFrame:
     """Deterministic REAL-JPEG media table for the exact-oracle path:
     each payload is an actual baseline grayscale JPEG (operators/
     jpeg.py) of a 16x16 image whose four 8x8 quadrants are CONSTANT,
@@ -494,12 +499,18 @@ def synth_media_jpeg(spark, n_rows: int, plant_every: int | None = None) -> Data
 
     ``plant_every``: every k-th row (id % k == k-1, id > 0) carries row
     id-1's quadrant values with quadrant (id % 4) bumped +128 mod 256.
+
+    ``progressive``: encode the SAME pixels as multi-scan progressive
+    (SOF2) files — decode is pinned bit-identical to baseline, so the
+    same formula oracle certifies the progressive path.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from .jpeg import encode_jpeg
+        from .jpeg import encode_jpeg, encode_jpeg_progressive
+
+        enc = encode_jpeg_progressive if progressive else encode_jpeg
 
         def quads(mid: int) -> list[int]:
             d = hashlib.sha256(f"jq{mid}".encode()).digest()
@@ -526,13 +537,13 @@ def synth_media_jpeg(spark, n_rows: int, plant_every: int | None = None) -> Data
                     {
                         "media_id": mid,
                         "kind": "jpeg",
-                        "payload": encode_jpeg(16, 16, gray(mid)),
+                        "payload": enc(16, 16, gray(mid)),
                         "meta": {
                             "width": 16,
                             "height": 16,
                             "sample_rate": None,
                             "duration_ms": None,
-                            "codec": "jpeg",
+                            "codec": "jpeg-progressive" if progressive else "jpeg",
                         },
                     }
                 )

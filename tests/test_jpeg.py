@@ -81,11 +81,18 @@ def test_coarse_quant_table_still_decodes():
 def test_unsupported_variants_raise_not_implemented():
     gray = _quadrant_gray([1, 2, 3, 4])
     payload = bytearray(encode_jpeg(16, 16, gray))
-    # progressive: patch SOF0 (FFC0) to SOF2 (FFC2)
     sof = bytes(payload).index(b"\xff\xc0")
+    # arithmetic-coded (SOF9): genuinely unsupported
+    arith = bytearray(payload)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arith))
+    # SOF0 bytes relabeled SOF2: a baseline scan is not a valid
+    # progressive scan script — CORRUPT, not stub (progressive itself
+    # is supported since r5)
     prog = bytearray(payload)
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
     # 4 components (CMYK-style): beyond the 1/3-component support
     # (offset +9: marker 2 + len 2 + precision 1 + height 2 + width 2)
@@ -267,3 +274,50 @@ def test_color_422_round_trip_luma():
     )
     assert (W, H) == (9, 8)
     assert max(abs(a - b) for a, b in zip(y[:72], dec)) <= 2
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+
+def test_progressive_bit_identical_to_baseline():
+    # progressive transmits the SAME quantized coefficients, split
+    # across scans — decode must match baseline decode exactly
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = random.Random(42)
+    for w, h in [(16, 16), (9, 8), (40, 33)]:
+        g = [rng.randrange(256) for _ in range(w * h)]
+        assert decode_jpeg(encode_jpeg_progressive(w, h, g)) == decode_jpeg(
+            encode_jpeg(w, h, g)
+        )
+    # EOB-run-heavy cases: flat and sparse content
+    flat = [77] * (32 * 24)
+    assert decode_jpeg(encode_jpeg_progressive(32, 24, flat))[2] == flat
+    sp = [100] * 1600
+    for i in range(0, 1600, 173):
+        sp[i] = 250
+    assert decode_jpeg(encode_jpeg_progressive(40, 40, sp)) == decode_jpeg(
+        encode_jpeg(40, 40, sp)
+    )
+
+
+def test_progressive_exact_quadrants_and_dispatch():
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_progressive
+
+    gray = _quadrant_gray([10, 200, 77, 145])
+    payload = encode_jpeg_progressive(16, 16, gray)
+    assert decode_image(payload) == (16, 16, gray)  # seam dispatch
+    # perceptual hash agrees across baseline/progressive of same pixels
+    assert dhash64(payload) == dhash64(encode_jpeg(16, 16, gray))
+
+
+def test_progressive_corrupt_truncation_is_null():
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = random.Random(4)
+    g = [rng.randrange(256) for _ in range(256)]
+    payload = encode_jpeg_progressive(16, 16, g)
+    truncated = payload[: len(payload) * 2 // 3]
+    with pytest.raises((ValueError, struct.error, IndexError, KeyError)):
+        decode_jpeg(truncated)
+    assert dhash64(truncated) is None
