@@ -954,3 +954,115 @@ def encode_jpeg_progressive(
         + scan_ac2
         + b"\xff\xd9"
     )
+
+
+def encode_jpeg_progressive_color(
+    width: int,
+    height: int,
+    y: list[int],
+    cb: list[int],
+    cr: list[int],
+    subsampling: str = "420",
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Progressive (SOF2) COLOR JPEG: interleaved MCU-order DC scan in
+    two successive-approximation passes over all three components
+    (dummy padded luma blocks included, per spec), then per-component
+    AC band scans — luma over its TRUE raster grid, chroma over the
+    subsampled grids. Exercises the decoder's color-progressive paths:
+    interleaved multi-component DC with per-component predictors, and
+    the skip-chroma-AC-scan shortcut. Luma coefficients are identical
+    to :func:`encode_jpeg`'s, so luma decode is bit-identical to the
+    baseline gray decode of the same plane (pinned by test)."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    fx, fy = factors[subsampling]
+    qt = list(qtable or NEAR_LOSSLESS_QT)
+    dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    cw, ch, cbs = _subsample(cb, width, height, fx, fy)
+    _, _, crs = _subsample(cr, width, height, fx, fy)
+    mcus_x = (width + 8 * fx - 1) // (8 * fx)
+    mcus_y = (height + 8 * fy - 1) // (8 * fy)
+
+    def qblock(plane, pw, ph, bx, by):
+        coef = _fdct(_edge_block(plane, pw, ph, bx, by))
+        return [int(round(coef[ZIGZAG[i]] / qt[i])) for i in range(64)]
+
+    # luma blocks on the PADDED MCU grid (row-major), chroma per-MCU
+    bw_pad = mcus_x * fx
+    y_blocks = [
+        qblock(y, width, height, bx * 8, by * 8)
+        for by in range(mcus_y * fy)
+        for bx in range(bw_pad)
+    ]
+    cb_blocks = [
+        qblock(cbs, cw, ch, bx * 8, by * 8)
+        for by in range(mcus_y)
+        for bx in range(mcus_x)
+    ]
+    cr_blocks = [
+        qblock(crs, cw, ch, bx * 8, by * 8)
+        for by in range(mcus_y)
+        for bx in range(mcus_x)
+    ]
+
+    def sos(comp_spec: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(
+            0xDA,
+            bytes([len(comp_spec) // 2]) + comp_spec + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    def mcu_dc_iter():
+        """(comp_index, block) in interleaved MCU order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(fy):
+                    for bx in range(fx):
+                        yield 0, y_blocks[(my * fy + by) * bw_pad + mx * fx + bx]
+                yield 1, cb_blocks[my * mcus_x + mx]
+                yield 2, cr_blocks[my * mcus_x + mx]
+
+    # scan 1: interleaved DC, Al=1
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for ci, zz in mcu_dc_iter():
+        v = zz[0] >> 1
+        size, bits = _magnitude(v - prev[ci])
+        prev[ci] = v
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(bits, size)
+    comp_spec3 = bytes([1, 0x00, 2, 0x00, 3, 0x00])
+    scan_dc1 = sos(comp_spec3, 0, 0, 0, 1) + bw.flush()
+    # scan 2: interleaved DC refinement bits
+    bw = _BitWriter()
+    for _ci, zz in mcu_dc_iter():
+        bw.write(zz[0] & 1, 1)
+    scan_dc2 = sos(comp_spec3, 0, 0, 1, 0) + bw.flush()
+    # AC scans: luma over the TRUE raster grid; chroma over their grids
+    nbw, nbh = (width + 7) // 8, (height + 7) // 8
+    y_raster = [y_blocks[by * bw_pad + bx] for by in range(nbh) for bx in range(nbw)]
+    scans = []
+    for cid, blocks in ((1, y_raster), (2, cb_blocks), (3, cr_blocks)):
+        bw = _BitWriter()
+        _encode_ac_band_progressive(bw, blocks, 1, 63, ac_codes)
+        scans.append(sos(bytes([cid, 0x00]), 1, 63, 0, 0) + bw.flush())
+
+    hv = (fx << 4) | fy
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    return (
+        b"\xff\xd8"
+        + _jfif_app0()
+        + _seg(0xDB, bytes([0x00]) + bytes(qt))
+        + _seg(0xC2, sof)
+        + _annex_k_dht()
+        + scan_dc1
+        + scan_dc2
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )

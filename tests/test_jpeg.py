@@ -321,3 +321,20 @@ def test_progressive_corrupt_truncation_is_null():
     with pytest.raises((ValueError, struct.error, IndexError, KeyError)):
         decode_jpeg(truncated)
     assert dhash64(truncated) is None
+
+
+def test_progressive_color_luma_bit_identical_and_chroma_skipped():
+    # color progressive: interleaved multi-component DC scans with
+    # per-component predictors + the decoder's skip-chroma-AC-scan
+    # shortcut; luma must come out bit-identical to the baseline gray
+    # decode of the same plane
+    from anomaly_detector_spark.operators.jpeg import encode_jpeg_progressive_color
+
+    rng = random.Random(77)
+    for sub in ("444", "422", "420"):
+        for w, h in [(16, 16), (9, 8), (40, 33)]:
+            y = [rng.randrange(256) for _ in range(w * h)]
+            c = [rng.randrange(256) for _ in range(w * h)]
+            assert decode_jpeg(
+                encode_jpeg_progressive_color(w, h, y, c, c, sub)
+            ) == decode_jpeg(encode_jpeg(w, h, y))
