@@ -25,9 +25,10 @@ demo and one that would meet a real corpus"). Scope is honest:
   interlaced GIF / stereo WAV in the sibling codecs).
 * encode: matching writers — grayscale (``encode_jpeg``), interleaved
   YCbCr color (``encode_jpeg_color``, 4:4:4/4:2:2/4:2:0) and
-  multi-scan progressive (``encode_jpeg_progressive``) — JFIF APP0,
-  one DQT, the Annex K.3 luminance Huffman tables; any image viewer
-  opens their output.
+  multi-scan progressive, gray and color
+  (``encode_jpeg_progressive`` / ``encode_jpeg_progressive_color``) —
+  JFIF APP0, one DQT, the Annex K.3 luminance Huffman tables; any
+  image viewer opens their output.
 
 Exactness property used by the SQL oracles: an 8x8-constant block has
 only a DC coefficient (8 * (v - 128) under the T.81 FDCT convention),
